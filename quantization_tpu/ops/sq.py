@@ -1,0 +1,242 @@
+"""Scalar (u8) quantization ops: affine codec + batched integer scoring.
+
+TPU-native re-design of the reference SQ codec/kernels
+(quantization/src/encoded_vectors_u8.rs + cpp/{avx2,sse,neon}.c):
+
+  * codes live in [0, 127] (alpha = (max-min)/127, offset = min —
+    encoded_vectors_u8.rs:228-232), so they fit **int8** and dot products run
+    as int8 x int8 -> int32 on the MXU with exact integer accumulation — the
+    TPU replacement for the `maddubs` AVX2 kernel (cpp/avx2.c:25-63).
+  * layout is SoA: codes int8[N, D_pad] + per-vector f32 correction offsets[N]
+    (vs the reference's per-row inline f32 prefix, encoded_vectors_u8.rs:78-116).
+  * D is padded to the TPU lane width 128 (vs ALIGNMENT=16 at
+    encoded_vectors_u8.rs:12) with the same placeholder semantics: the pad
+    encodes real value 0.0 for DOT and `offset` (code 0) for L1/L2
+    (encoded_vectors_u8.rs:84-93), so pads cancel exactly in scores.
+
+Score contract (encoded_vectors_u8.rs:145-158):
+    score = multiplier * int_kernel(Q, V) + query_offset + vector_offset
+with multiplier = alpha^2 (DOT), alpha (L1), -2*alpha^2 (L2), negated when
+``invert`` is set; DOT and L2 share the integer dot kernel, L1 uses the
+sum-of-absolute-differences kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import DistanceType
+
+ALIGNMENT = 128  # TPU lane width; reference uses 16 (encoded_vectors_u8.rs:12)
+CODE_MAX = 127.0
+
+
+def actual_dim(dim: int, alignment: int = ALIGNMENT) -> int:
+    """dim rounded up to the alignment (reference get_actual_dim,
+    encoded_vectors_u8.rs:257-259)."""
+    return dim + (alignment - dim % alignment) % alignment
+
+
+def alpha_offset_from_min_max(mn: float, mx: float) -> Tuple[float, float]:
+    """(alpha, offset) of the affine code map (encoded_vectors_u8.rs:228-232).
+
+    alpha is clamped away from zero so constant data encodes to code 0
+    instead of NaN.
+    """
+    alpha = (mx - mn) / CODE_MAX
+    if not np.isfinite(alpha) or alpha <= 0.0:
+        alpha = 1.0
+    return float(alpha), float(mn)
+
+
+def multiplier_for(distance_type: DistanceType, invert: bool, alpha: float) -> float:
+    """Scalar applied to the raw integer kernel output
+    (encoded_vectors_u8.rs:119-128)."""
+    if distance_type == DistanceType.DOT:
+        m = alpha * alpha
+    elif distance_type == DistanceType.L1:
+        m = alpha
+    else:  # L2
+        m = -2.0 * alpha * alpha
+    return -m if invert else m
+
+
+def _f32_to_code(x: jax.Array, alpha: float, offset: float) -> jax.Array:
+    """clamp((x-offset)/alpha, 0, 127) truncated toward zero — the exact
+    behavior of the reference's `as u8` cast (encoded_vectors_u8.rs:234-237)."""
+    q = (x - offset) / alpha
+    q = jnp.clip(q, 0.0, CODE_MAX)
+    q = jnp.where(jnp.isnan(q), 0.0, q)
+    return jnp.floor(q)
+
+
+def pad_code(distance_type: DistanceType, alpha: float, offset: float) -> int:
+    """Code value used for lane padding (encoded_vectors_u8.rs:84-93):
+    DOT pads with the code of real value 0.0; L1/L2 pad with the code of
+    `offset`, which is always 0."""
+    if distance_type == DistanceType.DOT:
+        q = (0.0 - offset) / alpha
+        q = min(max(q, 0.0), CODE_MAX)
+        if np.isnan(q):
+            q = 0.0
+        return int(q)
+    return 0
+
+
+@partial(
+    jax.jit,
+    static_argnames=("alpha", "offset", "distance_type", "invert", "dpad"),
+)
+def quantize_batch(
+    x: jax.Array,
+    *,
+    alpha: float,
+    offset: float,
+    distance_type: DistanceType,
+    invert: bool,
+    dpad: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Encode a [B, dim] float32 batch -> (codes int8[B, dpad], voffset f32[B]).
+
+    Implements the per-vector hot loop of encoded_vectors_u8.rs:73-118 as one
+    fused device op: quantize, pad, and compute the per-vector correction
+    term (encoded_vectors_u8.rs:94-109), negated under ``invert``.
+    """
+    b, dim = x.shape
+    codes_f = _f32_to_code(x.astype(jnp.float32), alpha, offset)
+    if dpad > dim:
+        pc = pad_code(distance_type, alpha, offset)
+        pad = jnp.full((b, dpad - dim), float(pc), jnp.float32)
+        codes_f = jnp.concatenate([codes_f, pad], axis=1)
+    if distance_type == DistanceType.DOT:
+        voff = dpad * offset * offset + jnp.sum(codes_f, axis=1) * (alpha * offset)
+    elif distance_type == DistanceType.L1:
+        voff = jnp.zeros((b,), jnp.float32)
+    else:  # L2
+        voff = dpad * offset * offset + jnp.sum(codes_f * codes_f, axis=1) * (
+            alpha * alpha
+        )
+    if invert:
+        voff = -voff
+    return codes_f.astype(jnp.int8), voff.astype(jnp.float32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("alpha", "offset", "distance_type", "invert", "dpad"),
+)
+def encode_query_batch(
+    q: jax.Array,
+    *,
+    alpha: float,
+    offset: float,
+    distance_type: DistanceType,
+    invert: bool,
+    dpad: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Quantize queries exactly like data (encoded_vectors_u8.rs:290-329).
+
+    The query offset term is Sum(Q)*alpha*offset for DOT and
+    Sum(Q^2)*alpha^2 for L2 (zero for L1), negated under invert.
+    """
+    b, dim = q.shape
+    codes_f = _f32_to_code(q.astype(jnp.float32), alpha, offset)
+    if dpad > dim:
+        pc = pad_code(distance_type, alpha, offset)
+        pad = jnp.full((b, dpad - dim), float(pc), jnp.float32)
+        codes_f = jnp.concatenate([codes_f, pad], axis=1)
+    if distance_type == DistanceType.DOT:
+        qoff = jnp.sum(codes_f, axis=1) * (alpha * offset)
+    elif distance_type == DistanceType.L1:
+        qoff = jnp.zeros((b,), jnp.float32)
+    else:  # L2
+        qoff = jnp.sum(codes_f * codes_f, axis=1) * (alpha * alpha)
+    if invert:
+        qoff = -qoff
+    return codes_f.astype(jnp.int8), qoff.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Integer kernels (XLA path). The Pallas fast path lives in ops/pallas/.
+# ---------------------------------------------------------------------------
+
+
+def int_dot(qcodes: jax.Array, codes: jax.Array) -> jax.Array:
+    """[Q, N] exact int32 dot between int8 code matrices — the MXU form of
+    impl_score_dot_avx (cpp/avx2.c:25-63)."""
+    return jax.lax.dot_general(
+        qcodes,
+        codes,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def int_l1(qcodes: jax.Array, codes: jax.Array, tile: int = 2048) -> jax.Array:
+    """[Q, N] exact int32 sum-of-absolute-differences, tiled over N — the VPU
+    form of impl_score_l1_avx (cpp/avx2.c:65-122).
+
+    Tiling bounds peak memory at Q * tile * D without materializing
+    [Q, N, D].
+    """
+    n = codes.shape[0]
+    pad = (-n) % tile
+    codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
+    tiles = codes_p.reshape(-1, tile, codes.shape[1])
+    q32 = qcodes.astype(jnp.int32)
+
+    def body(c_tile):
+        d = jnp.abs(q32[:, None, :] - c_tile.astype(jnp.int32)[None, :, :])
+        return jnp.sum(d, axis=-1)  # [Q, tile]
+
+    out = jax.lax.map(body, tiles)  # [nt, Q, tile]
+    out = jnp.moveaxis(out, 0, 1).reshape(qcodes.shape[0], -1)
+    return out[:, :n]
+
+
+@partial(jax.jit, static_argnames=("distance_type",))
+def score_batch_xla(
+    qcodes: jax.Array,
+    qoff: jax.Array,
+    codes: jax.Array,
+    voff: jax.Array,
+    multiplier: float,
+    *,
+    distance_type: DistanceType,
+) -> jax.Array:
+    """[Q, N] scores: multiplier * kernel + qoff + voff
+    (encoded_vectors_u8.rs:145-158). DOT and L2 share the dot kernel."""
+    if distance_type == DistanceType.L1:
+        raw = int_l1(qcodes, codes)
+    else:
+        raw = int_dot(qcodes, codes)
+    return multiplier * raw.astype(jnp.float32) + qoff[:, None] + voff[None, :]
+
+
+@partial(jax.jit, static_argnames=("distance_type",))
+def score_internal_batch_xla(
+    codes_a: jax.Array,
+    voff_a: jax.Array,
+    codes_b: jax.Array,
+    voff_b: jax.Array,
+    multiplier: float,
+    diff: float,
+    *,
+    distance_type: DistanceType,
+) -> jax.Array:
+    """[P] stored-vs-stored scores (encoded_vectors_u8.rs:386-453):
+    multiplier * kernel + off_a + off_b - diff, where
+    diff = actual_dim * offset^2 (sign-flipped under invert) removes the
+    double-counted constant."""
+    a32 = codes_a.astype(jnp.int32)
+    b32 = codes_b.astype(jnp.int32)
+    if distance_type == DistanceType.L1:
+        raw = jnp.sum(jnp.abs(a32 - b32), axis=-1)
+    else:
+        raw = jnp.sum(a32 * b32, axis=-1)
+    return multiplier * raw.astype(jnp.float32) + voff_a + voff_b - diff
