@@ -1,0 +1,252 @@
+"""Product quantizer — the TPU-native EncodedVectorsPQ.
+
+Re-design of quantization/src/encoded_vectors_pq.rs. Training is one batched
+k-means over every chunk at once (ops/kmeans.py) instead of a per-chunk rayon
+loop; encode is a pure batched argmin (no condvar thread ring — storage order
+is just array order); queries become [Q, m, 256] LUTs scored on device.
+
+Reference constants preserved: 256 centroids/chunk, <=10k-vector training
+sample, 100 iterations, 1e-5 accuracy (encoded_vectors_pq.rs:22-25); the
+count<=256 fallback sets centroids to the points themselves zero-filled to 256
+(rs:290-297).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.interface import DataLike, EncodedVectors, iter_batches
+from ..core.storage import EncodedStorage
+from ..core.types import (
+    ArgumentsError,
+    StorageIOError,
+    VectorParameters,
+    check_stop,
+)
+from ..ops import pq as pq_ops
+from ..ops.kmeans import kmeans_batched
+from ..ops.quantile import sample_rows
+
+
+@dataclass
+class PQMetadata:
+    """Field names match the reference serde struct
+    (encoded_vectors_pq.rs:39-44); Range<usize> serializes as
+    {"start", "end"}."""
+
+    centroids: np.ndarray  # f32 [k, dim]
+    vector_division: List[Tuple[int, int]]
+    vector_parameters: VectorParameters
+
+    def to_json(self) -> dict:
+        return {
+            "centroids": [
+                [float(v) for v in row] for row in np.asarray(self.centroids)
+            ],
+            "vector_division": [
+                {"start": s, "end": e} for s, e in self.vector_division
+            ],
+            "vector_parameters": self.vector_parameters.to_json(),
+        }
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "PQMetadata":
+        return cls(
+            centroids=np.asarray(obj["centroids"], dtype=np.float32),
+            vector_division=[
+                (int(r["start"]), int(r["end"])) for r in obj["vector_division"]
+            ],
+            vector_parameters=VectorParameters.from_json(obj["vector_parameters"]),
+        )
+
+
+@dataclass
+class EncodedQueryPQ:
+    """Per-query lookup table lut[Q, m, k]
+    (reference EncodedQueryPQ, encoded_vectors_pq.rs:35-37)."""
+
+    lut: jax.Array
+
+
+class ProductQuantizer(EncodedVectors):
+    """Chunked vector -> per-chunk nearest-centroid u8 codes, LUT scoring."""
+
+    def __init__(self, codes: jax.Array, metadata: PQMetadata):
+        self.codes = codes  # uint8 [N, m]
+        self.metadata = metadata
+        self.params = metadata.vector_parameters
+        self._c_chunks = jnp.asarray(
+            pq_ops.centroids_to_chunks(
+                np.asarray(metadata.centroids), metadata.vector_division
+            )
+        )  # f32 [m, k, dmax]
+        self._cdist: Optional[jax.Array] = None
+
+    # ------------------------------------------------------------------ train
+    @classmethod
+    def encode(
+        cls,
+        data: DataLike,
+        params: VectorParameters,
+        chunk_size: int,
+        stop_condition=None,
+        batch_size: int = 16384,
+        seed: int = 0,
+    ) -> "ProductQuantizer":
+        """k-means train + batched encode (encoded_vectors_pq.rs:56-107)."""
+        division = pq_ops.get_vector_division(params.dim, chunk_size)
+        k = pq_ops.CENTROIDS_COUNT
+
+        def batches():
+            return iter_batches(data, batch_size)
+
+        centroids = cls._find_centroids(
+            batches, division, params, stop_condition, seed
+        )
+
+        c_chunks = jnp.asarray(pq_ops.centroids_to_chunks(centroids, division))
+        code_chunks = []
+        total = 0
+        for batch in batches():
+            check_stop(stop_condition)
+            if batch.shape[1] != params.dim:
+                raise ArgumentsError(
+                    f"Vector length {batch.shape[1]} does not match vector "
+                    f"parameters dim {params.dim}"
+                )
+            x_chunks = jnp.asarray(pq_ops.chunk_tensor(batch, division))
+            code_chunks.append(np.asarray(pq_ops.encode_batch(x_chunks, c_chunks)))
+            total += batch.shape[0]
+        if total != params.count:
+            raise ArgumentsError(
+                f"Vector count {total} does not match vector parameters count "
+                f"{params.count}"
+            )
+        codes = (
+            np.concatenate(code_chunks, axis=0)
+            if code_chunks
+            else np.zeros((0, len(division)), np.uint8)
+        )
+        meta = PQMetadata(centroids, division, params)
+        return cls(jnp.asarray(codes), meta)
+
+    @classmethod
+    def _find_centroids(
+        cls, batches, division, params, stop_condition, seed
+    ) -> np.ndarray:
+        """Sample + per-chunk k-means (encoded_vectors_pq.rs:278-342), run as
+        one batched clustering over all chunks."""
+        k = pq_ops.CENTROIDS_COUNT
+        if params.count <= k:
+            # Not enough vectors: centroids are the points themselves,
+            # zero-filled to k (rs:290-297).
+            rows = [b for b in batches()]
+            points = (
+                np.concatenate(rows, axis=0)
+                if rows
+                else np.zeros((0, params.dim), np.float32)
+            )
+            centroids = np.zeros((k, params.dim), dtype=np.float32)
+            centroids[: points.shape[0]] = points
+            return centroids
+        check_stop(stop_condition)
+        sample = sample_rows(
+            batches, params.count, pq_ops.KMEANS_SAMPLE_SIZE, seed
+        )
+        sample_chunks = jnp.asarray(pq_ops.chunk_tensor(sample, division))
+        chunked = kmeans_batched(
+            sample_chunks,
+            k,
+            max_iterations=pq_ops.KMEANS_MAX_ITERATIONS,
+            accuracy=pq_ops.KMEANS_ACCURACY,
+            seed=seed,
+            stop_condition=stop_condition,
+        )
+        return pq_ops.chunks_to_centroids(
+            np.asarray(chunked), division, params.dim
+        )
+
+    # ------------------------------------------------------------------ query
+    def encode_query(self, queries) -> EncodedQueryPQ:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.params.dim:
+            raise ArgumentsError(
+                f"query dim {q.shape[1]} != corpus dim {self.params.dim}"
+            )
+        q_chunks = jnp.asarray(
+            pq_ops.chunk_tensor(q, self.metadata.vector_division)
+        )
+        lut = pq_ops.build_lut(
+            q_chunks,
+            self._c_chunks,
+            distance_type=self.params.distance_type,
+            invert=self.params.invert,
+        )
+        return EncodedQueryPQ(lut)
+
+    # ------------------------------------------------------------------ score
+    def score_batch(self, equery: EncodedQueryPQ) -> jax.Array:
+        return pq_ops.score_lut_xla(equery.lut, self.codes)
+
+    def score_points(self, equery: EncodedQueryPQ, ids) -> jax.Array:
+        ids = jnp.asarray(ids, jnp.int32)
+        return pq_ops.score_lut_xla(
+            equery.lut, jnp.take(self.codes, ids, axis=0)
+        )
+
+    def _centroid_distances(self) -> jax.Array:
+        if self._cdist is None:
+            self._cdist = pq_ops.centroid_distance_table(
+                self._c_chunks,
+                distance_type=self.params.distance_type,
+                invert=self.params.invert,
+            )
+        return self._cdist
+
+    def score_internal_batch(self, ids_a, ids_b) -> jax.Array:
+        ids_a = jnp.asarray(ids_a, jnp.int32)
+        ids_b = jnp.asarray(ids_b, jnp.int32)
+        return pq_ops.score_internal_lut(
+            self._centroid_distances(),
+            jnp.take(self.codes, ids_a, axis=0),
+            jnp.take(self.codes, ids_b, axis=0),
+        )
+
+    # ------------------------------------------------------------- checkpoint
+    def get_quantized_vector_size(self) -> int:
+        """One byte per chunk (encoded_vectors_pq.rs:109-114)."""
+        return len(self.metadata.vector_division)
+
+    def save(self, data_path, meta_path) -> None:
+        meta_dir = os.path.dirname(os.fspath(meta_path))
+        if meta_dir:
+            os.makedirs(meta_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(self.metadata.to_json(), f)
+        EncodedStorage(np.asarray(self.codes, dtype=np.uint8)).save_to_file(
+            data_path
+        )
+
+    @classmethod
+    def load(cls, data_path, meta_path, params: VectorParameters) -> "ProductQuantizer":
+        try:
+            with open(meta_path) as f:
+                meta = PQMetadata.from_json(json.load(f))
+        except (OSError, json.JSONDecodeError, KeyError) as e:
+            raise StorageIOError(f"cannot read metadata {meta_path}: {e}") from e
+        row_size = len(meta.vector_division)
+        storage = EncodedStorage.from_file(data_path, row_size, params.count)
+        return cls(jnp.asarray(storage.data), meta)
+
+
+# Reference-parity alias.
+EncodedVectorsPQ = ProductQuantizer

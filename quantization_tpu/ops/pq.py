@@ -1,0 +1,172 @@
+"""Product-quantization ops: chunking, batched nearest-centroid encode,
+LUT build, and LUT scoring.
+
+TPU-native re-design of quantization/src/encoded_vectors_pq.rs. The reference
+encodes vectors on a condvar-ordered thread ring (encoded_vectors_pq.rs:168-226)
+and scores with an SSE LUT-gather loop (rs:405-440); here encode is a batched
+argmin over a distance tensor and scoring sums per-chunk LUT gathers on
+device. Chunks are padded to a common width with zeros — zero pads in both
+operands contribute 0 to every distance used here, so results are unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import DistanceType
+
+CENTROIDS_COUNT = 256  # encoded_vectors_pq.rs:25
+KMEANS_SAMPLE_SIZE = 10_000  # rs:22
+KMEANS_MAX_ITERATIONS = 100  # rs:23
+KMEANS_ACCURACY = 1e-5  # rs:24
+
+
+def get_vector_division(dim: int, chunk_size: int) -> List[Tuple[int, int]]:
+    """Split [0, dim) into chunks of <= chunk_size
+    (encoded_vectors_pq.rs:116-121)."""
+    return [
+        (i, min(i + chunk_size, dim)) for i in range(0, dim, max(1, chunk_size))
+    ]
+
+
+def chunk_tensor(
+    data: np.ndarray, division: List[Tuple[int, int]]
+) -> np.ndarray:
+    """[B, dim] -> [m, B, dmax] with zero padding on ragged last chunk."""
+    dmax = max(e - s for s, e in division)
+    m = len(division)
+    out = np.zeros((m, data.shape[0], dmax), dtype=np.float32)
+    for ci, (s, e) in enumerate(division):
+        out[ci, :, : e - s] = data[:, s:e]
+    return out
+
+
+def centroids_to_chunks(
+    centroids: np.ndarray, division: List[Tuple[int, int]]
+) -> np.ndarray:
+    """Full-dim centroids [k, dim] -> chunked [m, k, dmax] (zero-padded)."""
+    return chunk_tensor(centroids, division)
+
+
+def chunks_to_centroids(
+    chunked: np.ndarray, division: List[Tuple[int, int]], dim: int
+) -> np.ndarray:
+    """Chunked centroids [m, k, dmax] -> full-dim [k, dim]."""
+    k = chunked.shape[1]
+    out = np.zeros((k, dim), dtype=np.float32)
+    for ci, (s, e) in enumerate(division):
+        out[:, s:e] = chunked[ci, :, : e - s]
+    return out
+
+
+@jax.jit
+def encode_batch(x_chunks: jax.Array, c_chunks: jax.Array) -> jax.Array:
+    """Nearest-centroid codes for a batch.
+
+    x_chunks: f32[m, B, dmax], c_chunks: f32[m, k, dmax] -> u8[B, m].
+    Per-chunk argmin of squared euclidean distance — PQ always uses the
+    euclid metric for encoding regardless of the scoring distance
+    (encoded_vectors_pq.rs:250-256).
+    """
+
+    def per_chunk(args):
+        x, c = args
+        x2 = jnp.sum(x * x, axis=1, keepdims=True)
+        c2 = jnp.sum(c * c, axis=1)
+        d2 = x2 + c2[None, :] - 2.0 * (x @ c.T)
+        return jnp.argmin(d2, axis=1).astype(jnp.uint8)  # first min
+
+    codes_mb = jax.lax.map(per_chunk, (x_chunks, c_chunks))  # [m, B]
+    return codes_mb.T
+
+
+@partial(jax.jit, static_argnames=("distance_type", "invert"))
+def build_lut(
+    q_chunks: jax.Array,
+    c_chunks: jax.Array,
+    *,
+    distance_type: DistanceType,
+    invert: bool,
+) -> jax.Array:
+    """Per-query lookup table lut[Q, m, k]: exact distance from each query
+    sub-vector to each centroid sub-vector (encoded_vectors_pq.rs:525-547),
+    negated under ``invert``."""
+
+    def per_chunk(args):
+        q, c = args  # [Q, dmax], [k, dmax]
+        if distance_type == DistanceType.DOT:
+            d = q @ c.T
+        elif distance_type == DistanceType.L1:
+            d = jnp.sum(jnp.abs(q[:, None, :] - c[None, :, :]), axis=-1)
+        else:
+            diff = q[:, None, :] - c[None, :, :]
+            d = jnp.sum(diff * diff, axis=-1)
+        return d  # [Q, k]
+
+    lut = jax.lax.map(per_chunk, (q_chunks, c_chunks))  # [m, Q, k]
+    lut = jnp.moveaxis(lut, 0, 1)
+    return -lut if invert else lut
+
+
+@jax.jit
+def score_lut_xla(lut: jax.Array, codes: jax.Array) -> jax.Array:
+    """[Q, N] scores = sum over chunks of lut[q, m, codes[n, m]].
+
+    XLA gather fallback (the Pallas one-hot MXU kernel is the fast path) —
+    scans chunks, gathering a [Q, N] slice per chunk.
+    """
+    codes_mn = codes.T.astype(jnp.int32)  # [m, N]
+
+    def body(acc, args):
+        lut_m, codes_m = args  # [Q, k], [N]
+        return acc + jnp.take(lut_m, codes_m, axis=1), None
+
+    q = lut.shape[0]
+    n = codes.shape[0]
+    init = jnp.zeros((q, n), jnp.float32)
+    acc, _ = jax.lax.scan(body, init, (jnp.moveaxis(lut, 1, 0), codes_mn))
+    return acc
+
+
+@partial(jax.jit, static_argnames=("distance_type", "invert"))
+def centroid_distance_table(
+    c_chunks: jax.Array, *, distance_type: DistanceType, invert: bool
+) -> jax.Array:
+    """cdist[m, k, k]: pairwise distance between centroids of each chunk —
+    the batched form of the reference's decode-and-compare score_internal
+    (encoded_vectors_pq.rs:566-593)."""
+
+    def per_chunk(c):
+        if distance_type == DistanceType.DOT:
+            d = c @ c.T
+        elif distance_type == DistanceType.L1:
+            d = jnp.sum(jnp.abs(c[:, None, :] - c[None, :, :]), axis=-1)
+        else:
+            diff = c[:, None, :] - c[None, :, :]
+            d = jnp.sum(diff * diff, axis=-1)
+        return d
+
+    cdist = jax.lax.map(per_chunk, c_chunks)  # [m, k, k]
+    return -cdist if invert else cdist
+
+
+@jax.jit
+def score_internal_lut(
+    cdist: jax.Array, codes_a: jax.Array, codes_b: jax.Array
+) -> jax.Array:
+    """[P] scores between stored code rows via the centroid-distance table.
+
+    codes_a/b: u8[P, m]."""
+    a = codes_a.astype(jnp.int32)  # [P, m]
+    b = codes_b.astype(jnp.int32)
+    m = cdist.shape[0]
+    k = cdist.shape[1]
+    chunk_ids = jnp.arange(m)[None, :]
+    flat = cdist.reshape(-1)
+    idx = (chunk_ids * k + a) * k + b  # [P, m]
+    return jnp.sum(jnp.take(flat, idx), axis=1)

@@ -1,0 +1,122 @@
+"""PQ oracle tests — the TPU port of quantization/tests/test_pq.rs:
+count=513, dim=65, chunk_size=1, score within ``dim * 0.05`` of exact, across
+dot/l1/l2 x {plain, inverted}, plus score_internal, the count<=256 fallback,
+save/load, and cancellation."""
+
+import numpy as np
+import pytest
+
+from quantization_tpu.core.distances import pairwise_score
+from quantization_tpu.core.types import DistanceType, StoppedError, VectorParameters
+from quantization_tpu.models.pq import ProductQuantizer
+from quantization_tpu.ops import pq as pq_ops
+
+COUNT = 513
+DIM = 65
+ERROR = DIM * 0.05
+
+
+def make_data(rng, count=COUNT, dim=DIM):
+    return rng.random((count, dim), dtype=np.float32)
+
+
+@pytest.mark.parametrize("dt", [DistanceType.DOT, DistanceType.L1, DistanceType.L2])
+@pytest.mark.parametrize("invert", [False, True])
+def test_pq_score_vs_oracle(rng, dt, invert):
+    data = make_data(rng)
+    query = make_data(rng, count=1)
+    params = VectorParameters(DIM, COUNT, dt, invert)
+    enc = ProductQuantizer.encode(data, params, chunk_size=1)
+    got = np.asarray(enc.score_batch(enc.encode_query(query)))[0]
+    want = np.asarray(pairwise_score(query, data, dt, invert))[0]
+    np.testing.assert_allclose(got, want, atol=ERROR)
+
+
+@pytest.mark.parametrize("invert", [False, True])
+def test_pq_score_internal(rng, invert):
+    data = make_data(rng)
+    params = VectorParameters(DIM, COUNT, DistanceType.DOT, invert)
+    enc = ProductQuantizer.encode(data, params, chunk_size=1)
+    ids = np.arange(COUNT)
+    got = np.asarray(enc.score_internal_batch(np.zeros(COUNT, np.int64), ids))
+    want = np.asarray(
+        pairwise_score(data[:1], data, DistanceType.DOT, invert)
+    )[0]
+    np.testing.assert_allclose(got, want, atol=ERROR)
+    assert abs(enc.score_internal(0, 7) - got[7]) < 1e-5
+
+
+def test_pq_chunk2(rng):
+    # chunk_size=2 (the demos/benches/pq.rs config)
+    data = make_data(rng)
+    query = make_data(rng, count=3)
+    params = VectorParameters(DIM, COUNT, DistanceType.L2, True)
+    enc = ProductQuantizer.encode(data, params, chunk_size=2)
+    assert enc.codes.shape == (COUNT, 33)  # ceil(65/2)
+    got = np.asarray(enc.score_batch(enc.encode_query(query)))
+    want = np.asarray(pairwise_score(query, data, DistanceType.L2, True))
+    np.testing.assert_allclose(got, want, atol=ERROR * 2)
+
+
+def test_pq_small_count_fallback(rng):
+    # count <= 256: centroids are the points themselves, zero-filled
+    # (encoded_vectors_pq.rs:290-297) -> every point decodes exactly.
+    data = make_data(rng, count=100, dim=16)
+    params = VectorParameters(16, 100, DistanceType.L2, False)
+    enc = ProductQuantizer.encode(data, params, chunk_size=16)
+    got = np.asarray(enc.score_batch(enc.encode_query(data[:5])))
+    # each point scores 0 (exact l2) against itself
+    for i in range(5):
+        assert abs(got[i, i]) < 1e-3
+
+
+def test_pq_vector_division():
+    assert pq_ops.get_vector_division(65, 2) == [
+        (i, min(i + 2, 65)) for i in range(0, 65, 2)
+    ]
+    assert pq_ops.get_vector_division(4, 8) == [(0, 4)]
+
+
+def test_pq_save_load_roundtrip(tmp_path, rng):
+    data = make_data(rng)
+    params = VectorParameters(DIM, COUNT, DistanceType.DOT, False)
+    enc = ProductQuantizer.encode(data, params, chunk_size=2)
+    enc.save(tmp_path / "d.bin", tmp_path / "m.json")
+    loaded = ProductQuantizer.load(tmp_path / "d.bin", tmp_path / "m.json", params)
+    q = make_data(rng, count=2)
+    np.testing.assert_array_equal(
+        np.asarray(enc.score_batch(enc.encode_query(q))),
+        np.asarray(loaded.score_batch(loaded.encode_query(q))),
+    )
+    np.testing.assert_array_equal(np.asarray(enc.codes), np.asarray(loaded.codes))
+
+
+def test_pq_stop_condition(rng):
+    data = make_data(rng)
+    params = VectorParameters(DIM, COUNT, DistanceType.DOT, False)
+    with pytest.raises(StoppedError):
+        ProductQuantizer.encode(
+            data, params, chunk_size=1, stop_condition=lambda: True
+        )
+
+
+def test_pq_empty_roundtrip(tmp_path):
+    params = VectorParameters(DIM, 0, DistanceType.DOT, False)
+    enc = ProductQuantizer.encode(
+        np.zeros((0, DIM), np.float32), params, chunk_size=1
+    )
+    enc.save(tmp_path / "d.bin", tmp_path / "m.json")
+    loaded = ProductQuantizer.load(tmp_path / "d.bin", tmp_path / "m.json", params)
+    assert loaded.codes.shape[0] == 0
+
+
+def test_pq_topk_recall(rng):
+    data = make_data(rng, count=1000, dim=64)
+    queries = make_data(rng, count=4, dim=64)
+    params = VectorParameters(64, 1000, DistanceType.L2, True)
+    enc = ProductQuantizer.encode(data, params, chunk_size=2)
+    s, i = enc.top_k(enc.encode_query(queries), 10)
+    want = np.asarray(pairwise_score(queries, data, DistanceType.L2, True))
+    exact = np.argsort(-want, axis=1)[:, :10]
+    for row in range(4):
+        assert len(set(i[row]) & set(exact[row])) >= 7
