@@ -117,15 +117,20 @@ class EncodedVectors(abc.ABC):
         return float(out.reshape(-1)[0])
 
     # -- serving ------------------------------------------------------------
-    def top_k(self, equery, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def top_k(
+        self, equery, k: int, method: str = "exact"
+    ) -> Tuple[np.ndarray, np.ndarray]:
         """(scores[Q, k], indices[Q, k]) of the best-scoring points.
 
         "Best" always means largest score — callers encode their ranking
         direction via ``invert`` exactly as in the reference contract.
+        ``method``: "exact" (blocked two-stage) or "approx"
+        (TPU approx_max_k).
         """
         import jax.numpy as jnp
-        import jax
 
-        scores = self.score_batch(equery)
-        s, i = jax.lax.top_k(jnp.asarray(scores), k)
+        from ..ops.topk import top_k as _topk
+
+        scores = jnp.asarray(self.score_batch(equery))
+        s, i = _topk(scores, k, method=method)
         return np.asarray(s), np.asarray(i)

@@ -28,6 +28,7 @@ from ..core.types import (
     check_stop,
 )
 from ..ops import bq as bq_ops
+from ..ops import dispatch
 
 
 @dataclass
@@ -57,14 +58,30 @@ class BinaryQuantizer(EncodedVectors):
 
     def __init__(
         self,
-        planes: jax.Array,  # uint32 [W, N] bit-plane layout
+        planes: jax.Array,  # uint32 [W, Npad] bit-plane layout
         metadata: BQMetadata,
         store_type: str = "u128",
     ):
+        # Pad the corpus axis to the Pallas tile and the plane-word axis to
+        # the 8-sublane tile (zero words XOR to zero popcount, zero columns
+        # are sliced off by count).
+        from ..ops.pallas.bq_kernel import TILE_N, W_ALIGN
+
+        count = metadata.vector_parameters.count
+        npad = count + (-count) % TILE_N
+        wpad = planes.shape[0] + (-planes.shape[0]) % W_ALIGN
+        planes = jnp.pad(
+            planes,
+            (
+                (0, wpad - planes.shape[0]),
+                (0, npad - planes.shape[1]) if planes.shape[1] < npad else (0, 0),
+            ),
+        )
         self.planes = planes
         self.metadata = metadata
         self.params = metadata.vector_parameters
         self.store_type = store_type
+        self.count = count
 
     # ------------------------------------------------------------------ train
     @classmethod
@@ -118,13 +135,32 @@ class BinaryQuantizer(EncodedVectors):
         if pad:
             rows = np.pad(rows, ((0, 0), (0, pad)))
         words = rows.reshape(rows.shape[0], -1, 4).view(np.uint32)
-        return EncodedQueryBin(jnp.asarray(words.reshape(rows.shape[0], -1)))
+        words = words.reshape(rows.shape[0], -1)
+        w8 = self.planes.shape[0]
+        if words.shape[1] < w8:  # match the stored planes' padded word count
+            words = np.pad(words, ((0, 0), (0, w8 - words.shape[1])))
+        return EncodedQueryBin(jnp.asarray(words))
 
     # ------------------------------------------------------------------ score
     def score_batch(self, equery: EncodedQueryBin) -> jax.Array:
+        if (
+            dispatch.use_pallas()
+            and self.count
+            and self.planes.shape[0] > 0
+        ):
+            from ..ops.pallas.bq_kernel import bq_scores_pallas
+
+            return bq_scores_pallas(
+                equery.planes,
+                self.planes,
+                distance_type=self.params.distance_type,
+                invert=self.params.invert,
+                dim=self.params.dim,
+                n_valid=self.count,
+            )
         return bq_ops.score_batch_xla(
             equery.planes,
-            self.planes,
+            self.planes[:, : self.count],
             distance_type=self.params.distance_type,
             invert=self.params.invert,
             dim=self.params.dim,
@@ -168,7 +204,8 @@ class BinaryQuantizer(EncodedVectors):
         with open(meta_path, "w") as f:
             json.dump(self.metadata.to_json(), f)
         rows = bq_ops.planes_to_rows(
-            np.asarray(self.planes), self.get_quantized_vector_size()
+            np.asarray(self.planes)[:, : self.count],
+            self.get_quantized_vector_size(),
         )
         EncodedStorage(rows).save_to_file(data_path)
 

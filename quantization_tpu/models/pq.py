@@ -30,6 +30,7 @@ from ..core.types import (
     VectorParameters,
     check_stop,
 )
+from ..ops import dispatch
 from ..ops import pq as pq_ops
 from ..ops.kmeans import kmeans_batched
 from ..ops.quantile import sample_rows
@@ -79,9 +80,28 @@ class ProductQuantizer(EncodedVectors):
     """Chunked vector -> per-chunk nearest-centroid u8 codes, LUT scoring."""
 
     def __init__(self, codes: jax.Array, metadata: PQMetadata):
-        self.codes = codes  # uint8 [N, m]
+        # codes uint8 [Npad, Mpad]: rows >= count are zero, chunk columns
+        # >= m are zero (their LUT rows are zero in the kernel, so padded
+        # chunks contribute nothing).
+        from ..ops.pallas.pq_kernel import M_BLK, TILE_N
+
+        count = metadata.vector_parameters.count
+        m = len(metadata.vector_division)
+        npad = count + (-count) % TILE_N
+        mpad = m + (-m) % M_BLK
+        if codes.shape[0] < npad or codes.shape[1] < mpad:
+            codes = jnp.pad(
+                codes,
+                (
+                    (0, npad - codes.shape[0]),
+                    (0, mpad - codes.shape[1]),
+                ),
+            )
+        self.codes = codes
         self.metadata = metadata
         self.params = metadata.vector_parameters
+        self.count = count
+        self.num_chunks = m
         self._c_chunks = jnp.asarray(
             pq_ops.centroids_to_chunks(
                 np.asarray(metadata.centroids), metadata.vector_division
@@ -195,12 +215,21 @@ class ProductQuantizer(EncodedVectors):
 
     # ------------------------------------------------------------------ score
     def score_batch(self, equery: EncodedQueryPQ) -> jax.Array:
-        return pq_ops.score_lut_xla(equery.lut, self.codes)
+        if dispatch.use_pallas() and self.count:
+            from ..ops.pallas.pq_kernel import pq_scores_pallas
+
+            return pq_scores_pallas(
+                equery.lut, self.codes, n_valid=self.count
+            )
+        return pq_ops.score_lut_xla(
+            equery.lut, self.codes[: self.count, : self.num_chunks]
+        )
 
     def score_points(self, equery: EncodedQueryPQ, ids) -> jax.Array:
         ids = jnp.asarray(ids, jnp.int32)
         return pq_ops.score_lut_xla(
-            equery.lut, jnp.take(self.codes, ids, axis=0)
+            equery.lut,
+            jnp.take(self.codes[:, : self.num_chunks], ids, axis=0),
         )
 
     def _centroid_distances(self) -> jax.Array:
@@ -215,10 +244,11 @@ class ProductQuantizer(EncodedVectors):
     def score_internal_batch(self, ids_a, ids_b) -> jax.Array:
         ids_a = jnp.asarray(ids_a, jnp.int32)
         ids_b = jnp.asarray(ids_b, jnp.int32)
+        sub = self.codes[:, : self.num_chunks]
         return pq_ops.score_internal_lut(
             self._centroid_distances(),
-            jnp.take(self.codes, ids_a, axis=0),
-            jnp.take(self.codes, ids_b, axis=0),
+            jnp.take(sub, ids_a, axis=0),
+            jnp.take(sub, ids_b, axis=0),
         )
 
     # ------------------------------------------------------------- checkpoint
@@ -232,9 +262,11 @@ class ProductQuantizer(EncodedVectors):
             os.makedirs(meta_dir, exist_ok=True)
         with open(meta_path, "w") as f:
             json.dump(self.metadata.to_json(), f)
-        EncodedStorage(np.asarray(self.codes, dtype=np.uint8)).save_to_file(
-            data_path
-        )
+        EncodedStorage(
+            np.asarray(
+                self.codes[: self.count, : self.num_chunks], dtype=np.uint8
+            )
+        ).save_to_file(data_path)
 
     @classmethod
     def load(cls, data_path, meta_path, params: VectorParameters) -> "ProductQuantizer":

@@ -40,6 +40,7 @@ from ..core.types import (
     VectorParameters,
     check_stop,
 )
+from ..ops import dispatch
 from ..ops import sq as sq_ops
 from ..ops.quantile import (
     QUANTILE_SAMPLE_SIZE,
@@ -101,10 +102,21 @@ class ScalarQuantizerU8(EncodedVectors):
         voffsets: jax.Array,
         metadata: SQMetadata,
     ):
-        self.codes = codes  # int8 [N, lane_dim]; cols >= actual_dim are zero
-        self.voffsets = voffsets  # f32 [N]
+        # codes int8 [Npad, lane_dim]: rows >= count and cols >= actual_dim
+        # are zero (zero-padding is score-neutral for both integer kernels);
+        # Npad is a multiple of the Pallas tile so the fast path never copies.
+        from ..ops.pallas.sq_kernel import TILE_N
+
+        count = metadata.vector_parameters.count
+        npad = count + (-count) % TILE_N
+        if codes.shape[0] < npad:
+            codes = jnp.pad(codes, ((0, npad - codes.shape[0]), (0, 0)))
+            voffsets = jnp.pad(voffsets, (0, npad - voffsets.shape[0]))
+        self.codes = codes
+        self.voffsets = voffsets
         self.metadata = metadata
         self.params = metadata.vector_parameters
+        self.count = count
 
     # ------------------------------------------------------------------ train
     @classmethod
@@ -116,6 +128,7 @@ class ScalarQuantizerU8(EncodedVectors):
         stop_condition=None,
         batch_size: int = 65536,
         seed: int = 0,
+        use_native: bool = False,
     ) -> "ScalarQuantizerU8":
         """Calibrate + encode (reference encode, encoded_vectors_u8.rs:34-140).
 
@@ -146,6 +159,12 @@ class ScalarQuantizerU8(EncodedVectors):
                 alpha, offset = sq_ops.alpha_offset_from_min_max(*interval)
 
         dt, inv = params.distance_type, params.invert
+        native = None
+        if use_native:
+            from ..native import loader as native_loader
+
+            if native_loader.available():
+                native = native_loader
         code_chunks, off_chunks = [], []
         total = 0
         for batch in batches():
@@ -155,16 +174,34 @@ class ScalarQuantizerU8(EncodedVectors):
                     f"Vector length {batch.shape[1]} does not match vector "
                     f"parameters dim {params.dim}"
                 )
-            codes, voff = sq_ops.quantize_batch(
-                jnp.asarray(batch),
-                alpha=alpha,
-                offset=offset,
-                distance_type=dt,
-                invert=inv,
-                dpad=actual,
-            )
-            code_chunks.append(np.asarray(codes))
-            off_chunks.append(np.asarray(voff))
+            if native is not None:
+                dt_index = [
+                    DistanceType.DOT,
+                    DistanceType.L1,
+                    DistanceType.L2,
+                ].index(dt)
+                codes_np, voff_np = native.quantize_u8(
+                    batch,
+                    actual,
+                    alpha,
+                    offset,
+                    sq_ops.pad_code(dt, alpha, offset),
+                    dt_index,
+                    inv,
+                )
+                code_chunks.append(codes_np.view(np.int8))
+                off_chunks.append(voff_np)
+            else:
+                codes, voff = sq_ops.quantize_batch(
+                    jnp.asarray(batch),
+                    alpha=alpha,
+                    offset=offset,
+                    distance_type=dt,
+                    invert=inv,
+                    dpad=actual,
+                )
+                code_chunks.append(np.asarray(codes))
+                off_chunks.append(np.asarray(voff))
             total += batch.shape[0]
         if total != params.count:
             raise ArgumentsError(
@@ -209,11 +246,23 @@ class ScalarQuantizerU8(EncodedVectors):
 
     # ------------------------------------------------------------------ score
     def score_batch(self, equery: EncodedQueryU8) -> jax.Array:
+        if dispatch.use_pallas() and self.count:
+            from ..ops.pallas.sq_kernel import sq_scores_pallas
+
+            return sq_scores_pallas(
+                equery.codes,
+                equery.offsets,
+                self.codes,
+                self.voffsets,
+                jnp.float32(self.metadata.multiplier),
+                distance_type=self.params.distance_type,
+                n_valid=self.count,
+            )
         return sq_ops.score_batch_xla(
             equery.codes,
             equery.offsets,
-            self.codes,
-            self.voffsets,
+            self.codes[: self.count],
+            self.voffsets[: self.count],
             self.metadata.multiplier,
             distance_type=self.params.distance_type,
         )
@@ -263,9 +312,9 @@ class ScalarQuantizerU8(EncodedVectors):
             json.dump(self.metadata.to_json(), f)
 
         m = self.metadata
-        n = self.codes.shape[0]
-        codes_np = np.asarray(self.codes)[:, : m.actual_dim]
-        voff_np = np.asarray(self.voffsets, dtype=np.float32)
+        n = self.count
+        codes_np = np.asarray(self.codes)[:n, : m.actual_dim]
+        voff_np = np.asarray(self.voffsets, dtype=np.float32)[:n]
         rows = np.zeros((n, m.actual_dim + 4), dtype=np.uint8)
         if n:
             rows[:, :4] = voff_np.view(np.uint8).reshape(n, 4)

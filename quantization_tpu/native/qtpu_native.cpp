@@ -1,0 +1,112 @@
+// Native host-side ingestion helpers for quantization_tpu.
+//
+// The reference implements its hot scoring loops in native code
+// (quantization/cpp/{sse,avx2,neon}.c); on TPU those live in Pallas kernels
+// (quantization_tpu/ops/pallas/). What remains host-side — streaming
+// ingestion: affine u8 quantization with per-vector correction terms, sign
+// bit-packing, and calibration scans — is implemented here so corpora larger
+// than HBM can be encoded at memory bandwidth without burning device cycles.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
+// Build: g++ -O3 -march=native -shared -fPIC (see loader.py).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+
+extern "C" {
+
+// distance_type: 0 = Dot, 1 = L1, 2 = L2 (matches DistanceType order).
+//
+// Mirrors the per-vector hot loop of encoded_vectors_u8.rs:73-118:
+// clamp((v - offset) / alpha, 0, 127) truncated toward zero, padding to
+// dpad with pad_code, and the per-vector correction term (negated when
+// invert != 0). codes_out is [n, dpad] u8, voff_out is [n] f32.
+void qtpu_quantize_u8(
+    const float* data, int64_t n, int64_t dim, int64_t dpad,
+    float alpha, float offset, uint8_t pad_code,
+    int distance_type, int invert,
+    uint8_t* codes_out, float* voff_out) {
+  for (int64_t row = 0; row < n; ++row) {
+    const float* v = data + row * dim;
+    uint8_t* out = codes_out + row * dpad;
+    double sum = 0.0, sum_sq = 0.0;
+    for (int64_t j = 0; j < dim; ++j) {
+      // IEEE f32 division, matching the device quantizer bit-for-bit.
+      float q = (v[j] - offset) / alpha;
+      q = std::min(std::max(q, 0.0f), 127.0f);
+      if (std::isnan(q)) q = 0.0f;
+      uint8_t code = (uint8_t)q;  // truncation toward zero, like `as u8`
+      out[j] = code;
+      sum += code;
+      sum_sq += (double)code * code;
+    }
+    for (int64_t j = dim; j < dpad; ++j) {
+      out[j] = pad_code;
+      sum += pad_code;
+      sum_sq += (double)pad_code * pad_code;
+    }
+    float voff;
+    if (distance_type == 0) {  // Dot
+      voff = (float)(dpad * (double)offset * offset +
+                     sum * (double)alpha * offset);
+    } else if (distance_type == 1) {  // L1
+      voff = 0.0f;
+    } else {  // L2
+      voff = (float)(dpad * (double)offset * offset +
+                     sum_sq * (double)alpha * alpha);
+    }
+    voff_out[row] = invert ? -voff : voff;
+  }
+}
+
+// Sign-pack rows: bit i of byte i/8 set iff value > 0, little-endian bit
+// order (encoded_vectors_binary.rs:199-207). rows_out is [n, row_bytes],
+// zero-filled pad bytes included.
+void qtpu_pack_bits(
+    const float* data, int64_t n, int64_t dim, int64_t row_bytes,
+    uint8_t* rows_out) {
+  for (int64_t row = 0; row < n; ++row) {
+    const float* v = data + row * dim;
+    uint8_t* out = rows_out + row * row_bytes;
+    std::memset(out, 0, (size_t)row_bytes);
+    for (int64_t j = 0; j < dim; ++j) {
+      if (v[j] > 0.0f) out[j >> 3] |= (uint8_t)(1u << (j & 7));
+    }
+  }
+}
+
+// Global min/max scan (quantile.rs:5-19).
+void qtpu_min_max(const float* data, int64_t count,
+                  float* min_out, float* max_out) {
+  float mn = INFINITY, mx = -INFINITY;
+  for (int64_t i = 0; i < count; ++i) {
+    const float v = data[i];
+    if (v < mn) mn = v;
+    if (v > mx) mx = v;
+  }
+  *min_out = mn;
+  *max_out = mx;
+}
+
+// Exact xor-popcount between two packed rows (reference scalar fallback,
+// encoded_vectors_binary.rs:92-97) — used for host-side verification.
+uint64_t qtpu_xor_popcount(const uint8_t* a, const uint8_t* b, int64_t nbytes) {
+  uint64_t total = 0;
+  int64_t i = 0;
+  for (; i + 8 <= nbytes; i += 8) {
+    uint64_t wa, wb;
+    std::memcpy(&wa, a + i, 8);
+    std::memcpy(&wb, b + i, 8);
+    total += (uint64_t)__builtin_popcountll(wa ^ wb);
+  }
+  for (; i < nbytes; ++i) {
+    total += (uint64_t)__builtin_popcount((unsigned)(a[i] ^ b[i]));
+  }
+  return total;
+}
+
+int qtpu_abi_version() { return 1; }
+
+}  // extern "C"

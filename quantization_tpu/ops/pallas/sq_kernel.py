@@ -1,0 +1,116 @@
+"""Pallas SQ scoring kernels: fused int8 MXU dot / VPU L1 + affine epilogue.
+
+The TPU replacement for the reference's native u8 kernels:
+  * dot: impl_score_dot_avx (cpp/avx2.c:25-63, maddubs + hsum) becomes a tiled
+    int8 x int8 -> int32 MXU matmul with the affine epilogue
+    ``multiplier * acc + qoff + voff`` fused into the same kernel, producing
+    final f32 scores without a second pass over [Q, N].
+  * L1: impl_score_l1_avx (cpp/avx2.c:65-122, saturating-sub) becomes a VPU
+    sum-of-absolute-differences over the same tiles.
+
+Both kernels expect lane-aligned operands: D a multiple of 128 (the
+quantizer's native layout), N and Q padded to the tile sizes by the wrapper.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.types import DistanceType
+from ...utils.padding import pad_dim_to, round_up
+from ..dispatch import interpret_mode
+
+TILE_N = 512
+TILE_Q = 128
+L1_TILE_N = 512
+
+
+def _dot_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
+    acc = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = (
+        mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
+    )
+
+
+def _l1_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
+    c32 = c_ref[:].astype(jnp.int32)  # [TILE_N, D]
+
+    def body(qi, _):
+        qrow = q_ref[qi, :].astype(jnp.int32)  # [D]
+        sad = jnp.sum(jnp.abs(qrow[None, :] - c32), axis=1)  # [TILE_N]
+        out_ref[qi, :] = (
+            mult_ref[0] * sad.astype(jnp.float32)
+            + qoff_ref[qi, 0]
+            + voff_ref[0, :]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, q_ref.shape[0], body, 0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("distance_type", "n_valid", "interpret"),
+)
+def sq_scores_pallas(
+    qcodes: jax.Array,  # int8 [Q, D]  (D lane-aligned)
+    qoff: jax.Array,  # f32 [Q]
+    codes: jax.Array,  # int8 [Npad, D] (rows >= n_valid are zero)
+    voff: jax.Array,  # f32 [Npad]
+    multiplier: jax.Array,  # f32 scalar
+    *,
+    distance_type: DistanceType,
+    n_valid: int,
+    interpret: bool = None,
+) -> jax.Array:
+    """[Q, n_valid] f32 scores. Pads Q internally; N must be pre-padded to the
+    tile size (the quantizer stores codes that way)."""
+    if interpret is None:
+        interpret = interpret_mode()
+    q, d = qcodes.shape
+    n = codes.shape[0]
+    l1 = distance_type == DistanceType.L1
+    tile_n = L1_TILE_N if l1 else TILE_N
+    # int8 min tile is (32, 128): query tiles must be 32-sublane multiples.
+    tile_q = min(TILE_Q, round_up(q, 32))
+    assert n % tile_n == 0, f"N={n} must be padded to {tile_n}"
+    qp = round_up(q, tile_q)
+    qcodes = pad_dim_to(qcodes, 0, qp)
+    qoff2 = pad_dim_to(qoff.reshape(-1, 1), 0, qp)
+    voff2 = voff.reshape(1, -1)
+
+    grid = (qp // tile_q, n // tile_n)
+    kernel = _l1_kernel if l1 else _dot_kernel
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # multiplier (1,)
+            pl.BlockSpec((tile_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_q, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((qp, n), jnp.float32),
+        interpret=interpret,
+    )(
+        multiplier.reshape(1).astype(jnp.float32),
+        qcodes,
+        codes,
+        qoff2.astype(jnp.float32),
+        voff2.astype(jnp.float32),
+    )
+    return out[:q, :n_valid]

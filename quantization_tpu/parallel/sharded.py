@@ -139,10 +139,10 @@ class ShardedScalarQuantizer:
         self.axis = axis
         self.quantizer = quantizer
         n_shards = self.mesh.shape[axis]
-        n = quantizer.codes.shape[0]
+        n = quantizer.count
         n_pad = n + (-n) % n_shards
-        codes = _pad_rows(np.asarray(quantizer.codes), n_pad)
-        voff = _pad_rows(np.asarray(quantizer.voffsets), n_pad)
+        codes = _pad_rows(np.asarray(quantizer.codes)[:n], n_pad)
+        voff = _pad_rows(np.asarray(quantizer.voffsets)[:n], n_pad)
         code_sharding = NamedSharding(self.mesh, P(axis, None))
         off_sharding = NamedSharding(self.mesh, P(axis))
         self.codes = jax.device_put(codes, code_sharding)

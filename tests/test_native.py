@@ -1,0 +1,55 @@
+"""Native C++ ingestion helper tests: build via g++, parity vs the device
+encoder (codes bit-identical, offsets within float-sum tolerance)."""
+
+import numpy as np
+import pytest
+
+from quantization_tpu.core.types import DistanceType, VectorParameters
+from quantization_tpu.models.sq import ScalarQuantizerU8
+from quantization_tpu.native import loader
+from quantization_tpu.ops import bq as bq_ops
+
+needs_native = pytest.mark.skipif(
+    not loader.available(), reason="native toolchain unavailable"
+)
+
+
+@needs_native
+@pytest.mark.parametrize("dt", [DistanceType.DOT, DistanceType.L1, DistanceType.L2])
+def test_native_quantize_matches_device(rng, dt):
+    n, dim = 257, 65
+    data = rng.random((n, dim), dtype=np.float32) * 3 - 1
+    params = VectorParameters(dim, n, dt, False)
+    dev = ScalarQuantizerU8.encode(data, params)
+    nat = ScalarQuantizerU8.encode(data, params, use_native=True)
+    np.testing.assert_array_equal(
+        np.asarray(dev.codes), np.asarray(nat.codes)
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev.voffsets), np.asarray(nat.voffsets), rtol=1e-5, atol=1e-3
+    )
+
+
+@needs_native
+def test_native_pack_bits_matches_numpy(rng):
+    n, dim = 100, 197
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    row_bytes = bq_ops.storage_bytes(dim)
+    np.testing.assert_array_equal(
+        loader.pack_bits(data, row_bytes), bq_ops.pack_rows(data, row_bytes)
+    )
+
+
+@needs_native
+def test_native_min_max(rng):
+    data = rng.standard_normal((50, 20)).astype(np.float32)
+    mn, mx = loader.min_max(data)
+    assert mn == data.min() and mx == data.max()
+
+
+@needs_native
+def test_native_xor_popcount(rng):
+    a = rng.integers(0, 256, 37, dtype=np.uint8)
+    b = rng.integers(0, 256, 37, dtype=np.uint8)
+    want = int(np.unpackbits(np.bitwise_xor(a, b)).sum())
+    assert loader.xor_popcount(a, b) == want

@@ -1,0 +1,123 @@
+"""Pallas kernel parity tests (interpret mode off-TPU) — the analogue of the
+reference's per-ISA suites (tests/test_sse.rs / test_avx2.rs / test_neon.rs):
+each hand-tiled kernel is pinned against the portable XLA implementation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantization_tpu.core.types import DistanceType
+from quantization_tpu.ops import bq as bq_ops
+from quantization_tpu.ops import pq as pq_ops
+from quantization_tpu.ops import sq as sq_ops
+from quantization_tpu.ops.pallas.bq_kernel import TILE_N as BQ_TILE, bq_scores_pallas
+from quantization_tpu.ops.pallas.pq_kernel import (
+    M_BLK,
+    TILE_N as PQ_TILE,
+    pq_scores_pallas,
+)
+from quantization_tpu.ops.pallas.sq_kernel import TILE_N as SQ_TILE, sq_scores_pallas
+from quantization_tpu.utils.padding import round_up
+
+
+@pytest.mark.parametrize("dt", [DistanceType.DOT, DistanceType.L1, DistanceType.L2])
+@pytest.mark.parametrize("q", [1, 5])
+def test_sq_kernel_matches_xla(rng, dt, q):
+    n_valid, d = 700, 256
+    npad = round_up(n_valid, SQ_TILE)
+    codes = np.zeros((npad, d), np.int8)
+    codes[:n_valid] = rng.integers(0, 128, (n_valid, d), dtype=np.int8)
+    voff = np.zeros((npad,), np.float32)
+    voff[:n_valid] = rng.random(n_valid, dtype=np.float32)
+    qcodes = rng.integers(0, 128, (q, d), dtype=np.int8)
+    qoff = rng.random(q, dtype=np.float32)
+    mult = jnp.float32(0.37)
+
+    want = np.asarray(
+        sq_ops.score_batch_xla(
+            jnp.asarray(qcodes),
+            jnp.asarray(qoff),
+            jnp.asarray(codes[:n_valid]),
+            jnp.asarray(voff[:n_valid]),
+            mult,
+            distance_type=dt,
+        )
+    )
+    got = np.asarray(
+        sq_scores_pallas(
+            jnp.asarray(qcodes),
+            jnp.asarray(qoff),
+            jnp.asarray(codes),
+            jnp.asarray(voff),
+            mult,
+            distance_type=dt,
+            n_valid=n_valid,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+
+@pytest.mark.parametrize("dt", [DistanceType.DOT, DistanceType.L2])
+@pytest.mark.parametrize("invert", [False, True])
+def test_bq_kernel_matches_xla(rng, dt, invert):
+    dim, n_valid, q = 193, 300, 3
+    row_bytes = bq_ops.storage_bytes(dim, "u128")
+    data = np.sign(rng.random((n_valid, dim), dtype=np.float32) - 0.5)
+    rows = bq_ops.pack_rows(data, row_bytes)
+    planes = bq_ops.rows_to_planes(rows)  # [W, n]
+    npad = round_up(n_valid, BQ_TILE)
+    planes_p = np.zeros((planes.shape[0], npad), planes.dtype)
+    planes_p[:, :n_valid] = planes
+    qdata = np.sign(rng.random((q, dim), dtype=np.float32) - 0.5)
+    qrows = bq_ops.pack_rows(qdata, row_bytes)
+    qplanes = bq_ops.rows_to_planes(qrows).T.copy()  # [q, W]
+
+    want = np.asarray(
+        bq_ops.score_batch_xla(
+            jnp.asarray(qplanes),
+            jnp.asarray(planes),
+            distance_type=dt,
+            invert=invert,
+            dim=dim,
+        )
+    )
+    got = np.asarray(
+        bq_scores_pallas(
+            jnp.asarray(qplanes),
+            jnp.asarray(planes_p),
+            distance_type=dt,
+            invert=invert,
+            dim=dim,
+            n_valid=n_valid,
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("m", [7, 130])
+@pytest.mark.parametrize("q", [1, 4])
+def test_pq_kernel_matches_xla(rng, m, q):
+    n_valid, k = 400, 256
+    npad = round_up(n_valid, PQ_TILE)
+    mpad = round_up(m, M_BLK)
+    codes = np.zeros((npad, mpad), np.uint8)
+    codes[:n_valid, :m] = rng.integers(0, 256, (n_valid, m), dtype=np.uint8)
+    lut = rng.standard_normal((q, m, k), dtype=np.float32)
+
+    want = np.asarray(
+        pq_ops.score_lut_xla(jnp.asarray(lut), jnp.asarray(codes[:n_valid, :m]))
+    )
+    got = np.asarray(
+        pq_scores_pallas(
+            jnp.asarray(lut),
+            jnp.asarray(codes),
+            n_valid=n_valid,
+            interpret=True,
+        )
+    )
+    # bf16 LUT mantissa in the MXU path: tolerate relative 1e-2 of the
+    # accumulated magnitude.
+    scale = np.abs(lut).sum(axis=(1, 2)).max()
+    np.testing.assert_allclose(got, want, atol=scale * 4e-3)

@@ -52,7 +52,7 @@ def test_pq_chunk2(rng):
     query = make_data(rng, count=3)
     params = VectorParameters(DIM, COUNT, DistanceType.L2, True)
     enc = ProductQuantizer.encode(data, params, chunk_size=2)
-    assert enc.codes.shape == (COUNT, 33)  # ceil(65/2)
+    assert enc.count == COUNT and enc.num_chunks == 33  # ceil(65/2)
     got = np.asarray(enc.score_batch(enc.encode_query(query)))
     want = np.asarray(pairwise_score(query, data, DistanceType.L2, True))
     np.testing.assert_allclose(got, want, atol=ERROR * 2)

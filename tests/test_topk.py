@@ -1,0 +1,37 @@
+"""Top-k selection tests: blocked exact two-stage equals flat lax.top_k."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantization_tpu.ops.topk import top_k, topk_exact
+
+
+@pytest.mark.parametrize("n", [10, 2048, 5000, 10001])
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_topk_exact_matches_flat(rng, n, k):
+    scores = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32))
+    s, i = topk_exact(scores, k)
+    s_ref, i_ref = jax.lax.top_k(scores, min(k, n))
+    kk = min(k, n)
+    np.testing.assert_array_equal(np.asarray(s)[:, :kk], np.asarray(s_ref))
+    # indices may differ on exact ties; values gathered must match
+    gathered = np.take_along_axis(np.asarray(scores), np.asarray(i)[:, :kk], 1)
+    np.testing.assert_array_equal(gathered, np.asarray(s_ref))
+    assert s.shape == (3, k) and i.shape == (3, k)
+
+
+def test_topk_k_larger_than_n(rng):
+    scores = jnp.asarray(rng.standard_normal((2, 5)).astype(np.float32))
+    s, i = topk_exact(scores, 8)
+    assert s.shape == (2, 8)
+    assert np.all(np.isneginf(np.asarray(s)[:, 5:]))
+
+
+def test_topk_dispatch(rng):
+    scores = jnp.asarray(rng.standard_normal((2, 300)).astype(np.float32))
+    s, i = top_k(scores, 5, method="exact")
+    assert s.shape == (2, 5)
+    with pytest.raises(ValueError):
+        top_k(scores, 5, method="bogus")
