@@ -1,0 +1,185 @@
+"""ANN benchmark CLI — the TPU port of demos/src/ann_benchmark.rs.
+
+Flags mirror the reference's clap interface (ann_benchmark.rs:20-44):
+  --dataset SUBSTR   filter the 11-dataset registry
+  --method  u8|pq|bq|bq-u8|bq-exact  quantizer (+ optional rescoring stage)
+  --quantile F       SQ quantile calibration
+  --chunk-size N     PQ chunk size
+  --test-acc         measure recall@10/20/30 + latency percentiles
+  --bench            measure quantized scoring throughput
+  --bench-f32        measure the unquantized f32 baseline (the TPU analog of
+                     --bench_simd and demos/src/metrics/)
+  --query-batch N    queries per device call (the TPU's batching axis)
+
+Datasets load from --data-dir when the ann-benchmarks HDF5 file exists there,
+else fall back to a seeded synthetic corpus of the same shape (zero-egress
+environments).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from ..core.types import DistanceType, VectorParameters
+from .ann_data import DATASETS, AnnBenchmarkData, test_knn
+
+
+def build_index(method: str, data: AnnBenchmarkData, args):
+    from ..models.bq import BinaryQuantizer
+    from ..models.pipeline import ExactRescorer, TwoStageIndex
+    from ..models.pq import ProductQuantizer
+    from ..models.sq import ScalarQuantizerU8
+
+    n, dim = data.train.shape
+    invert = data.distance_type != DistanceType.DOT
+    params = VectorParameters(dim, n, data.distance_type, invert)
+    t0 = time.perf_counter()
+    if method == "u8":
+        index = ScalarQuantizerU8.encode(
+            data.train, params, quantile=args.quantile
+        )
+    elif method == "pq":
+        index = ProductQuantizer.encode(
+            data.train, params, chunk_size=args.chunk_size
+        )
+    elif method == "bq":
+        index = BinaryQuantizer.encode(data.train, params)
+    elif method == "bq-u8":
+        coarse = BinaryQuantizer.encode(data.train, params)
+        fine = ScalarQuantizerU8.encode(
+            data.train, params, quantile=args.quantile
+        )
+        index = TwoStageIndex(coarse, fine, oversampling=args.oversampling)
+    elif method == "bq-exact":
+        coarse = BinaryQuantizer.encode(data.train, params)
+        fine = ExactRescorer(data.train, data.distance_type, invert)
+        index = TwoStageIndex(coarse, fine, oversampling=args.oversampling)
+    else:
+        raise SystemExit(f"unknown method {method!r}")
+    encode_s = time.perf_counter() - t0
+    print(f"[{data.name}] {method} encode: {encode_s:.2f}s "
+          f"({n / max(encode_s, 1e-9):,.0f} vectors/s)")
+    return index
+
+
+def bench_scoring(data: AnnBenchmarkData, index, args, label: str):
+    """Quantized full-scan scoring throughput (reference --bench path,
+    ann_benchmark.rs:245-261)."""
+    import jax
+
+    q = data.test[: args.query_batch]
+    eq = index.encode_query(q)
+
+    def run():
+        out = index.score_batch(eq)
+        jax.block_until_ready(out)
+
+    run()
+    run()
+    iters = max(args.iters, 1)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    n = data.train.shape[0]
+    qps = q.shape[0] / dt
+    pairs_ps = q.shape[0] * n / dt
+    print(
+        f"[{data.name}] {label} scoring: {qps:,.0f} q/s, "
+        f"{pairs_ps / 1e9:.2f}G pairs/s (batch={q.shape[0]}, N={n})"
+    )
+    return qps
+
+
+def bench_f32(data: AnnBenchmarkData, args):
+    """Unquantized f32 baseline (the TPU analog of demos/src/metrics/)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.distances import pairwise_score
+
+    invert = data.distance_type != DistanceType.DOT
+    train = jnp.asarray(data.train)
+    q = jnp.asarray(data.test[: args.query_batch])
+
+    @jax.jit
+    def run_fn(qq):
+        return pairwise_score(qq, train, data.distance_type, invert)
+
+    jax.block_until_ready(run_fn(q))
+    iters = max(args.iters, 1)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(run_fn(q))
+    dt = (time.perf_counter() - t0) / iters
+    qps = q.shape[0] / dt
+    print(
+        f"[{data.name}] f32 baseline scoring: {qps:,.0f} q/s "
+        f"(batch={q.shape[0]}, N={data.train.shape[0]})"
+    )
+    return qps
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="", help="substring filter")
+    p.add_argument("--method", default="u8",
+                   choices=["u8", "pq", "bq", "bq-u8", "bq-exact"])
+    p.add_argument("--quantile", type=float, default=None)
+    p.add_argument("--chunk-size", type=int, default=2)
+    p.add_argument("--oversampling", type=float, default=4.0)
+    p.add_argument("--test-acc", action="store_true")
+    p.add_argument("--bench", action="store_true")
+    p.add_argument("--bench-f32", action="store_true")
+    p.add_argument("--query-batch", type=int, default=64)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--data-dir", default="test_data")
+    p.add_argument("--synthetic-count", type=int, default=100_000)
+    p.add_argument("--topk-method", default="exact", choices=["exact", "approx"])
+    p.add_argument("--json", action="store_true", help="emit JSON results")
+    args = p.parse_args(argv)
+
+    results = []
+    for name, spec in DATASETS.items():
+        if args.dataset and args.dataset not in name:
+            continue
+        data = AnnBenchmarkData.load(
+            spec, args.data_dir, synthetic_count=args.synthetic_count
+        )
+        data.preprocess_cosine()
+        index = build_index(args.method, data, args)
+        entry = {"dataset": data.name, "method": args.method}
+        if args.test_acc:
+            res = test_knn(
+                data, index, query_batch=args.query_batch,
+                topk_method=args.topk_method,
+            )
+            timings = res.timings()
+            print(
+                f"[{data.name}] recall: same_10={res.same_10:.4f} "
+                f"same_20={res.same_20:.4f} same_30={res.same_30:.4f}"
+            )
+            print(
+                f"[{data.name}] latency/query: "
+                + ", ".join(f"{k}={v:,.0f}" for k, v in timings.items())
+            )
+            entry.update(
+                same_10=res.same_10, same_20=res.same_20,
+                same_30=res.same_30, **timings,
+            )
+        if args.bench and hasattr(index, "score_batch"):
+            entry["qps"] = bench_scoring(data, index, args, args.method)
+        if args.bench_f32:
+            entry["f32_qps"] = bench_f32(data, args)
+        results.append(entry)
+    if args.json:
+        print(json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()

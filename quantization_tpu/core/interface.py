@@ -99,6 +99,11 @@ class EncodedVectors(abc.ABC):
     def score_points(self, equery, ids) -> "np.ndarray":
         """[Q, P] scores against the selected point ids."""
 
+    def score_candidates(self, equery, cand) -> "np.ndarray":
+        """[Q, R] scores where cand[Q, R] holds per-query candidate ids —
+        the rescoring primitive of two-stage retrieval."""
+        raise NotImplementedError
+
     def score_point(self, equery, i: int) -> float:
         """Scalar parity shim matching the reference's score_point
         (encoded_vectors.rs:32)."""

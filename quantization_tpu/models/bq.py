@@ -177,6 +177,16 @@ class BinaryQuantizer(EncodedVectors):
             dim=self.params.dim,
         )
 
+    def score_candidates(self, equery: EncodedQueryBin, cand) -> jax.Array:
+        return bq_ops.score_candidates_xla(
+            equery.planes,
+            self.planes,
+            jnp.asarray(cand, jnp.int32),
+            distance_type=self.params.distance_type,
+            invert=self.params.invert,
+            dim=self.params.dim,
+        )
+
     def score_internal_batch(self, ids_a, ids_b) -> jax.Array:
         ids_a = jnp.asarray(ids_a, jnp.int32)
         ids_b = jnp.asarray(ids_b, jnp.int32)

@@ -1,0 +1,83 @@
+"""Two-stage retrieval: coarse quantized scan -> candidate rescoring.
+
+The Qdrant-style serving pattern the reference enables by exposing all
+quantizers over one trait (SURVEY.md §7 step 3): a cheap coarse scorer (BQ
+Hamming, typically) produces an oversampled candidate set, and a finer scorer
+(SQ, PQ, or exact f32) re-ranks just those candidates. Both stages run on
+device; only the final (scores, indices) land on host.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.interface import EncodedVectors
+from ..core.types import ArgumentsError
+from ..ops.topk import top_k as _topk
+
+
+class ExactRescorer:
+    """f32 rescoring stage backed by the original vectors kept on device."""
+
+    def __init__(self, data: np.ndarray, distance_type, invert: bool):
+        from ..core.distances import pairwise_score
+
+        self._data = jnp.asarray(data, jnp.float32)
+        self._dt = distance_type
+        self._invert = invert
+        self._pairwise_score = pairwise_score
+
+    def encode_query(self, queries):
+        q = jnp.asarray(queries, jnp.float32)
+        return q[None, :] if q.ndim == 1 else q
+
+    def score_points(self, equery, ids) -> jax.Array:
+        sub = jnp.take(self._data, jnp.asarray(ids, jnp.int32), axis=0)
+        return self._pairwise_score(equery, sub, self._dt, self._invert)
+
+    def score_candidates(self, equery, cand) -> jax.Array:
+        from ..core.distances import score as _score
+
+        g = jnp.take(self._data, jnp.asarray(cand, jnp.int32), axis=0)  # [Q,R,D]
+        return _score(equery[:, None, :], g, self._dt, self._invert)
+
+
+class TwoStageIndex:
+    """Coarse quantized top-R + fine rescoring top-k."""
+
+    def __init__(
+        self,
+        coarse: EncodedVectors,
+        fine,
+        oversampling: float = 4.0,
+    ):
+        if oversampling < 1.0:
+            raise ArgumentsError("oversampling must be >= 1")
+        self.coarse = coarse
+        self.fine = fine
+        self.oversampling = float(oversampling)
+
+    def encode_query(self, queries):
+        return (
+            self.coarse.encode_query(queries),
+            self.fine.encode_query(queries),
+        )
+
+    def top_k(
+        self, equery, k: int, method: str = "exact"
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        eq_coarse, eq_fine = equery
+        r = int(np.ceil(k * self.oversampling))
+        coarse_scores = jnp.asarray(self.coarse.score_batch(eq_coarse))
+        r = min(r, coarse_scores.shape[1])
+        _, cand = _topk(coarse_scores, r, method=method)  # [Q, R]
+        fine_scores = jnp.asarray(
+            self.fine.score_candidates(eq_fine, cand)
+        )  # [Q, R]
+        s, pos = jax.lax.top_k(fine_scores, min(k, r))
+        idx = jnp.take_along_axis(cand, pos, axis=1)
+        return np.asarray(s), np.asarray(idx)

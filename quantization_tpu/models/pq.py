@@ -232,6 +232,13 @@ class ProductQuantizer(EncodedVectors):
             jnp.take(self.codes[:, : self.num_chunks], ids, axis=0),
         )
 
+    def score_candidates(self, equery: EncodedQueryPQ, cand) -> jax.Array:
+        return pq_ops.score_candidates_lut(
+            equery.lut,
+            self.codes[:, : self.num_chunks],
+            jnp.asarray(cand, jnp.int32),
+        )
+
     def _centroid_distances(self) -> jax.Array:
         if self._cdist is None:
             self._cdist = pq_ops.centroid_distance_table(

@@ -278,6 +278,17 @@ class ScalarQuantizerU8(EncodedVectors):
             distance_type=self.params.distance_type,
         )
 
+    def score_candidates(self, equery: EncodedQueryU8, cand) -> jax.Array:
+        return sq_ops.score_candidates_xla(
+            equery.codes,
+            equery.offsets,
+            self.codes,
+            self.voffsets,
+            jnp.asarray(cand, jnp.int32),
+            jnp.float32(self.metadata.multiplier),
+            distance_type=self.params.distance_type,
+        )
+
     def _internal_diff(self) -> float:
         m = self.metadata
         diff = m.actual_dim * m.offset * m.offset

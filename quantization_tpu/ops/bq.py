@@ -121,6 +121,25 @@ def score_batch_xla(
     )
 
 
+@partial(jax.jit, static_argnames=("distance_type", "invert", "dim"))
+def score_candidates_xla(
+    qplanes: jax.Array,  # uint32 [Q, W]
+    planes: jax.Array,  # uint32 [W, N]
+    cand: jax.Array,  # int32 [Q, R]
+    *,
+    distance_type: DistanceType,
+    invert: bool,
+    dim: int,
+) -> jax.Array:
+    """[Q, R] binary scores against per-query candidate lists."""
+    g = jnp.take(planes, cand, axis=1)  # [W, Q, R]
+    x = jnp.bitwise_xor(g, qplanes.T[:, :, None])
+    xor = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=0)
+    return metric_from_xor(
+        xor, distance_type=distance_type, invert=invert, dim=dim
+    )
+
+
 def metric_from_xor(
     xor: jax.Array, *, distance_type: DistanceType, invert: bool, dim: int
 ) -> jax.Array:

@@ -133,6 +133,19 @@ def score_lut_xla(lut: jax.Array, codes: jax.Array) -> jax.Array:
     return acc
 
 
+@jax.jit
+def score_candidates_lut(
+    lut: jax.Array, codes: jax.Array, cand: jax.Array
+) -> jax.Array:
+    """[Q, R] PQ scores against per-query candidate lists: gather candidate
+    code rows, then take_along_axis into the LUT."""
+    g = jnp.take(codes, cand, axis=0).astype(jnp.int32)  # [Q, R, m]
+    picked = jnp.take_along_axis(
+        lut, jnp.moveaxis(g, 1, 2), axis=2
+    )  # [Q, m, R]
+    return jnp.sum(picked, axis=1)
+
+
 @partial(jax.jit, static_argnames=("distance_type", "invert"))
 def centroid_distance_table(
     c_chunks: jax.Array, *, distance_type: DistanceType, invert: bool

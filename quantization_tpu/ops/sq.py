@@ -219,6 +219,35 @@ def score_batch_xla(
 
 
 @partial(jax.jit, static_argnames=("distance_type",))
+def score_candidates_xla(
+    qcodes: jax.Array,  # int8 [Q, D]
+    qoff: jax.Array,  # f32 [Q]
+    codes: jax.Array,  # int8 [N, D]
+    voff: jax.Array,  # f32 [N]
+    cand: jax.Array,  # int32 [Q, R] per-query candidate ids
+    multiplier: jax.Array,
+    *,
+    distance_type: DistanceType,
+) -> jax.Array:
+    """[Q, R] scores against per-query candidate lists (two-stage rescore)."""
+    g = jnp.take(codes, cand, axis=0)  # [Q, R, D]
+    goff = jnp.take(voff, cand)  # [Q, R]
+    if distance_type == DistanceType.L1:
+        raw = jnp.sum(
+            jnp.abs(qcodes.astype(jnp.int32)[:, None, :] - g.astype(jnp.int32)),
+            axis=-1,
+        )
+    else:
+        raw = jax.lax.dot_general(
+            qcodes,
+            g,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+    return multiplier * raw.astype(jnp.float32) + qoff[:, None] + goff
+
+
+@partial(jax.jit, static_argnames=("distance_type",))
 def score_internal_batch_xla(
     codes_a: jax.Array,
     voff_a: jax.Array,

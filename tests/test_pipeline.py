@@ -1,0 +1,82 @@
+"""Two-stage retrieval tests: BQ coarse -> {SQ, PQ, exact} rescore, plus
+score_candidates parity for every quantizer."""
+
+import numpy as np
+import pytest
+
+from quantization_tpu.core.distances import pairwise_score
+from quantization_tpu.core.types import DistanceType, VectorParameters
+from quantization_tpu.models.bq import BinaryQuantizer
+from quantization_tpu.models.pipeline import ExactRescorer, TwoStageIndex
+from quantization_tpu.models.pq import ProductQuantizer
+from quantization_tpu.models.sq import ScalarQuantizerU8
+
+N, DIM, Q, K = 2000, 64, 4, 10
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((N, DIM)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = rng.standard_normal((Q, DIM)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    return data, queries
+
+
+def exact_top(data, queries, dt, invert, k):
+    scores = np.asarray(pairwise_score(queries, data, dt, invert))
+    return np.argsort(-scores, axis=1)[:, :k]
+
+
+@pytest.mark.parametrize("quantizer_cls", ["sq", "pq", "bq", "exact"])
+def test_score_candidates_matches_score_points(dataset, quantizer_cls):
+    data, queries = dataset
+    params = VectorParameters(DIM, N, DistanceType.L2, True)
+    if quantizer_cls == "sq":
+        enc = ScalarQuantizerU8.encode(data, params)
+    elif quantizer_cls == "pq":
+        enc = ProductQuantizer.encode(data, params, chunk_size=4)
+    elif quantizer_cls == "bq":
+        enc = BinaryQuantizer.encode(data, params)
+    else:
+        enc = ExactRescorer(data, DistanceType.L2, True)
+    eq = enc.encode_query(queries)
+    rng = np.random.default_rng(3)
+    cand = rng.integers(0, N, (Q, 17))
+    got = np.asarray(enc.score_candidates(eq, cand))
+    assert got.shape == (Q, 17)
+    if quantizer_cls == "exact":
+        want = np.asarray(pairwise_score(queries, data, DistanceType.L2, True))
+    else:
+        want = np.asarray(enc.score_batch(eq))
+    for qi in range(Q):
+        np.testing.assert_allclose(
+            got[qi], want[qi][cand[qi]], rtol=1e-5, atol=1e-3
+        )
+
+
+@pytest.mark.parametrize("fine_kind", ["sq", "exact"])
+def test_two_stage_recall_beats_coarse(dataset, fine_kind):
+    data, queries = dataset
+    params = VectorParameters(DIM, N, DistanceType.DOT, False)
+    coarse = BinaryQuantizer.encode(data, params)
+    if fine_kind == "sq":
+        fine = ScalarQuantizerU8.encode(data, params)
+    else:
+        fine = ExactRescorer(data, DistanceType.DOT, False)
+    index = TwoStageIndex(coarse, fine, oversampling=8.0)
+    s, i = index.top_k(index.encode_query(queries), K)
+    assert s.shape == (Q, K) and i.shape == (Q, K)
+    exact = exact_top(data, queries, DistanceType.DOT, False, K)
+
+    def recall(idx):
+        return np.mean(
+            [len(set(idx[q]) & set(exact[q])) / K for q in range(Q)]
+        )
+
+    r_two = recall(i)
+    _, i_coarse = coarse.top_k(coarse.encode_query(queries), K)
+    r_coarse = recall(np.asarray(i_coarse))
+    assert r_two >= r_coarse  # rescoring can only help
+    assert r_two >= 0.5
