@@ -1,14 +1,12 @@
-"""Sharded corpus scoring over a TPU mesh.
+"""Sharded corpus scoring over a TPU mesh — all three quantizers.
 
 The reference's entire parallelism surface is intra-process rayon threading
 (SURVEY.md §2); its scaling axis is corpus size, sharded by the caller. Here
 sharding is first-class: the code matrix is sharded over the mesh's ``shard``
-axis (the points axis), every chip scores its shard with one quantized matmul
-and computes a *local* top-k, and the only collective is an ``all_gather`` of
-(k scores, k global indices) per shard followed by a final merge — scores ride
-ICI, never the host.
-
-Queries can additionally be data-parallel over an optional ``qdp`` mesh axis.
+axis (the points axis), every chip scores its shard with one quantized
+matmul/popcount pass and computes a *local* top-k, and the only collective is
+an ``all_gather`` of (k scores, k global indices) per shard followed by a
+final merge — scores ride ICI, never the host.
 """
 
 from __future__ import annotations
@@ -22,6 +20,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.types import ArgumentsError, DistanceType
+from ..models.bq import BinaryQuantizer, EncodedQueryBin
+from ..models.pq import EncodedQueryPQ, ProductQuantizer
 from ..models.sq import EncodedQueryU8, ScalarQuantizerU8
 
 NEG_INF = jnp.float32(-jnp.inf)
@@ -53,6 +53,32 @@ def make_mesh(
     return Mesh(devices.reshape(tuple(shape)), tuple(axis_names))
 
 
+def local_topk_merge(
+    scores: jax.Array,  # [Q, n_local] this shard's scores
+    axis: str,
+    k: int,
+    count: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Shared tail of every sharded scorer: mask shard padding, local top-k,
+    all-gather k rows per shard over ICI, merge. Replaces the reference
+    caller's point loop + heap (ann_benchmark_data.rs:151-166)."""
+    n_local = scores.shape[1]
+    n_shards = jax.lax.psum(1, axis)
+    shard_idx = jax.lax.axis_index(axis)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + (
+        shard_idx * n_local
+    )
+    scores = jnp.where(gidx < count, scores, NEG_INF)
+    kk = min(k, n_local)
+    s, i = jax.lax.top_k(scores, kk)
+    gi = jnp.take_along_axis(gidx, i, axis=1)
+    s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)
+    gi_all = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
+    s_out, pos = jax.lax.top_k(s_all, min(k, s_all.shape[1]))
+    gi_out = jnp.take_along_axis(gi_all, pos, axis=1)
+    return s_out, gi_out
+
+
 def _pad_rows(arr: np.ndarray, target: int, fill=0) -> np.ndarray:
     if arr.shape[0] == target:
         return arr
@@ -60,74 +86,26 @@ def _pad_rows(arr: np.ndarray, target: int, fill=0) -> np.ndarray:
     return np.pad(arr, pad, constant_values=fill)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("mesh", "axis", "k", "count", "distance_type"),
-)
-def _sq_sharded_topk(
-    qcodes: jax.Array,
-    qoff: jax.Array,
-    codes: jax.Array,
-    voff: jax.Array,
-    multiplier: jax.Array,
-    *,
-    mesh: Mesh,
-    axis: str,
-    k: int,
-    count: int,
-    distance_type: DistanceType,
-) -> Tuple[jax.Array, jax.Array]:
-    """Per-shard SQ score + local top-k, then all-gather + merge.
+class _ShardedBase:
+    """Common construction: re-lay host copies of the quantizer's arrays with
+    a NamedSharding over the points axis."""
 
-    Replaces the reference's caller-side point loop + heap
-    (ann_benchmark_data.rs:151-166) with an on-device two-stage top-k.
-    """
-    from ..ops import sq as sq_ops
+    def __init__(self, quantizer, mesh: Optional[Mesh], axis: str):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = axis
+        self.quantizer = quantizer
+        self.count = quantizer.count
+        self.n_shards = self.mesh.shape[axis]
 
-    n_shards = mesh.shape[axis]
-    qspec = P(*([None] * qcodes.ndim))
+    def encode_query(self, queries):
+        return self.quantizer.encode_query(queries)
 
-    def local(qc, qo, c, vo, mult):
-        n_local = c.shape[0]
-        if distance_type == DistanceType.L1:
-            raw = sq_ops.int_l1(qc, c)
-        else:
-            raw = sq_ops.int_dot(qc, c)
-        scores = mult * raw.astype(jnp.float32) + qo[:, None] + vo[None, :]
-        shard_idx = jax.lax.axis_index(axis)
-        base = shard_idx * n_local
-        gidx = (
-            jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
-        )
-        # Mask padding rows introduced by shard-evening.
-        scores = jnp.where(gidx < count, scores, NEG_INF)
-        kk = min(k, n_local)
-        s, i = jax.lax.top_k(scores, kk)
-        gi = jnp.take_along_axis(gidx, i, axis=1)
-        # The only collective: k rows per shard over ICI.
-        s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)
-        gi_all = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
-        s_out, pos = jax.lax.top_k(s_all, min(k, kk * n_shards))
-        gi_out = jnp.take_along_axis(gi_all, pos, axis=1)
-        return s_out, gi_out
-
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(qspec, P(None), P(axis, None), P(axis), P()),
-        out_specs=(P(None, None), P(None, None)),
-        check_vma=False,
-    )
-    return fn(qcodes, qoff, codes, voff, multiplier)
+    def _shard_dim(self, n: int) -> int:
+        return n + (-n) % self.n_shards
 
 
-class ShardedScalarQuantizer:
-    """A ScalarQuantizerU8 whose code matrix lives sharded across a mesh.
-
-    Construction re-lays the quantizer's device arrays with a
-    ``NamedSharding`` over the points axis (padding N up to a multiple of the
-    shard count; padded rows are masked to -inf during top-k).
-    """
+class ShardedScalarQuantizer(_ShardedBase):
+    """SQ corpus sharded over the mesh: codes int8[N/s, D] per chip."""
 
     def __init__(
         self,
@@ -135,24 +113,18 @@ class ShardedScalarQuantizer:
         mesh: Optional[Mesh] = None,
         axis: str = "shard",
     ):
-        self.mesh = mesh if mesh is not None else make_mesh()
-        self.axis = axis
-        self.quantizer = quantizer
-        n_shards = self.mesh.shape[axis]
-        n = quantizer.count
-        n_pad = n + (-n) % n_shards
-        codes = _pad_rows(np.asarray(quantizer.codes)[:n], n_pad)
-        voff = _pad_rows(np.asarray(quantizer.voffsets)[:n], n_pad)
-        code_sharding = NamedSharding(self.mesh, P(axis, None))
-        off_sharding = NamedSharding(self.mesh, P(axis))
-        self.codes = jax.device_put(codes, code_sharding)
-        self.voffsets = jax.device_put(voff, off_sharding)
-        self.count = n
+        super().__init__(quantizer, mesh, axis)
+        n_pad = self._shard_dim(self.count)
+        codes = _pad_rows(np.asarray(quantizer.codes)[: self.count], n_pad)
+        voff = _pad_rows(np.asarray(quantizer.voffsets)[: self.count], n_pad)
+        self.codes = jax.device_put(
+            codes, NamedSharding(self.mesh, P(axis, None))
+        )
+        self.voffsets = jax.device_put(voff, NamedSharding(self.mesh, P(axis)))
 
-    def encode_query(self, queries) -> EncodedQueryU8:
-        return self.quantizer.encode_query(queries)
-
-    def top_k(self, equery: EncodedQueryU8, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def top_k(
+        self, equery: EncodedQueryU8, k: int, method: str = "exact"
+    ) -> Tuple[np.ndarray, np.ndarray]:
         s, i = _sq_sharded_topk(
             equery.codes,
             equery.offsets,
@@ -166,3 +138,147 @@ class ShardedScalarQuantizer:
             distance_type=self.quantizer.params.distance_type,
         )
         return np.asarray(s), np.asarray(i)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "k", "count", "distance_type"),
+)
+def _sq_sharded_topk(
+    qcodes, qoff, codes, voff, multiplier, *, mesh, axis, k, count, distance_type
+):
+    from ..ops import sq as sq_ops
+
+    def local(qc, qo, c, vo, mult):
+        if distance_type == DistanceType.L1:
+            raw = sq_ops.int_l1(qc, c)
+        else:
+            raw = sq_ops.int_dot(qc, c)
+        scores = mult * raw.astype(jnp.float32) + qo[:, None] + vo[None, :]
+        return local_topk_merge(scores, axis, k, count)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None), P(None), P(axis, None), P(axis), P()),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return fn(qcodes, qoff, codes, voff, multiplier)
+
+
+class ShardedBinaryQuantizer(_ShardedBase):
+    """BQ bit-planes sharded over the corpus axis: uint32[W, N/s] per chip."""
+
+    def __init__(
+        self,
+        quantizer: BinaryQuantizer,
+        mesh: Optional[Mesh] = None,
+        axis: str = "shard",
+    ):
+        super().__init__(quantizer, mesh, axis)
+        n_pad = self._shard_dim(self.count)
+        planes = np.asarray(quantizer.planes)[:, : self.count]
+        if planes.shape[1] < n_pad:
+            planes = np.pad(planes, ((0, 0), (0, n_pad - planes.shape[1])))
+        self.planes = jax.device_put(
+            planes, NamedSharding(self.mesh, P(None, axis))
+        )
+
+    def top_k(
+        self, equery: EncodedQueryBin, k: int, method: str = "exact"
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        p = self.quantizer.params
+        s, i = _bq_sharded_topk(
+            equery.planes,
+            self.planes,
+            mesh=self.mesh,
+            axis=self.axis,
+            k=k,
+            count=self.count,
+            distance_type=p.distance_type,
+            invert=p.invert,
+            dim=p.dim,
+        )
+        return np.asarray(s), np.asarray(i)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "k", "count", "distance_type", "invert", "dim"),
+)
+def _bq_sharded_topk(
+    qplanes, planes, *, mesh, axis, k, count, distance_type, invert, dim
+):
+    from ..ops import bq as bq_ops
+
+    def local(qp, pl_shard):
+        scores = bq_ops.score_batch_xla(
+            qp,
+            pl_shard,
+            distance_type=distance_type,
+            invert=invert,
+            dim=dim,
+        )
+        return local_topk_merge(scores, axis, k, count)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None), P(None, axis)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return fn(qplanes, planes)
+
+
+class ShardedProductQuantizer(_ShardedBase):
+    """PQ codes sharded over the corpus axis: u8[N/s, m] per chip; the LUT is
+    replicated (it is per-query, tiny)."""
+
+    def __init__(
+        self,
+        quantizer: ProductQuantizer,
+        mesh: Optional[Mesh] = None,
+        axis: str = "shard",
+    ):
+        super().__init__(quantizer, mesh, axis)
+        n_pad = self._shard_dim(self.count)
+        codes = _pad_rows(
+            np.asarray(quantizer.codes)[: self.count, : quantizer.num_chunks],
+            n_pad,
+        )
+        self.codes = jax.device_put(
+            codes, NamedSharding(self.mesh, P(axis, None))
+        )
+
+    def top_k(
+        self, equery: EncodedQueryPQ, k: int, method: str = "exact"
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        s, i = _pq_sharded_topk(
+            equery.lut,
+            self.codes,
+            mesh=self.mesh,
+            axis=self.axis,
+            k=k,
+            count=self.count,
+        )
+        return np.asarray(s), np.asarray(i)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "k", "count"))
+def _pq_sharded_topk(lut, codes, *, mesh, axis, k, count):
+    from ..ops import pq as pq_ops
+
+    def local(lut_rep, codes_shard):
+        scores = pq_ops.score_lut_xla(lut_rep, codes_shard)
+        return local_topk_merge(scores, axis, k, count)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, None), P(axis, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return fn(lut, codes)

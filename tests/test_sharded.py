@@ -7,7 +7,14 @@ import pytest
 
 from quantization_tpu import DistanceType, ScalarQuantizerU8, VectorParameters
 from quantization_tpu.core.distances import pairwise_score
-from quantization_tpu.parallel.sharded import ShardedScalarQuantizer, make_mesh
+from quantization_tpu.models.bq import BinaryQuantizer
+from quantization_tpu.models.pq import ProductQuantizer
+from quantization_tpu.parallel.sharded import (
+    ShardedBinaryQuantizer,
+    ShardedProductQuantizer,
+    ShardedScalarQuantizer,
+    make_mesh,
+)
 
 
 @pytest.fixture(scope="module")
@@ -32,6 +39,34 @@ def test_sharded_topk_matches_single_device(rng, mesh, dt):
     s_got, i_got = sharded.top_k(eq, k)
     np.testing.assert_allclose(s_got, s_ref, rtol=1e-5, atol=1e-4)
     # Indices may differ on exact ties; scores must match rank-for-rank.
+
+
+def test_sharded_bq_matches_single_device(rng, mesh):
+    n, dim, k = 333, 70, 9
+    data = np.sign(rng.random((n, dim), dtype=np.float32) - 0.5)
+    queries = np.sign(rng.random((3, dim), dtype=np.float32) - 0.5)
+    params = VectorParameters(dim, n, DistanceType.L2, True)
+    enc = BinaryQuantizer.encode(data, params)
+    sharded = ShardedBinaryQuantizer(enc, mesh)
+    eq = enc.encode_query(queries)
+    s_ref, _ = enc.top_k(eq, k)
+    s_got, i_got = sharded.top_k(eq, k)
+    np.testing.assert_allclose(s_got, s_ref, atol=1e-5)
+    assert i_got.max() < n
+
+
+def test_sharded_pq_matches_single_device(rng, mesh):
+    n, dim, k = 300, 32, 7
+    data = rng.random((n, dim), dtype=np.float32)
+    queries = rng.random((2, dim), dtype=np.float32)
+    params = VectorParameters(dim, n, DistanceType.L2, True)
+    enc = ProductQuantizer.encode(data, params, chunk_size=4)
+    sharded = ShardedProductQuantizer(enc, mesh)
+    eq = enc.encode_query(queries)
+    s_ref, _ = enc.top_k(eq, k)
+    s_got, i_got = sharded.top_k(eq, k)
+    np.testing.assert_allclose(s_got, s_ref, rtol=1e-5, atol=1e-4)
+    assert i_got.max() < n
 
 
 def test_sharded_topk_quality(rng, mesh):
