@@ -258,6 +258,42 @@ class ProductQuantizer(EncodedVectors):
             jnp.take(sub, ids_b, axis=0),
         )
 
+    # ----------------------------------------------------------------- debug
+    def dump_to_image(self, data: np.ndarray, prefix: str = "kmeans") -> list:
+        """Debug visualization: per-chunk scatter of the first two chunk
+        dimensions, colored by assigned centroid, centroids in red — the
+        TPU port of the reference's `dump_image` feature
+        (encoded_vectors_pq.rs:344-403). Returns the written paths."""
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        colors = rng.integers(0, 256, (pq_ops.CENTROIDS_COUNT, 3), dtype=np.uint8)
+        data = np.asarray(data, dtype=np.float32)
+        mn, mx = float(data.min()), float(data.max())
+        span = max(mx - mn, 1e-9)
+        codes = np.asarray(self.codes[: self.count, : self.num_chunks])
+        centroids = np.asarray(self.metadata.centroids)
+        size = 1000
+        paths = []
+        for ci, (s, e) in enumerate(self.metadata.vector_division):
+            if e - s < 2:
+                continue
+            img = np.full((size, size, 3), 255, dtype=np.uint8)
+            xy = np.clip(
+                ((data[:, [s, s + 1]] - mn) / span * size), 0, size - 1
+            ).astype(np.int32)
+            img[xy[:, 1], xy[:, 0]] = colors[codes[:, ci]]
+            cxy = np.clip(
+                ((centroids[:, [s, s + 1]] - mn) / span * size), 0, size - 2
+            ).astype(np.int32)
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    img[cxy[:, 1] + dy, cxy[:, 0] + dx] = (255, 0, 0)
+            path = f"{prefix}-{ci}.png"
+            Image.fromarray(img).save(path)
+            paths.append(path)
+        return paths
+
     # ------------------------------------------------------------- checkpoint
     def get_quantized_vector_size(self) -> int:
         """One byte per chunk (encoded_vectors_pq.rs:109-114)."""

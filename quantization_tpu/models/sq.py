@@ -129,6 +129,7 @@ class ScalarQuantizerU8(EncodedVectors):
         batch_size: int = 65536,
         seed: int = 0,
         use_native: bool = False,
+        max_threads: int = 1,
     ) -> "ScalarQuantizerU8":
         """Calibrate + encode (reference encode, encoded_vectors_u8.rs:34-140).
 
@@ -167,8 +168,8 @@ class ScalarQuantizerU8(EncodedVectors):
                 native = native_loader
         code_chunks, off_chunks = [], []
         total = 0
-        for batch in batches():
-            check_stop(stop_condition)
+
+        def encode_one(batch):
             if batch.shape[1] != params.dim:
                 raise ArgumentsError(
                     f"Vector length {batch.shape[1]} does not match vector "
@@ -189,20 +190,35 @@ class ScalarQuantizerU8(EncodedVectors):
                     dt_index,
                     inv,
                 )
-                code_chunks.append(codes_np.view(np.int8))
+                return codes_np.view(np.int8), voff_np
+            codes, voff = sq_ops.quantize_batch(
+                jnp.asarray(batch),
+                alpha=alpha,
+                offset=offset,
+                distance_type=dt,
+                invert=inv,
+                dpad=actual,
+            )
+            return np.asarray(codes), np.asarray(voff)
+
+        if native is not None and max_threads > 1:
+            # Ordered parallel host ingestion — the condvar-ring equivalent
+            # (utils/parallel_encode.py).
+            from ..utils.parallel_encode import ordered_parallel_map
+
+            for codes_np, voff_np in ordered_parallel_map(
+                encode_one, batches(), max_threads, stop_condition
+            ):
+                code_chunks.append(codes_np)
                 off_chunks.append(voff_np)
-            else:
-                codes, voff = sq_ops.quantize_batch(
-                    jnp.asarray(batch),
-                    alpha=alpha,
-                    offset=offset,
-                    distance_type=dt,
-                    invert=inv,
-                    dpad=actual,
-                )
-                code_chunks.append(np.asarray(codes))
-                off_chunks.append(np.asarray(voff))
-            total += batch.shape[0]
+                total += codes_np.shape[0]
+        else:
+            for batch in batches():
+                check_stop(stop_condition)
+                codes_np, voff_np = encode_one(batch)
+                code_chunks.append(codes_np)
+                off_chunks.append(voff_np)
+                total += codes_np.shape[0]
         if total != params.count:
             raise ArgumentsError(
                 f"Vector count {total} does not match vector parameters count "
