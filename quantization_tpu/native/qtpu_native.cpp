@@ -28,13 +28,15 @@ void qtpu_quantize_u8(
     float alpha, float offset, uint8_t pad_code,
     int distance_type, int invert,
     uint8_t* codes_out, float* voff_out) {
+  // Multiply by the f32 reciprocal, matching ops/sq._inv_alpha bit-for-bit
+  // (XLA constant-folds division by a literal the same way).
+  const float inv_alpha = 1.0f / alpha;
   for (int64_t row = 0; row < n; ++row) {
     const float* v = data + row * dim;
     uint8_t* out = codes_out + row * dpad;
     double sum = 0.0, sum_sq = 0.0;
     for (int64_t j = 0; j < dim; ++j) {
-      // IEEE f32 division, matching the device quantizer bit-for-bit.
-      float q = (v[j] - offset) / alpha;
+      float q = (v[j] - offset) * inv_alpha;
       q = std::min(std::max(q, 0.0f), 127.0f);
       if (std::isnan(q)) q = 0.0f;
       uint8_t code = (uint8_t)q;  // truncation toward zero, like `as u8`

@@ -27,7 +27,9 @@ from ..dispatch import interpret_mode
 
 TILE_N = 512
 TILE_Q = 128
-L1_TILE_N = 512
+L1_TILE_N = 128
+L1_TILE_Q = 32
+_L1_DB = 128  # D-block width for the L1 broadcast
 
 
 def _dot_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
@@ -43,19 +45,21 @@ def _dot_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
 
 
 def _l1_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
-    c32 = c_ref[:].astype(jnp.int32)  # [TILE_N, D]
-
-    def body(qi, _):
-        qrow = q_ref[qi, :].astype(jnp.int32)  # [D]
-        sad = jnp.sum(jnp.abs(qrow[None, :] - c32), axis=1)  # [TILE_N]
-        out_ref[qi, :] = (
-            mult_ref[0] * sad.astype(jnp.float32)
-            + qoff_ref[qi, 0]
-            + voff_ref[0, :]
-        )
-        return 0
-
-    jax.lax.fori_loop(0, q_ref.shape[0], body, 0)
+    """Sum-of-absolute-differences on the VPU, accumulated over 128-lane
+    D-blocks with a [TQ, TN, 128] broadcast per block (no per-row loads —
+    Mosaic cannot issue 1-sublane int8 vector loads)."""
+    q32 = q_ref[:].astype(jnp.int32)  # [TQ, D]
+    c32 = c_ref[:].astype(jnp.int32)  # [TN, D]
+    d = q32.shape[1]
+    acc = jnp.zeros(out_ref.shape, jnp.int32)
+    for db in range(0, d, _L1_DB):
+        qb = q32[:, db : db + _L1_DB]
+        cb = c32[:, db : db + _L1_DB]
+        diff = jnp.abs(qb[:, None, :] - cb[None, :, :])  # [TQ, TN, DB]
+        acc = acc + jnp.sum(diff, axis=2)
+    out_ref[:] = (
+        mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
+    )
 
 
 @partial(
@@ -82,7 +86,7 @@ def sq_scores_pallas(
     l1 = distance_type == DistanceType.L1
     tile_n = L1_TILE_N if l1 else TILE_N
     # int8 min tile is (32, 128): query tiles must be 32-sublane multiples.
-    tile_q = min(TILE_Q, round_up(q, 32))
+    tile_q = min(L1_TILE_Q if l1 else TILE_Q, round_up(q, 32))
     assert n % tile_n == 0, f"N={n} must be padded to {tile_n}"
     qp = round_up(q, tile_q)
     qcodes = pad_dim_to(qcodes, 0, qp)

@@ -66,10 +66,18 @@ def multiplier_for(distance_type: DistanceType, invert: bool, alpha: float) -> f
     return -m if invert else m
 
 
+def _inv_alpha(alpha: float) -> float:
+    """f32 reciprocal, computed identically on host and device so the native
+    C++ encoder and the XLA encoder quantize bit-for-bit alike (XLA
+    constant-folds division by a literal into this multiply anyway)."""
+    return float(np.float32(1.0) / np.float32(alpha))
+
+
 def _f32_to_code(x: jax.Array, alpha: float, offset: float) -> jax.Array:
-    """clamp((x-offset)/alpha, 0, 127) truncated toward zero — the exact
-    behavior of the reference's `as u8` cast (encoded_vectors_u8.rs:234-237)."""
-    q = (x - offset) / alpha
+    """clamp((x-offset)/alpha, 0, 127) truncated toward zero — the behavior
+    of the reference's `as u8` cast (encoded_vectors_u8.rs:234-237), with the
+    division realized as multiply-by-f32-reciprocal (see _inv_alpha)."""
+    q = (x - offset) * _inv_alpha(alpha)
     q = jnp.clip(q, 0.0, CODE_MAX)
     q = jnp.where(jnp.isnan(q), 0.0, q)
     return jnp.floor(q)
@@ -80,7 +88,9 @@ def pad_code(distance_type: DistanceType, alpha: float, offset: float) -> int:
     DOT pads with the code of real value 0.0; L1/L2 pad with the code of
     `offset`, which is always 0."""
     if distance_type == DistanceType.DOT:
-        q = (0.0 - offset) / alpha
+        q = (np.float32(0.0) - np.float32(offset)) * np.float32(
+            _inv_alpha(alpha)
+        )
         q = min(max(q, 0.0), CODE_MAX)
         if np.isnan(q):
             q = 0.0
