@@ -19,21 +19,32 @@ from .core.types import (
 from .core.distances import distance, pairwise, pairwise_score, score
 from .core.interface import EncodedVectors, validate_vector_parameters
 from .core.storage import EncodedStorage, EncodedStorageBuilder
+from .models.bq import BinaryQuantizer, EncodedQueryBin, EncodedVectorsBin
+from .models.pipeline import ExactRescorer, TwoStageIndex
+from .models.pq import EncodedQueryPQ, EncodedVectorsPQ, ProductQuantizer
 from .models.sq import EncodedQueryU8, EncodedVectorsU8, ScalarQuantizerU8
 
 __all__ = [
     "ArgumentsError",
+    "BinaryQuantizer",
     "DistanceType",
+    "EncodedQueryBin",
+    "EncodedQueryPQ",
     "EncodedQueryU8",
     "EncodedStorage",
     "EncodedStorageBuilder",
     "EncodedVectors",
+    "EncodedVectorsBin",
+    "EncodedVectorsPQ",
     "EncodedVectorsU8",
     "EncodingError",
+    "ExactRescorer",
+    "ProductQuantizer",
     "QuantizationError",
     "ScalarQuantizerU8",
     "StoppedError",
     "StorageIOError",
+    "TwoStageIndex",
     "VectorParameters",
     "distance",
     "pairwise",

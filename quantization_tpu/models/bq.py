@@ -92,21 +92,46 @@ class BinaryQuantizer(EncodedVectors):
         stop_condition=None,
         batch_size: int = 65536,
         store_type: str = "u128",
+        use_native: bool = False,
+        max_threads: int = 1,
     ) -> "BinaryQuantizer":
         """Pack sign bits batch-by-batch (encoded_vectors_binary.rs:165-191)
-        with a cancellation check between batches."""
+        with a cancellation check between batches; optionally via the native
+        C++ packer, optionally on an ordered worker pool."""
         row_bytes = bq_ops.storage_bytes(params.dim, store_type)
-        chunks = []
-        total = 0
-        for batch in iter_batches(data, batch_size):
-            check_stop(stop_condition)
+        native = None
+        if use_native:
+            from ..native import loader as native_loader
+
+            if native_loader.available():
+                native = native_loader
+
+        def pack_one(batch):
             if batch.shape[1] != params.dim:
                 raise ArgumentsError(
                     f"Vector length {batch.shape[1]} does not match vector "
                     f"parameters dim {params.dim}"
                 )
-            chunks.append(bq_ops.pack_rows(batch, row_bytes))
-            total += batch.shape[0]
+            if native is not None and row_bytes > 0:
+                return native.pack_bits(batch, row_bytes)
+            return bq_ops.pack_rows(batch, row_bytes)
+
+        chunks = []
+        total = 0
+        if native is not None and max_threads > 1:
+            from ..utils.parallel_encode import ordered_parallel_map
+
+            for rows in ordered_parallel_map(
+                pack_one, iter_batches(data, batch_size), max_threads,
+                stop_condition,
+            ):
+                chunks.append(rows)
+                total += rows.shape[0]
+        else:
+            for batch in iter_batches(data, batch_size):
+                check_stop(stop_condition)
+                chunks.append(pack_one(batch))
+                total += batch.shape[0]
         if total != params.count:
             raise ArgumentsError(
                 f"Vector count {total} does not match vector parameters count "

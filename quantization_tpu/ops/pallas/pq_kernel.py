@@ -49,20 +49,19 @@ def _kernel(codes_ref, lut_ref, out_ref):
     codes = codes_ref[:].astype(jnp.int32) & 0xFF  # [TILE_N, M_BLK] in 0..255
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
-    def body(m_local, acc):
+    # Static unroll over the chunk block: Mosaic has no dynamic_slice on
+    # register values, and 1-lane dynamic ref loads are unsupported for int8.
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for m_local in range(M_BLK):
         onehot = (codes[:, m_local][:, None] == iota_k).astype(jnp.bfloat16)
-        lut_m = lut_ref[:, pl.ds(m_local * K, K)]  # [TILE_Q, K]
+        lut_m = lut_ref[:, m_local * K : (m_local + 1) * K]  # [TILE_Q, K]
         # [TILE_Q, TILE_N]: contract over the 256 centroids on the MXU.
-        return acc + jax.lax.dot_general(
+        acc = acc + jax.lax.dot_general(
             lut_m.astype(jnp.bfloat16),
             onehot,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
-    acc = jax.lax.fori_loop(
-        0, M_BLK, body, jnp.zeros(out_ref.shape, jnp.float32)
-    )
     out_ref[:] += acc
 
 
