@@ -69,6 +69,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.qtpu_min_max.argtypes = [f32p, i64, f32p, f32p]
         lib.qtpu_xor_popcount.argtypes = [u8p, u8p, i64]
         lib.qtpu_xor_popcount.restype = ctypes.c_uint64
+        f32 = ctypes.c_float
+        lib.qtpu_cpu_scan_dot_u8.argtypes = [u8p, u8p, i64, i64, f32, f32, f32p, f32p]
+        lib.qtpu_cpu_scan_l1_u8.argtypes = [u8p, u8p, i64, i64, f32, f32, f32p, f32p]
+        lib.qtpu_cpu_scan_hamming.argtypes = [u8p, u8p, i64, i64, f32, f32, f32p]
+        lib.qtpu_cpu_scan_dot_f32.argtypes = [f32p, f32p, i64, i64, f32p]
         lib.qtpu_abi_version.restype = ctypes.c_int
         if lib.qtpu_abi_version() != 1:
             return None
@@ -135,6 +140,40 @@ def min_max(data: np.ndarray):
     mx = ctypes.c_float()
     lib.qtpu_min_max(_f32p(data), data.size, ctypes.byref(mn), ctypes.byref(mx))
     return float(mn.value), float(mx.value)
+
+
+def cpu_scan_dot_u8(
+    query: np.ndarray, codes: np.ndarray, multiplier: float,
+    query_offset: float, voffsets: np.ndarray,
+) -> np.ndarray:
+    """Full-scan SQ dot scoring on CPU (reference scalar/SIMD kernel role)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    query = np.ascontiguousarray(query, dtype=np.uint8)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    voffsets = np.ascontiguousarray(voffsets, dtype=np.float32)
+    n, dpad = codes.shape
+    out = np.empty((n,), dtype=np.float32)
+    lib.qtpu_cpu_scan_dot_u8(
+        _u8p(query), _u8p(codes), n, dpad,
+        ctypes.c_float(multiplier), ctypes.c_float(query_offset),
+        _f32p(voffsets), _f32p(out),
+    )
+    return out
+
+
+def cpu_scan_dot_f32(query: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Full-scan f32 dot scoring on CPU (unquantized baseline)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    query = np.ascontiguousarray(query, dtype=np.float32)
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    n, dim = data.shape
+    out = np.empty((n,), dtype=np.float32)
+    lib.qtpu_cpu_scan_dot_f32(_f32p(query), _f32p(data), n, dim, _f32p(out))
+    return out
 
 
 def xor_popcount(a: np.ndarray, b: np.ndarray) -> int:

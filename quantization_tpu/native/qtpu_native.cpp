@@ -109,6 +109,66 @@ uint64_t qtpu_xor_popcount(const uint8_t* a, const uint8_t* b, int64_t nbytes) {
   return total;
 }
 
+// ---------------------------------------------------------------------------
+// CPU full-scan scorers. These reproduce the reference's scoring loops
+// (scalar impl_score_dot / impl_score_l1 at encoded_vectors_u8.rs:456-474 and
+// the xor-popcount scan) so the benchmark harness can measure a CPU baseline
+// on this machine — the "reference CPU QPS" side of the >=10x/chip target —
+// with -O3 -march=native autovectorization standing in for the hand-written
+// SSE/AVX2 kernels.
+
+void qtpu_cpu_scan_dot_u8(
+    const uint8_t* query, const uint8_t* codes, int64_t n, int64_t dpad,
+    float multiplier, float query_offset, const float* voffsets, float* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* v = codes + i * dpad;
+    int32_t acc = 0;
+    for (int64_t j = 0; j < dpad; ++j) {
+      acc += (int32_t)query[j] * (int32_t)v[j];
+    }
+    out[i] = multiplier * (float)acc + query_offset + voffsets[i];
+  }
+}
+
+void qtpu_cpu_scan_l1_u8(
+    const uint8_t* query, const uint8_t* codes, int64_t n, int64_t dpad,
+    float multiplier, float query_offset, const float* voffsets, float* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* v = codes + i * dpad;
+    int32_t acc = 0;
+    for (int64_t j = 0; j < dpad; ++j) {
+      int32_t d = (int32_t)query[j] - (int32_t)v[j];
+      acc += d < 0 ? -d : d;
+    }
+    out[i] = multiplier * (float)acc + query_offset + voffsets[i];
+  }
+}
+
+// dist_mode encodes the metric map sign: out = sign * (dim - 2*xor) with
+// sign=+1 for (Dot, !invert) and (L1/L2, invert), else -1.
+void qtpu_cpu_scan_hamming(
+    const uint8_t* query, const uint8_t* rows, int64_t n, int64_t row_bytes,
+    float dim, float sign, float* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* v = rows + i * row_bytes;
+    uint64_t x = qtpu_xor_popcount(query, v, row_bytes);
+    out[i] = sign * (dim - 2.0f * (float)x);
+  }
+}
+
+// f32 dot scan — the unquantized CPU baseline
+// (demos/src/metrics/utils_avx2.rs dot_avx equivalent via autovectorization).
+void qtpu_cpu_scan_dot_f32(
+    const float* query, const float* data, int64_t n, int64_t dim,
+    float* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const float* v = data + i * dim;
+    float acc = 0.0f;
+    for (int64_t j = 0; j < dim; ++j) acc += query[j] * v[j];
+    out[i] = acc;
+  }
+}
+
 int qtpu_abi_version() { return 1; }
 
 }  // extern "C"

@@ -48,6 +48,28 @@ def test_native_min_max(rng):
 
 
 @needs_native
+def test_native_cpu_scan_matches_device(rng):
+    n, dim = 300, 64
+    data = rng.random((n, dim), dtype=np.float32)
+    q = rng.random((dim,), dtype=np.float32)
+    params = VectorParameters(dim, n, DistanceType.DOT, False)
+    enc = ScalarQuantizerU8.encode(data, params)
+    eq = enc.encode_query(q)
+    want = np.asarray(enc.score_batch(eq))[0]
+    got = loader.cpu_scan_dot_u8(
+        np.asarray(eq.codes)[0].view(np.uint8),
+        np.asarray(enc.codes[: enc.count]).view(np.uint8),
+        enc.metadata.multiplier,
+        float(np.asarray(eq.offsets)[0]),
+        np.asarray(enc.voffsets[: enc.count]),
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+    f32 = loader.cpu_scan_dot_f32(q, data)
+    np.testing.assert_allclose(f32, data @ q, rtol=1e-5, atol=1e-4)
+
+
+@needs_native
 def test_native_xor_popcount(rng):
     a = rng.integers(0, 256, 37, dtype=np.uint8)
     b = rng.integers(0, 256, 37, dtype=np.uint8)
