@@ -4,8 +4,15 @@ baseline, 100k x 1024-d (the reference's criterion `encode` bench config,
 demos/benches/encode.rs:15-16, with the f32 SIMD baselines of
 demos/src/metrics/ replaced by a plain jnp f32 matmul on the MXU).
 
-Both sides use the same blocked two-stage top-k; the quantized side scores
-through the production path (Pallas int8 MXU kernel on TPU, XLA elsewhere).
+Both sides run score + top-k through the same jitted search program; the
+quantized side scores through the production path (Pallas int8 MXU kernel on
+TPU, XLA elsewhere).
+
+Timing is steady-state throughput: `iters` query batches are enqueued on the
+device stream and the clock stops when the last result is read back. This
+pipelined regime is the serving-relevant number; per-call host sync would
+measure the host<->device round-trip (tens of ms on tunneled TPUs), not the
+engine.
 
 Prints ONE JSON line:
   {"metric": ..., "value": qps, "unit": "queries/s", "vs_baseline": x_f32}
@@ -19,15 +26,25 @@ import time
 import numpy as np
 
 N, D, Q, K = 100_000, 1024, 256, 10
+ITERS = 50
 
 
-def timeit(fn, iters=20, warmup=3):
+def timeit(fn, *args, iters=ITERS, warmup=3):
+    """Steady-state seconds/call: enqueue `iters` calls, drain once."""
     for _ in range(warmup):
-        fn()
+        r = fn(*args)
+    np.asarray(jax_leaves(r)[0])  # full drain before starting the clock
     t0 = time.perf_counter()
     for _ in range(iters):
-        fn()
+        r = fn(*args)
+    np.asarray(jax_leaves(r)[0])  # drain: in-order device queue
     return (time.perf_counter() - t0) / iters
+
+
+def jax_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
 
 
 def main():
@@ -38,6 +55,9 @@ def main():
     from quantization_tpu.ops import sq as sq_ops
     from quantization_tpu.ops.dispatch import use_pallas
     from quantization_tpu.ops.topk import topk_exact
+    from quantization_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     rng = np.random.default_rng(42)
     data = rng.random((N, D), dtype=np.float32) * 2.0 - 1.0
@@ -75,22 +95,14 @@ def main():
     def f32_search(q, x):
         return topk_exact(q @ x.T, K)
 
-    def run_quant():
-        jax.block_until_ready(
-            quant_search(eq.codes, eq.offsets, enc.codes, enc.voffsets)
-        )
-
-    def run_f32():
-        jax.block_until_ready(f32_search(queries_dev, data_dev))
-
-    t_quant = timeit(run_quant)
-    t_f32 = timeit(run_f32)
+    t_quant = timeit(quant_search, eq.codes, eq.offsets, enc.codes, enc.voffsets)
+    t_f32 = timeit(f32_search, queries_dev, data_dev)
 
     qps = Q / t_quant
     qps_f32 = Q / t_f32
     print(
-        f"quantized: {t_quant * 1e3:.2f} ms/batch  "
-        f"f32: {t_f32 * 1e3:.2f} ms/batch  (Q={Q}, N={N}, D={D}, "
+        f"quantized: {t_quant * 1e3:.3f} ms/batch  "
+        f"f32: {t_f32 * 1e3:.3f} ms/batch  (Q={Q}, N={N}, D={D}, "
         f"pallas={pallas})",
         file=sys.stderr,
     )

@@ -125,6 +125,9 @@ def bench_f32(data: AnnBenchmarkData, args):
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="", help="substring filter")
     p.add_argument("--method", default="u8",

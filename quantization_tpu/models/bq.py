@@ -173,8 +173,21 @@ class BinaryQuantizer(EncodedVectors):
             and self.count
             and self.planes.shape[0] > 0
         ):
-            from ..ops.pallas.bq_kernel import bq_scores_pallas
+            from ..ops.pallas.bq_kernel import bq_scores_mxu, bq_scores_pallas
 
+            # Default to the MXU unpack-and-matmul kernel (integer-exact;
+            # measured 2.5ms vs 2.8ms for the VPU xor kernel on v5e at
+            # 256x100k, and it scales better with D); QTPU_BQ_KERNEL=xor
+            # forces the plane-XOR path.
+            if os.environ.get("QTPU_BQ_KERNEL", "mxu") == "mxu":
+                return bq_scores_mxu(
+                    equery.planes,
+                    self.planes,
+                    distance_type=self.params.distance_type,
+                    invert=self.params.invert,
+                    dim=self.params.dim,
+                    n_valid=self.count,
+                )
             return bq_scores_pallas(
                 equery.planes,
                 self.planes,

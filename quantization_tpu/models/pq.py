@@ -98,6 +98,10 @@ class ProductQuantizer(EncodedVectors):
                 ),
             )
         self.codes = codes
+        # Transposed scoring copy [Mpad, Npad]: Mosaic needs 128-multiple
+        # lane blocks, so the Pallas kernel reads chunk rows on sublanes and
+        # the corpus on lanes (codes are m bytes/vector — the copy is cheap).
+        self.codes_t = jnp.transpose(codes)
         self.metadata = metadata
         self.params = metadata.vector_parameters
         self.count = count
@@ -219,7 +223,7 @@ class ProductQuantizer(EncodedVectors):
             from ..ops.pallas.pq_kernel import pq_scores_pallas
 
             return pq_scores_pallas(
-                equery.lut, self.codes, n_valid=self.count
+                equery.lut, self.codes_t, n_valid=self.count
             )
         return pq_ops.score_lut_xla(
             equery.lut, self.codes[: self.count, : self.num_chunks]

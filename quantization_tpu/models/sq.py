@@ -262,7 +262,13 @@ class ScalarQuantizerU8(EncodedVectors):
 
     # ------------------------------------------------------------------ score
     def score_batch(self, equery: EncodedQueryU8) -> jax.Array:
-        if dispatch.use_pallas() and self.count:
+        # L1 is VPU-bound elementwise work with no matmul structure; measured
+        # on v5e the XLA fusion (54ms on 256x100k x 1024-d) beats the
+        # hand-tiled Pallas cube (112ms), so L1 stays on the XLA path unless
+        # Pallas is forced. DOT/L2 ride the fused int8 MXU kernel (3.9ms).
+        l1 = self.params.distance_type == DistanceType.L1
+        force = os.environ.get("QTPU_FORCE_PALLAS") == "1"
+        if dispatch.use_pallas() and self.count and (not l1 or force):
             from ..ops.pallas.sq_kernel import sq_scores_pallas
 
             return sq_scores_pallas(

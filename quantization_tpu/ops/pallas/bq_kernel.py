@@ -52,6 +52,113 @@ def _make_kernel(w: int, distance_type: DistanceType, invert: bool, dim: int):
     return kernel
 
 
+MXU_TILE_N = 512
+MXU_TILE_Q = 128
+
+
+def _mxu_kernel(mult_ref, qs_ref, p_ref, qb_ref, out_ref):
+    """Unpack bit-planes to 0/1 int8 on the VPU, score on the MXU.
+
+    qs_ref: int8 [TQ, Dp] query rows as +-1 (0 on padded dims);
+    p_ref: uint32 [W8, TN] packed corpus words; out = mult * (qs . bits) + qb.
+    The word rows are replicated 32x along sublanes and shifted by
+    (row % 32), so row w*32+j of the unpacked tile is bit j (LSB-first, the
+    storage bit order of encoded_vectors_binary.rs:193-208) of word w.
+    """
+    w8 = p_ref.shape[0]
+    tn = p_ref.shape[1]
+    dp = w8 * 32
+    planes_rep = jnp.repeat(p_ref[:].astype(jnp.int32), 32, axis=0)  # [Dp, TN]
+    shifts = jax.lax.broadcasted_iota(jnp.int32, (dp, tn), 0) % 32
+    bits = jnp.bitwise_and(
+        jax.lax.shift_right_logical(planes_rep, shifts), 1
+    ).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        qs_ref[:],
+        bits,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = mult_ref[0] * acc.astype(jnp.float32) + qb_ref[:]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("distance_type", "invert", "dim", "n_valid", "interpret"),
+)
+def bq_scores_mxu(
+    qplanes: jax.Array,  # uint32 [Q, W]  (word-major query rows)
+    planes: jax.Array,  # uint32 [W8, Npad]
+    *,
+    distance_type: DistanceType,
+    invert: bool,
+    dim: int,
+    n_valid: int,
+    interpret: bool = None,
+) -> jax.Array:
+    """[Q, n_valid] f32 binary scores at MXU speed.
+
+    The identity: with query signs qs in {-1,+1} (0 on pad) and corpus bits
+    vb in {0,1},  qs.vb = 2*common - pv  and  hamming = pq + pv - 2*common,
+    so  hamming = pq - qs.vb  — one int8 MXU matmul against bits unpacked
+    on-chip from the 32x-compressed planes (HBM reads stay packed), replacing
+    the reference's xor+popcnt loop (cpp/sse.c:49-70) with an affine epilogue
+    on the Hamming->metric table (encoded_vectors_binary.rs:242-252).
+    Integer-exact: acc and pq are exact in int32/f32.
+    """
+    if interpret is None:
+        interpret = interpret_mode()
+    q, w = qplanes.shape
+    w8, n = planes.shape
+    tn = MXU_TILE_N
+    assert n % tn == 0, f"N={n} must be padded to {tn}"
+    dp = w8 * 32
+
+    # Unpack the (small) query batch to +-1 signs on device; pad dims -> 0.
+    words = qplanes.astype(jnp.uint32)
+    if w < w8:
+        words = jnp.pad(words, ((0, 0), (0, w8 - w)))
+    jbits = (
+        jax.lax.shift_right_logical(
+            words[:, :, None], jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+        )
+        & 1
+    ).astype(jnp.int32)  # [Q, W8, 32]
+    qbits = jbits.reshape(q, dp)
+    valid = (jnp.arange(dp) < dim)[None, :]
+    qs = jnp.where(valid, 2 * qbits - 1, 0).astype(jnp.int8)
+    pq = jnp.sum(jnp.where(valid, qbits, 0), axis=1).astype(jnp.float32)
+
+    # score = s*(2*acc + d - 2*pq): s=+1 iff (dot) xor (invert) is "similarity
+    # up" — the Hamming->metric truth table of encoded_vectors_binary.rs.
+    dot = distance_type == DistanceType.DOT
+    s = 1.0 if (dot != invert) else -1.0
+    mult = jnp.full((1,), 2.0 * s, jnp.float32)
+    qb = (s * (float(dim) - 2.0 * pq)).reshape(-1, 1)
+
+    tq = min(MXU_TILE_Q, round_up(q, 32))
+    qp = round_up(q, tq)
+    qs = pad_dim_to(qs, 0, qp)
+    qb = pad_dim_to(qb, 0, qp)
+
+    out = pl.pallas_call(
+        _mxu_kernel,
+        grid=(qp // tq, n // tn),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # mult (1,)
+            pl.BlockSpec((tq, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w8, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tq, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((qp, n), jnp.float32),
+        interpret=interpret,
+    )(mult, qs, planes, qb)
+    return out[:q, :n_valid]
+
+
 @partial(
     jax.jit,
     static_argnames=("distance_type", "invert", "dim", "n_valid", "interpret"),

@@ -8,16 +8,32 @@ lookup is re-expressed as compute (SURVEY.md §7, design inversion 5b):
                 = sum_m lut_m[TQ, 256] . onehot(code[:, m])[TILE_N, 256]^T
 
 The one-hot matrix is built on the VPU with a compare against an iota and
-immediately consumed by the MXU — 256x more FLOPs than a gather, but FLOPs
-the MXU has to spare, against near-zero gather throughput.
+immediately consumed by the MXU — 256x more MACs than a gather, but MACs the
+MXU has to spare, against near-zero gather throughput.
+
+Cost model (measured on v5e, Q=256 N=100k m=128):
+  * MXU work: Q*N*m*256 bf16 MACs — the LUT is pre-cast to bf16 (inputs
+    only; accumulation stays f32, so the error is one rounding of the LUT
+    entries, ~0.4% relative, far inside the reference's dim*0.05 bound).
+  * LUT streaming: each [TILE_Q, M_BLK*256] LUT block is re-fetched for
+    every corpus tile, so TILE_N directly divides LUT traffic — hence the
+    wide 1024-lane corpus tile.
+  * One-hot build: Q/TILE_Q * N * m * 256 VPU compares — hence the tall
+    128-row query tile (build is amortized over all 128 queries).
+  * M_BLK bounds the in-kernel unroll so temporaries stay within the
+    scoped-VMEM stack (an unbounded chunk unroll OOMs Mosaic's 16MB limit).
 
 Layouts (all lane-aligned):
-  codes int8[Npad, Mpad]   — chunk codes on lanes, Mpad multiple of 128;
+  codes int8[Mpad, Npad]   — TRANSPOSED: chunk rows on sublanes, corpus on
+                             lanes (Mosaic requires 128-multiple lane blocks,
+                             which rules out an [N, m] block for small m);
                              padded chunks are code 0 and hit zero LUT rows.
-  lut   f32[Qpad, Mpad*256] — flattened chunk-major LUT; chunk m occupies the
+  lut  bf16[Qpad, Mpad*256] — flattened chunk-major LUT; chunk m occupies the
                              256-lane slice [m*256, (m+1)*256).
-The grid accumulates over chunk blocks of M_BLK=128 into a revisited
-[TILE_Q, TILE_N] output block.
+The grid is (q-tiles, corpus tiles, m-blocks) with the m axis innermost: the
+[TILE_Q, TILE_N] f32 output block stays VMEM-resident across the whole
+accumulation. Each chunk's one-hot is built transposed ([256, TILE_N]) from
+a one-sublane code row, making the MXU contraction a plain lut_m @ onehot_T.
 """
 
 from __future__ import annotations
@@ -32,9 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ...utils.padding import pad_dim_to, round_up
 from ..dispatch import interpret_mode
 
-TILE_N = 256
-TILE_Q = 32
-M_BLK = 128
+TILE_N = 1024
+TILE_Q = 128
+M_BLK = 16  # bounds the unrolled per-chunk temporaries on the VMEM stack
 K = 256  # centroids per chunk
 
 
@@ -46,20 +62,22 @@ def _kernel(codes_ref, lut_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    codes = codes_ref[:].astype(jnp.int32) & 0xFF  # [TILE_N, M_BLK] in 0..255
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    codes = codes_ref[:].astype(jnp.int32) & 0xFF  # [M_BLK, TILE_N] in 0..255
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
 
     # Static unroll over the chunk block: Mosaic has no dynamic_slice on
     # register values, and 1-lane dynamic ref loads are unsupported for int8.
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for m_local in range(M_BLK):
-        onehot = (codes[:, m_local][:, None] == iota_k).astype(jnp.bfloat16)
+        # [K, TILE_N] transposed one-hot: code row broadcast over 256
+        # sublanes, compared against a sublane iota.
+        onehot_t = (codes[m_local, :][None, :] == iota_k).astype(jnp.bfloat16)
         lut_m = lut_ref[:, m_local * K : (m_local + 1) * K]  # [TILE_Q, K]
         # [TILE_Q, TILE_N]: contract over the 256 centroids on the MXU.
         acc = acc + jax.lax.dot_general(
-            lut_m.astype(jnp.bfloat16),
-            onehot,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            lut_m,
+            onehot_t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     out_ref[:] += acc
@@ -68,7 +86,7 @@ def _kernel(codes_ref, lut_ref, out_ref):
 @partial(jax.jit, static_argnames=("n_valid", "interpret"))
 def pq_scores_pallas(
     lut: jax.Array,  # f32 [Q, m, 256]
-    codes: jax.Array,  # int8/uint8 [Npad, Mpad]  (Mpad multiple of M_BLK)
+    codes_t: jax.Array,  # int8/uint8 [Mpad, Npad]  (Mpad multiple of M_BLK)
     *,
     n_valid: int,
     interpret: bool = None,
@@ -78,13 +96,17 @@ def pq_scores_pallas(
         interpret = interpret_mode()
     q, m, k = lut.shape
     assert k == K
-    n, mpad = codes.shape
+    mpad, n = codes_t.shape
     assert n % TILE_N == 0, f"N={n} must be padded to {TILE_N}"
     assert mpad % M_BLK == 0
     tile_q = min(TILE_Q, round_up(q, 8))
     qp = round_up(q, tile_q)
-    # lut -> [Qpad, Mpad*K] with zero entries for chunk padding
-    lut_flat = pad_dim_to(pad_dim_to(lut, 1, mpad), 0, qp).reshape(qp, mpad * K)
+    # lut -> bf16 [Qpad, Mpad*K] with zero entries for chunk padding
+    lut_flat = (
+        pad_dim_to(pad_dim_to(lut, 1, mpad), 0, qp)
+        .reshape(qp, mpad * K)
+        .astype(jnp.bfloat16)
+    )
 
     grid = (qp // tile_q, n // TILE_N, mpad // M_BLK)
     out = pl.pallas_call(
@@ -92,7 +114,7 @@ def pq_scores_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (TILE_N, M_BLK), lambda i, j, l: (j, l), memory_space=pltpu.VMEM
+                (M_BLK, TILE_N), lambda i, j, l: (l, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (tile_q, M_BLK * K),
@@ -105,5 +127,5 @@ def pq_scores_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((qp, n), jnp.float32),
         interpret=interpret,
-    )(codes.astype(jnp.int8), lut_flat.astype(jnp.float32))
+    )(codes_t.astype(jnp.int8), lut_flat)
     return out[:q, :n_valid]

@@ -27,9 +27,9 @@ from ..dispatch import interpret_mode
 
 TILE_N = 512
 TILE_Q = 128
-L1_TILE_N = 128
+L1_TILE_N = 256
 L1_TILE_Q = 32
-_L1_DB = 128  # D-block width for the L1 broadcast
+_L1_DB = 128  # D-block width per grid step (bounds the broadcast cube)
 
 
 def _dot_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
@@ -45,21 +45,30 @@ def _dot_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
 
 
 def _l1_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
-    """Sum-of-absolute-differences on the VPU, accumulated over 128-lane
-    D-blocks with a [TQ, TN, 128] broadcast per block (no per-row loads —
-    Mosaic cannot issue 1-sublane int8 vector loads)."""
-    q32 = q_ref[:].astype(jnp.int32)  # [TQ, D]
-    c32 = c_ref[:].astype(jnp.int32)  # [TN, D]
-    d = q32.shape[1]
-    acc = jnp.zeros(out_ref.shape, jnp.int32)
-    for db in range(0, d, _L1_DB):
-        qb = q32[:, db : db + _L1_DB]
-        cb = c32[:, db : db + _L1_DB]
-        diff = jnp.abs(qb[:, None, :] - cb[None, :, :])  # [TQ, TN, DB]
-        acc = acc + jnp.sum(diff, axis=2)
-    out_ref[:] = (
-        mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
-    )
+    """Sum-of-absolute-differences on the VPU.
+
+    The D axis is a grid dimension (innermost, so the output block stays
+    VMEM-resident and is revisited): each step reduces one [TQ, TN, _L1_DB]
+    broadcast cube — a single bounded temporary, instead of an unrolled
+    D/128-deep chain that overflows the VMEM stack at serving batch sizes.
+    Codes are in [0, 127] so the f32 accumulator is exact (|L1| <= 127*D
+    < 2^24 for any realistic D)."""
+    di = pl.program_id(2)
+    q32 = q_ref[:].astype(jnp.int32)  # [TQ, DB]
+    c32 = c_ref[:].astype(jnp.int32)  # [TN, DB]
+    diff = jnp.sum(
+        jnp.abs(q32[:, None, :] - c32[None, :, :]), axis=2
+    )  # [TQ, TN]
+
+    @pl.when(di == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += diff.astype(jnp.float32)
+
+    @pl.when(di == pl.num_programs(2) - 1)
+    def _epilogue():
+        out_ref[:] = mult_ref[0] * out_ref[:] + qoff_ref[:] + voff_ref[:]
 
 
 @partial(
@@ -93,21 +102,47 @@ def sq_scores_pallas(
     qoff2 = pad_dim_to(qoff.reshape(-1, 1), 0, qp)
     voff2 = voff.reshape(1, -1)
 
-    grid = (qp // tile_q, n // tile_n)
-    kernel = _l1_kernel if l1 else _dot_kernel
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
+    if l1:
+        assert d % _L1_DB == 0, f"D={d} must be lane-aligned to {_L1_DB}"
+        # D innermost: the [TQ, TN] output block stays resident across the
+        # accumulation steps.
+        grid = (qp // tile_q, n // tile_n, d // _L1_DB)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # multiplier (1,)
+            pl.BlockSpec(
+                (tile_q, _L1_DB), lambda i, j, l: (i, l), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_n, _L1_DB), lambda i, j, l: (j, l), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_q, 1), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_n), lambda i, j, l: (0, j), memory_space=pltpu.VMEM
+            ),
+        ]
+        out_spec = pl.BlockSpec(
+            (tile_q, tile_n), lambda i, j, l: (i, j), memory_space=pltpu.VMEM
+        )
+    else:
+        grid = (qp // tile_q, n // tile_n)
+        in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # multiplier (1,)
             pl.BlockSpec((tile_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
+        ]
+        out_spec = pl.BlockSpec(
             (tile_q, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
-        ),
+        )
+    kernel = _l1_kernel if l1 else _dot_kernel
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((qp, n), jnp.float32),
         interpret=interpret,
     )(

@@ -65,24 +65,46 @@ def chunks_to_centroids(
 
 
 @jax.jit
+def _encode_group(x: jax.Array, c: jax.Array) -> jax.Array:
+    """Nearest-centroid codes for a chunk group: f32[g, B, d], f32[g, k, d]
+    -> u8[g, B]. Batched einsum + argmin (no per-chunk scan)."""
+    x2 = jnp.sum(x * x, axis=2)[:, :, None]  # [g, B, 1]
+    c2 = jnp.sum(c * c, axis=2)  # [g, k]
+    xc = jnp.einsum("gbd,gkd->gbk", x, c, preferred_element_type=jnp.float32)
+    d2 = x2 + c2[:, None, :] - 2.0 * xc
+    return jnp.argmin(d2, axis=2).astype(jnp.uint8)  # first min
+
+
 def encode_batch(x_chunks: jax.Array, c_chunks: jax.Array) -> jax.Array:
     """Nearest-centroid codes for a batch.
 
     x_chunks: f32[m, B, dmax], c_chunks: f32[m, k, dmax] -> u8[B, m].
     Per-chunk argmin of squared euclidean distance — PQ always uses the
     euclid metric for encoding regardless of the scoring distance
-    (encoded_vectors_pq.rs:250-256).
+    (encoded_vectors_pq.rs:250-256). The chunk axis runs in balanced groups
+    so the [g, B, k] distance tensor stays bounded and every group reuses
+    one compiled program.
     """
+    from .kmeans import group_size
 
-    def per_chunk(args):
-        x, c = args
-        x2 = jnp.sum(x * x, axis=1, keepdims=True)
-        c2 = jnp.sum(c * c, axis=1)
-        d2 = x2 + c2[None, :] - 2.0 * (x @ c.T)
-        return jnp.argmin(d2, axis=1).astype(jnp.uint8)  # first min
-
-    codes_mb = jax.lax.map(per_chunk, (x_chunks, c_chunks))  # [m, B]
-    return codes_mb.T
+    x_chunks = jnp.asarray(x_chunks, jnp.float32)
+    c_chunks = jnp.asarray(c_chunks, jnp.float32)
+    m, b, _ = x_chunks.shape
+    k = c_chunks.shape[1]
+    g = group_size(m, b, k)
+    ngroups = -(-m // g)
+    if ngroups * g != m:
+        pad = ngroups * g - m
+        x_chunks = jnp.concatenate([x_chunks, x_chunks[:pad]], axis=0)
+        c_chunks = jnp.concatenate([c_chunks, c_chunks[:pad]], axis=0)
+    parts = [
+        _encode_group(
+            x_chunks[i * g : (i + 1) * g], c_chunks[i * g : (i + 1) * g]
+        )
+        for i in range(ngroups)
+    ]
+    codes_mb = jnp.concatenate(parts, axis=0) if ngroups > 1 else parts[0]
+    return codes_mb[:m].T
 
 
 @partial(jax.jit, static_argnames=("distance_type", "invert"))
@@ -97,18 +119,23 @@ def build_lut(
     sub-vector to each centroid sub-vector (encoded_vectors_pq.rs:525-547),
     negated under ``invert``."""
 
-    def per_chunk(args):
-        q, c = args  # [Q, dmax], [k, dmax]
-        if distance_type == DistanceType.DOT:
-            d = q @ c.T
-        elif distance_type == DistanceType.L1:
-            d = jnp.sum(jnp.abs(q[:, None, :] - c[None, :, :]), axis=-1)
-        else:
-            diff = q[:, None, :] - c[None, :, :]
-            d = jnp.sum(diff * diff, axis=-1)
-        return d  # [Q, k]
-
-    lut = jax.lax.map(per_chunk, (q_chunks, c_chunks))  # [m, Q, k]
+    if distance_type == DistanceType.DOT:
+        lut = jnp.einsum(
+            "mqd,mkd->mqk", q_chunks, c_chunks,
+            preferred_element_type=jnp.float32,
+        )
+    elif distance_type == DistanceType.L1:
+        lut = jnp.sum(
+            jnp.abs(q_chunks[:, :, None, :] - c_chunks[:, None, :, :]), axis=-1
+        )  # [m, Q, k]
+    else:
+        q2 = jnp.sum(q_chunks * q_chunks, axis=2)[:, :, None]  # [m, Q, 1]
+        c2 = jnp.sum(c_chunks * c_chunks, axis=2)[:, None, :]  # [m, 1, k]
+        qc = jnp.einsum(
+            "mqd,mkd->mqk", q_chunks, c_chunks,
+            preferred_element_type=jnp.float32,
+        )
+        lut = q2 + c2 - 2.0 * qc
     lut = jnp.moveaxis(lut, 0, 1)
     return -lut if invert else lut
 
@@ -154,17 +181,22 @@ def centroid_distance_table(
     the batched form of the reference's decode-and-compare score_internal
     (encoded_vectors_pq.rs:566-593)."""
 
-    def per_chunk(c):
-        if distance_type == DistanceType.DOT:
-            d = c @ c.T
-        elif distance_type == DistanceType.L1:
-            d = jnp.sum(jnp.abs(c[:, None, :] - c[None, :, :]), axis=-1)
-        else:
-            diff = c[:, None, :] - c[None, :, :]
-            d = jnp.sum(diff * diff, axis=-1)
-        return d
-
-    cdist = jax.lax.map(per_chunk, c_chunks)  # [m, k, k]
+    if distance_type == DistanceType.DOT:
+        cdist = jnp.einsum(
+            "mad,mbd->mab", c_chunks, c_chunks,
+            preferred_element_type=jnp.float32,
+        )
+    elif distance_type == DistanceType.L1:
+        cdist = jnp.sum(
+            jnp.abs(c_chunks[:, :, None, :] - c_chunks[:, None, :, :]), axis=-1
+        )
+    else:
+        c2 = jnp.sum(c_chunks * c_chunks, axis=2)
+        ab = jnp.einsum(
+            "mad,mbd->mab", c_chunks, c_chunks,
+            preferred_element_type=jnp.float32,
+        )
+        cdist = c2[:, :, None] + c2[:, None, :] - 2.0 * ab
     return -cdist if invert else cdist
 
 

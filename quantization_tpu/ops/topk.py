@@ -6,12 +6,13 @@ device; selection is the last (and, naively, the slowest) stage:
 ``lax.top_k`` over [Q, N] for N in the millions dominates the whole query.
 
 Two device-side strategies:
-  * ``exact``: blocked two-stage top-k — per-block top-k over the lane axis,
-    then a final top-k over the nb*k survivors. Same result as a flat
-    ``lax.top_k``, far less sorting work.
+  * ``exact``: a flat ``lax.top_k``. Measured on v5e, XLA's TopK custom call
+    is already a blocked partial sort — a hand-blocked two-stage reduction
+    (per-block top-k, then top-k over survivors) ran 20x SLOWER (12ms vs
+    0.6ms on [256, 100k]), so the hand-blocked variant was removed.
   * ``approx``: ``lax.approx_max_k`` — the TPU-native partial-reduce top-k
     (recall_target controls quality), the right default for ANN serving where
-    the quantizer itself is already approximate.
+    the quantizer itself is already approximate; ~2x faster again.
 """
 
 from __future__ import annotations
@@ -25,26 +26,12 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-jnp.inf)
 
 
-@partial(jax.jit, static_argnames=("k", "block"))
-def topk_exact(
-    scores: jax.Array, k: int, block: int = 2048
-) -> Tuple[jax.Array, jax.Array]:
-    """Exact (scores[Q, k], indices[Q, k]) via blocked two-stage selection."""
-    q, n = scores.shape
-    if n <= max(block, 2 * k):
-        s, i = jax.lax.top_k(scores, min(k, n))
-        return _pad_k(s, i, k, n)
-    nb = -(-n // block)
-    pad = nb * block - n
-    if pad:
-        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
-    kb = min(k, block)
-    s1, i1 = jax.lax.top_k(scores.reshape(q, nb, block), kb)  # [Q, nb, kb]
-    base = (jnp.arange(nb) * block)[None, :, None]
-    gidx = (i1 + base).reshape(q, nb * kb)
-    s2, p = jax.lax.top_k(s1.reshape(q, nb * kb), min(k, nb * kb))
-    idx = jnp.take_along_axis(gidx, p, axis=1)
-    return _pad_k(s2, idx, k, n)
+@partial(jax.jit, static_argnames=("k",))
+def topk_exact(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact (scores[Q, k], indices[Q, k])."""
+    n = scores.shape[-1]
+    s, i = jax.lax.top_k(scores, min(k, n))
+    return _pad_k(s, i, k, n)
 
 
 @partial(jax.jit, static_argnames=("k", "recall_target"))

@@ -96,6 +96,49 @@ def test_bq_kernel_matches_xla(rng, dt, invert):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("dt", [DistanceType.DOT, DistanceType.L1, DistanceType.L2])
+@pytest.mark.parametrize("invert", [False, True])
+@pytest.mark.parametrize("dim", [33, 193, 256])
+def test_bq_mxu_kernel_matches_xla(rng, dt, invert, dim):
+    from quantization_tpu.ops.pallas.bq_kernel import bq_scores_mxu
+
+    n_valid, q = 300, 5
+    row_bytes = bq_ops.storage_bytes(dim, "u128")
+    data = np.sign(rng.random((n_valid, dim), dtype=np.float32) - 0.5)
+    rows = bq_ops.pack_rows(data, row_bytes)
+    planes = bq_ops.rows_to_planes(rows)  # [W, n]
+    npad = round_up(n_valid, BQ_TILE)
+    planes_p = np.zeros((planes.shape[0], npad), planes.dtype)
+    planes_p[:, :n_valid] = planes
+    w8 = round_up(planes.shape[0], 8)
+    planes_p = np.pad(planes_p, ((0, w8 - planes.shape[0]), (0, 0)))
+    qdata = np.sign(rng.random((q, dim), dtype=np.float32) - 0.5)
+    qrows = bq_ops.pack_rows(qdata, row_bytes)
+    qplanes = bq_ops.rows_to_planes(qrows).T.copy()  # [q, W]
+
+    want = np.asarray(
+        bq_ops.score_batch_xla(
+            jnp.asarray(qplanes),
+            jnp.asarray(planes),
+            distance_type=dt,
+            invert=invert,
+            dim=dim,
+        )
+    )
+    got = np.asarray(
+        bq_scores_mxu(
+            jnp.asarray(qplanes),
+            jnp.asarray(planes_p),
+            distance_type=dt,
+            invert=invert,
+            dim=dim,
+            n_valid=n_valid,
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("m", [7, 130])
 @pytest.mark.parametrize("q", [1, 4])
 def test_pq_kernel_matches_xla(rng, m, q):
@@ -112,7 +155,7 @@ def test_pq_kernel_matches_xla(rng, m, q):
     got = np.asarray(
         pq_scores_pallas(
             jnp.asarray(lut),
-            jnp.asarray(codes),
+            jnp.asarray(codes.T.copy()),
             n_valid=n_valid,
             interpret=True,
         )
