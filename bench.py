@@ -70,15 +70,16 @@ def main():
 
     pallas = use_pallas()
     if pallas:
-        from quantization_tpu.ops.pallas.sq_kernel import sq_scores_pallas
+        from quantization_tpu.ops.pallas.sq_kernel import sq_search_pallas
 
         @jax.jit
         def quant_search(qc, qo, c, vo):
-            s = sq_scores_pallas(
+            # Fused score+top-k: the [Q, N] score matrix never reaches HBM.
+            return sq_search_pallas(
                 qc, qo, c, vo, mult,
-                distance_type=DistanceType.DOT, n_valid=N, interpret=False,
+                distance_type=DistanceType.DOT, n_valid=N, k=K,
+                interpret=False,
             )
-            return topk_exact(s, K)
     else:
 
         @jax.jit

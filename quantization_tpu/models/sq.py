@@ -289,6 +289,34 @@ class ScalarQuantizerU8(EncodedVectors):
             distance_type=self.params.distance_type,
         )
 
+    def top_k(self, equery: EncodedQueryU8, k: int, method: str = "exact"):
+        """Fused Pallas search on TPU for DOT/L2: int8 MXU scoring with
+        in-tile top-k extraction — the [Q, N] score matrix never touches
+        HBM. Falls back to score-then-select otherwise."""
+        from ..ops.pallas.ktile import SLOT
+
+        if (
+            method == "exact"
+            and dispatch.use_pallas()
+            and self.count
+            and self.params.distance_type != DistanceType.L1
+            and k <= SLOT
+        ):
+            from ..ops.pallas.sq_kernel import sq_search_pallas
+
+            s, i = sq_search_pallas(
+                equery.codes,
+                equery.offsets,
+                self.codes,
+                self.voffsets,
+                jnp.float32(self.metadata.multiplier),
+                distance_type=self.params.distance_type,
+                n_valid=self.count,
+                k=k,
+            )
+            return np.asarray(s), np.asarray(i)
+        return super().top_k(equery, k, method=method)
+
     def score_points(self, equery: EncodedQueryU8, ids) -> jax.Array:
         ids = jnp.asarray(ids, jnp.int32)
         return sq_ops.score_batch_xla(

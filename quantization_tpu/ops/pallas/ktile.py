@@ -1,0 +1,68 @@
+"""In-kernel per-tile top-k extraction (shared by the fused search kernels).
+
+The memory wall of "matmul then lax.top_k" is the [Q, N] f32 score matrix:
+at N=10M that is 10GB of HBM writes + reads per query batch. The fused
+kernels never materialize it — each (query-tile, corpus-tile) grid step
+reduces its [TQ, TN] score tile to the tile's top-k (k rounds of
+max/argmax/mask on the VPU, ~k*TQ*TN ops, negligible next to the tile's
+matmul), and only [Q, n_tiles, 128] candidate slots reach HBM. A final
+cheap ``lax.top_k`` over the ~n_tiles*k survivors merges tiles.
+
+This replaces the reference caller's per-point bounded heap
+(ann_benchmark_data.rs:151-166) with a device-resident two-stage selection.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Python literal (not a traced jnp scalar): kernels close over it, and
+# Pallas rejects captured constant arrays.
+NEG = -3.4e38
+
+# Candidate slots per (query row, corpus tile) written to HBM. Fixed at the
+# 128-lane tile so the output block shape is Mosaic-legal; slots beyond k
+# hold NEG/-1.
+SLOT = 128
+
+
+def extract_topk_tile(scores, k: int, base_index):
+    """scores f32[TQ, TN] -> (vals f32[TQ, SLOT], idx i32[TQ, SLOT]).
+
+    k rounds of max/argmax/mask; idx entries are base_index + lane position
+    (global corpus ids). Rows beyond k are NEG / -1 filler.
+    """
+    tq, tn = scores.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, tn), 1)
+    vals = []
+    idxs = []
+    x = scores
+    for _ in range(k):
+        m = jnp.max(x, axis=1, keepdims=True)  # [TQ, 1]
+        am = jnp.argmax(x, axis=1)[:, None].astype(jnp.int32)  # [TQ, 1]
+        vals.append(m)
+        idxs.append(am + base_index)
+        x = jnp.where(lane == am, NEG, x)
+    pad = SLOT - k
+    vals.append(jnp.full((tq, pad), NEG, jnp.float32))
+    idxs.append(jnp.full((tq, pad), -1, jnp.int32))
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(idxs, axis=1)
+
+
+def merge_tile_topk(vals, idxs, k: int):
+    """Merge per-tile candidates: vals f32[Q, NT*SLOT], idxs i32[Q, NT*SLOT]
+    (as produced by a fused kernel's two outputs) -> ([Q, k], [Q, k])."""
+    q = vals.shape[0]
+    nt = vals.shape[1] // SLOT
+    # Only the first k slots per tile are live; slice them out to shrink the
+    # final sort to nt*k entries.
+    v = vals.reshape(q, nt, SLOT)[:, :, :k].reshape(q, nt * k)
+    i = idxs.reshape(q, nt, SLOT)[:, :, :k].reshape(q, nt * k)
+    kk = min(k, nt * k)
+    s, pos = jax.lax.top_k(v, kk)
+    gi = jnp.take_along_axis(i, pos, axis=1)
+    if kk < k:
+        s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=NEG)
+        gi = jnp.pad(gi, ((0, 0), (0, k - kk)), constant_values=-1)
+    return s, gi

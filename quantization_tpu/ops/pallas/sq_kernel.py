@@ -24,6 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.types import DistanceType
 from ...utils.padding import pad_dim_to, round_up
 from ..dispatch import interpret_mode
+from .ktile import NEG, SLOT, extract_topk_tile, merge_tile_topk
 
 TILE_N = 512
 TILE_Q = 128
@@ -69,6 +70,103 @@ def _l1_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
     @pl.when(di == pl.num_programs(2) - 1)
     def _epilogue():
         out_ref[:] = mult_ref[0] * out_ref[:] + qoff_ref[:] + voff_ref[:]
+
+
+def _make_dot_topk_kernel(k: int, n_valid: int, tile_n: int):
+    def kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, outv_ref, outi_ref):
+        j = pl.program_id(1)
+        acc = jax.lax.dot_general(
+            q_ref[:],
+            c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = (
+            mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
+        )
+        base = j * tile_n
+        gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(gid < n_valid, scores, NEG)
+        vals, idx = extract_topk_tile(scores, k, base)
+        outv_ref[:] = vals
+        outi_ref[:] = idx
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("distance_type", "n_valid", "k", "interpret"),
+)
+def sq_search_pallas(
+    qcodes: jax.Array,  # int8 [Q, D]  (D lane-aligned)
+    qoff: jax.Array,  # f32 [Q]
+    codes: jax.Array,  # int8 [Npad, D] (rows >= n_valid are zero)
+    voff: jax.Array,  # f32 [Npad]
+    multiplier: jax.Array,  # f32 scalar
+    *,
+    distance_type: DistanceType,
+    n_valid: int,
+    k: int,
+    interpret: bool = None,
+):
+    """Fused SQ search: int8 MXU scoring + in-tile top-k, never
+    materializing the [Q, N] score matrix (SURVEY.md §7 hard part 2).
+    Returns (scores f32[Q, k], indices i32[Q, k]). DOT/L2 only (L1 scores
+    ride the XLA path)."""
+    assert distance_type != DistanceType.L1
+    assert k <= SLOT
+    if interpret is None:
+        interpret = interpret_mode()
+    q, d = qcodes.shape
+    n = codes.shape[0]
+    # Wider corpus tile than the score-matrix kernel: each tile emits only
+    # 128 candidate slots, so doubling tile_n halves candidate traffic and
+    # the final merge width. n is padded to TILE_N=512 by the quantizer;
+    # use the largest multiple that still divides n.
+    tile_n = TILE_N
+    while tile_n * 2 <= 2048 and n % (tile_n * 2) == 0:
+        tile_n *= 2
+    tile_q = min(TILE_Q, round_up(q, 32))
+    assert n % tile_n == 0, f"N={n} must be padded to {tile_n}"
+    qp = round_up(q, tile_q)
+    qcodes = pad_dim_to(qcodes, 0, qp)
+    qoff2 = pad_dim_to(qoff.reshape(-1, 1), 0, qp)
+    voff2 = voff.reshape(1, -1)
+    nt = n // tile_n
+
+    kernel = _make_dot_topk_kernel(k, n_valid, tile_n)
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid=(qp // tile_q, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # multiplier (1,)
+            pl.BlockSpec((tile_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile_q, SLOT), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_q, SLOT), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, nt * SLOT), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nt * SLOT), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        multiplier.reshape(1).astype(jnp.float32),
+        qcodes,
+        codes,
+        qoff2.astype(jnp.float32),
+        voff2.astype(jnp.float32),
+    )
+    return merge_tile_topk(vals[:q], idxs[:q], k)
 
 
 @partial(

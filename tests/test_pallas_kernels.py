@@ -96,6 +96,36 @@ def test_bq_kernel_matches_xla(rng, dt, invert):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("dt", [DistanceType.DOT, DistanceType.L2])
+@pytest.mark.parametrize("k", [1, 10])
+def test_sq_fused_search_matches_score_then_topk(rng, dt, k):
+    from quantization_tpu.ops.pallas.sq_kernel import sq_search_pallas
+    from quantization_tpu.ops.topk import topk_exact
+
+    n_valid, d, q = 700, 256, 5
+    npad = round_up(n_valid, SQ_TILE)
+    codes = np.zeros((npad, d), np.int8)
+    codes[:n_valid] = rng.integers(0, 128, (n_valid, d), dtype=np.int8)
+    voff = np.zeros((npad,), np.float32)
+    voff[:n_valid] = rng.random(n_valid, dtype=np.float32)
+    qcodes = rng.integers(0, 128, (q, d), dtype=np.int8)
+    qoff = rng.random(q, dtype=np.float32)
+    mult = jnp.float32(0.37)
+
+    scores = sq_ops.score_batch_xla(
+        jnp.asarray(qcodes), jnp.asarray(qoff), jnp.asarray(codes[:n_valid]),
+        jnp.asarray(voff[:n_valid]), mult, distance_type=dt,
+    )
+    ws, wi = topk_exact(scores, k)
+    gs, gi = sq_search_pallas(
+        jnp.asarray(qcodes), jnp.asarray(qoff), jnp.asarray(codes),
+        jnp.asarray(voff), mult, distance_type=dt, n_valid=n_valid, k=k,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), rtol=1e-6, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+
+
 @pytest.mark.parametrize("dt", [DistanceType.DOT, DistanceType.L1, DistanceType.L2])
 @pytest.mark.parametrize("invert", [False, True])
 @pytest.mark.parametrize("dim", [33, 193, 256])
