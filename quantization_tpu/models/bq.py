@@ -204,6 +204,35 @@ class BinaryQuantizer(EncodedVectors):
             dim=self.params.dim,
         )
 
+    def top_k(self, equery: EncodedQueryBin, k: int, method: str = "exact"):
+        """Fused MXU search on TPU: bit unpack + int8 matmul + in-tile
+        top-k, no [Q, N] score matrix (the coarse stage of two-stage
+        retrieval scans the full corpus, so this is where the score-matrix
+        memory wall bites first)."""
+        from ..ops.pallas.ktile import SLOT
+
+        if (
+            method == "exact"
+            and dispatch.use_pallas()
+            and self.count
+            and self.planes.shape[0] > 0
+            and k <= SLOT
+            and os.environ.get("QTPU_BQ_KERNEL", "mxu") == "mxu"
+        ):
+            from ..ops.pallas.bq_kernel import bq_search_mxu
+
+            s, i = bq_search_mxu(
+                equery.planes,
+                self.planes,
+                distance_type=self.params.distance_type,
+                invert=self.params.invert,
+                dim=self.params.dim,
+                n_valid=self.count,
+                k=k,
+            )
+            return np.asarray(s), np.asarray(i)
+        return super().top_k(equery, k, method=method)
+
     def score_points(self, equery: EncodedQueryBin, ids) -> jax.Array:
         ids = jnp.asarray(ids, jnp.int32)
         sub = jnp.take(self.planes, ids, axis=1)

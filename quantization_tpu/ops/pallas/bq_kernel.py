@@ -25,6 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.types import DistanceType
 from ...utils.padding import pad_dim_to, round_up
 from ..dispatch import interpret_mode
+from .ktile import NEG, SLOT, extract_topk_tile, merge_tile_topk
 
 TILE_N = 2048
 W_ALIGN = 8  # sublane tile for 32-bit planes
@@ -65,14 +66,7 @@ def _mxu_kernel(mult_ref, qs_ref, p_ref, qb_ref, out_ref):
     (row % 32), so row w*32+j of the unpacked tile is bit j (LSB-first, the
     storage bit order of encoded_vectors_binary.rs:193-208) of word w.
     """
-    w8 = p_ref.shape[0]
-    tn = p_ref.shape[1]
-    dp = w8 * 32
-    planes_rep = jnp.repeat(p_ref[:].astype(jnp.int32), 32, axis=0)  # [Dp, TN]
-    shifts = jax.lax.broadcasted_iota(jnp.int32, (dp, tn), 0) % 32
-    bits = jnp.bitwise_and(
-        jax.lax.shift_right_logical(planes_rep, shifts), 1
-    ).astype(jnp.int8)
+    bits = _unpack_bits(p_ref)
     acc = jax.lax.dot_general(
         qs_ref[:],
         bits,
@@ -80,6 +74,135 @@ def _mxu_kernel(mult_ref, qs_ref, p_ref, qb_ref, out_ref):
         preferred_element_type=jnp.int32,
     )
     out_ref[:] = mult_ref[0] * acc.astype(jnp.float32) + qb_ref[:]
+
+
+def _unpack_bits(p_ref):
+    """uint32 [W8, TN] packed words -> int8 0/1 [W8*32, TN]: word rows
+    replicated 32x along sublanes, shifted by (row % 32), LSB-first."""
+    w8, tn = p_ref.shape
+    dp = w8 * 32
+    planes_rep = jnp.repeat(p_ref[:].astype(jnp.int32), 32, axis=0)
+    shifts = jax.lax.broadcasted_iota(jnp.int32, (dp, tn), 0) % 32
+    return jnp.bitwise_and(
+        jax.lax.shift_right_logical(planes_rep, shifts), 1
+    ).astype(jnp.int8)
+
+
+def _make_mxu_topk_kernel(k: int, n_valid: int, tile_n: int):
+    def kernel(mult_ref, qs_ref, p_ref, qb_ref, outv_ref, outi_ref):
+        j = pl.program_id(1)
+        bits = _unpack_bits(p_ref)
+        acc = jax.lax.dot_general(
+            qs_ref[:],
+            bits,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = mult_ref[0] * acc.astype(jnp.float32) + qb_ref[:]
+        base = j * tile_n
+        gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(gid < n_valid, scores, NEG)
+        vals, idx = extract_topk_tile(scores, k, base)
+        outv_ref[:] = vals
+        outi_ref[:] = idx
+
+    return kernel
+
+
+def _query_signs(qplanes, w8, dim):
+    """Packed query words -> (+-1 int8 [Q, W8*32] with 0 pads, popcounts)."""
+    q = qplanes.shape[0]
+    dp = w8 * 32
+    words = qplanes.astype(jnp.uint32)
+    if qplanes.shape[1] < w8:
+        words = jnp.pad(words, ((0, 0), (0, w8 - qplanes.shape[1])))
+    jbits = (
+        jax.lax.shift_right_logical(
+            words[:, :, None], jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+        )
+        & 1
+    ).astype(jnp.int32)  # [Q, W8, 32]
+    qbits = jbits.reshape(q, dp)
+    valid = (jnp.arange(dp) < dim)[None, :]
+    qs = jnp.where(valid, 2 * qbits - 1, 0).astype(jnp.int8)
+    pq = jnp.sum(jnp.where(valid, qbits, 0), axis=1).astype(jnp.float32)
+    return qs, pq
+
+
+def _metric_affine(distance_type, invert, dim, pq):
+    """score = mult * (qs.bits) + qb per the Hamming->metric truth table
+    (encoded_vectors_binary.rs:242-252), with hamming = pq - qs.bits."""
+    dot = distance_type == DistanceType.DOT
+    s = 1.0 if (dot != invert) else -1.0
+    mult = jnp.full((1,), 2.0 * s, jnp.float32)
+    qb = (s * (float(dim) - 2.0 * pq)).reshape(-1, 1)
+    return mult, qb
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "distance_type", "invert", "dim", "n_valid", "k", "interpret",
+    ),
+)
+def bq_search_mxu(
+    qplanes: jax.Array,  # uint32 [Q, W]
+    planes: jax.Array,  # uint32 [W8, Npad]
+    *,
+    distance_type: DistanceType,
+    invert: bool,
+    dim: int,
+    n_valid: int,
+    k: int,
+    interpret: bool = None,
+):
+    """Fused BQ search: on-chip bit unpack + int8 MXU scoring + in-tile
+    top-k — (scores f32[Q, k], indices i32[Q, k]) without a [Q, N] matrix.
+
+    Scores are integer-exact. BQ scores tie heavily (they are small
+    integers); among tied scores the returned indices may differ from a
+    flat lax.top_k on real hardware (Mosaic argmax tie order) — the same
+    freedom the reference's per-point heap has (ann_benchmark_data.rs:151).
+    """
+    assert k <= SLOT
+    if interpret is None:
+        interpret = interpret_mode()
+    q = qplanes.shape[0]
+    w8, n = planes.shape
+    tn = MXU_TILE_N
+    assert n % tn == 0, f"N={n} must be padded to {tn}"
+    dp = w8 * 32
+
+    qs, pq = _query_signs(qplanes, w8, dim)
+    mult, qb = _metric_affine(distance_type, invert, dim, pq)
+
+    tq = min(MXU_TILE_Q, round_up(q, 32))
+    qp = round_up(q, tq)
+    qs = pad_dim_to(qs, 0, qp)
+    qb = pad_dim_to(qb, 0, qp)
+    nt = n // tn
+
+    kernel = _make_mxu_topk_kernel(k, n_valid, tn)
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid=(qp // tq, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # mult (1,)
+            pl.BlockSpec((tq, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w8, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, SLOT), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, SLOT), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, nt * SLOT), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nt * SLOT), jnp.int32),
+        ],
+        interpret=interpret,
+    )(mult, qs, planes, qb)
+    return merge_tile_topk(vals[:q], idxs[:q], k)
 
 
 @partial(
@@ -108,33 +231,14 @@ def bq_scores_mxu(
     """
     if interpret is None:
         interpret = interpret_mode()
-    q, w = qplanes.shape
+    q = qplanes.shape[0]
     w8, n = planes.shape
     tn = MXU_TILE_N
     assert n % tn == 0, f"N={n} must be padded to {tn}"
     dp = w8 * 32
 
-    # Unpack the (small) query batch to +-1 signs on device; pad dims -> 0.
-    words = qplanes.astype(jnp.uint32)
-    if w < w8:
-        words = jnp.pad(words, ((0, 0), (0, w8 - w)))
-    jbits = (
-        jax.lax.shift_right_logical(
-            words[:, :, None], jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-        )
-        & 1
-    ).astype(jnp.int32)  # [Q, W8, 32]
-    qbits = jbits.reshape(q, dp)
-    valid = (jnp.arange(dp) < dim)[None, :]
-    qs = jnp.where(valid, 2 * qbits - 1, 0).astype(jnp.int8)
-    pq = jnp.sum(jnp.where(valid, qbits, 0), axis=1).astype(jnp.float32)
-
-    # score = s*(2*acc + d - 2*pq): s=+1 iff (dot) xor (invert) is "similarity
-    # up" — the Hamming->metric truth table of encoded_vectors_binary.rs.
-    dot = distance_type == DistanceType.DOT
-    s = 1.0 if (dot != invert) else -1.0
-    mult = jnp.full((1,), 2.0 * s, jnp.float32)
-    qb = (s * (float(dim) - 2.0 * pq)).reshape(-1, 1)
+    qs, pq = _query_signs(qplanes, w8, dim)
+    mult, qb = _metric_affine(distance_type, invert, dim, pq)
 
     tq = min(MXU_TILE_Q, round_up(q, 32))
     qp = round_up(q, tq)

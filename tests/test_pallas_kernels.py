@@ -169,6 +169,41 @@ def test_bq_mxu_kernel_matches_xla(rng, dt, invert, dim):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("dt", [DistanceType.DOT, DistanceType.L2])
+@pytest.mark.parametrize("invert", [False, True])
+def test_bq_fused_search_matches_score_then_topk(rng, dt, invert):
+    from quantization_tpu.ops.pallas.bq_kernel import bq_search_mxu
+    from quantization_tpu.ops.topk import topk_exact
+
+    dim, n_valid, q, k = 193, 900, 4, 10
+    row_bytes = bq_ops.storage_bytes(dim, "u128")
+    data = np.sign(rng.random((n_valid, dim), dtype=np.float32) - 0.5)
+    rows = bq_ops.pack_rows(data, row_bytes)
+    planes = bq_ops.rows_to_planes(rows)
+    npad = round_up(n_valid, BQ_TILE)
+    planes_p = np.zeros((planes.shape[0], npad), planes.dtype)
+    planes_p[:, :n_valid] = planes
+    w8 = round_up(planes.shape[0], 8)
+    planes_p = np.pad(planes_p, ((0, w8 - planes.shape[0]), (0, 0)))
+    qdata = np.sign(rng.random((q, dim), dtype=np.float32) - 0.5)
+    qplanes = bq_ops.rows_to_planes(bq_ops.pack_rows(qdata, row_bytes)).T.copy()
+
+    scores = bq_ops.score_batch_xla(
+        jnp.asarray(qplanes), jnp.asarray(planes),
+        distance_type=dt, invert=invert, dim=dim,
+    )
+    ws, wi = topk_exact(scores, k)
+    gs, gi = bq_search_mxu(
+        jnp.asarray(qplanes), jnp.asarray(planes_p),
+        distance_type=dt, invert=invert, dim=dim,
+        n_valid=n_valid, k=k, interpret=True,
+    )
+    # BQ scores are small integers with heavy ties: scores must match
+    # exactly; tie order follows ascending index in both selectors.
+    np.testing.assert_array_equal(np.asarray(gs), np.asarray(ws))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+
+
 @pytest.mark.parametrize("m", [7, 130])
 @pytest.mark.parametrize("q", [1, 4])
 def test_pq_kernel_matches_xla(rng, m, q):
