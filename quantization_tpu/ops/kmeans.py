@@ -43,17 +43,8 @@ def group_size(m: int, n: int, k: int, cap: int = _DIST_BYTES_CAP) -> int:
     return -(-m // ngroups)
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _kmeans_step(
-    centroids: jax.Array,  # f32 [g, k, d]
-    data: jax.Array,  # f32 [g, n, d]
-    reseed_rows: jax.Array,  # i32 [g, k] — host-sampled reseed candidates
-    frozen: jax.Array,  # bool [g] — converged chunks keep their centroids
-):
-    """One Lloyd iteration for a group of chunks.
-
-    Returns (new_centroids[g, k, d], diff[g]).
-    """
+def _lloyd_iteration(centroids, data, reseed_rows, frozen):
+    """One Lloyd iteration for a group of chunks -> (new_c[g,k,d], diff[g])."""
     k = centroids.shape[1]
     x2 = jnp.sum(data * data, axis=2)[:, :, None]  # [g, n, 1]
     c2 = jnp.sum(centroids * centroids, axis=2)  # [g, k]
@@ -73,6 +64,34 @@ def _kmeans_step(
     new_c = jnp.where(frozen[:, None, None], centroids, new_c)
     diff = jnp.sum(jnp.abs(new_c - centroids), axis=(1, 2))
     return new_c, diff
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("accuracy",))
+def _kmeans_block(
+    centroids: jax.Array,  # f32 [g, k, d]
+    data: jax.Array,  # f32 [g, n, d]
+    reseed_rows: jax.Array,  # i32 [T, g, k] — per-iteration reseed candidates
+    frozen: jax.Array,  # bool [g] — converged chunks keep their centroids
+    *,
+    accuracy: float,
+):
+    """T Lloyd iterations as one device program (lax.scan): the host syncs
+    once per block instead of once per iteration — on tunneled TPUs the
+    per-sync round trip would otherwise dominate training. Chunks that
+    converge mid-block freeze immediately, matching the per-iteration
+    convergence test of kmeans.rs:125-135.
+
+    Returns (new_centroids[g, k, d], frozen[g]).
+    """
+
+    def step(carry, rr):
+        cents, froz = carry
+        new_c, diff = _lloyd_iteration(cents, data, rr, froz)
+        froz = froz | (diff < accuracy)
+        return (new_c, froz), None
+
+    (cents, froz), _ = jax.lax.scan(step, (centroids, frozen), reseed_rows)
+    return cents, froz
 
 
 def kmeans_batched(
@@ -104,20 +123,28 @@ def kmeans_batched(
     cents = [grp[:, :k, :] for grp in groups]
     converged = np.zeros((mpad,), bool)
     host_rng = np.random.default_rng(seed)
-    for _ in range(max_iterations):
+    # One stop/convergence sync per block of iterations. With a caller
+    # cancellation flag the block is a single iteration (the reference
+    # checks stop every iteration, kmeans.rs:29-31); without one, blocks
+    # of 10 cut the host<->device round trips 10x.
+    block = 1 if stop_condition is not None else min(10, max_iterations)
+    it = 0
+    while it < max_iterations:
         check_stop(stop_condition)
-        diffs = np.empty((mpad,), np.float32)
+        t = min(block, max_iterations - it)
         for gi in range(ngroups):
-            if converged[gi * g : (gi + 1) * g].all():
-                diffs[gi * g : (gi + 1) * g] = 0.0
+            sl = slice(gi * g, (gi + 1) * g)
+            if converged[sl].all():
                 continue
             rr = jnp.asarray(
-                host_rng.integers(0, n, size=(g, k)), jnp.int32
+                host_rng.integers(0, n, size=(t, g, k)), jnp.int32
             )
-            frozen = jnp.asarray(converged[gi * g : (gi + 1) * g])
-            cents[gi], diff = _kmeans_step(cents[gi], groups[gi], rr, frozen)
-            diffs[gi * g : (gi + 1) * g] = np.asarray(diff)
-        converged |= diffs < accuracy
+            cents[gi], froz = _kmeans_block(
+                cents[gi], groups[gi], rr, jnp.asarray(converged[sl]),
+                accuracy=accuracy,
+            )
+            converged[sl] = np.asarray(froz)
+        it += t
         if converged.all():
             break
     out = jnp.concatenate(cents, axis=0) if ngroups > 1 else cents[0]
