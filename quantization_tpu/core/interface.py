@@ -122,6 +122,20 @@ class EncodedVectors(abc.ABC):
         return float(out.reshape(-1)[0])
 
     # -- serving ------------------------------------------------------------
+    def top_k_device(self, equery, k: int, method: str = "exact"):
+        """(scores[Q, k], indices[Q, k]) as device arrays — no host sync.
+
+        The serving-loop primitive: callers that pipeline query batches use
+        this so the host<->device round trip is paid once per drain, not
+        once per batch. ``top_k`` is the sync-and-convert wrapper.
+        """
+        import jax.numpy as jnp
+
+        from ..ops.topk import top_k as _topk
+
+        scores = jnp.asarray(self.score_batch(equery))
+        return _topk(scores, k, method=method)
+
     def top_k(
         self, equery, k: int, method: str = "exact"
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -129,13 +143,7 @@ class EncodedVectors(abc.ABC):
 
         "Best" always means largest score — callers encode their ranking
         direction via ``invert`` exactly as in the reference contract.
-        ``method``: "exact" (blocked two-stage) or "approx"
-        (TPU approx_max_k).
+        ``method``: "exact" or "approx" (TPU approx_max_k).
         """
-        import jax.numpy as jnp
-
-        from ..ops.topk import top_k as _topk
-
-        scores = jnp.asarray(self.score_batch(equery))
-        s, i = _topk(scores, k, method=method)
+        s, i = self.top_k_device(equery, k, method=method)
         return np.asarray(s), np.asarray(i)

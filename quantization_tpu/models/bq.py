@@ -204,7 +204,7 @@ class BinaryQuantizer(EncodedVectors):
             dim=self.params.dim,
         )
 
-    def top_k(self, equery: EncodedQueryBin, k: int, method: str = "exact"):
+    def top_k_device(self, equery: EncodedQueryBin, k: int, method: str = "exact"):
         """Fused MXU search on TPU: bit unpack + int8 matmul + in-tile
         top-k, no [Q, N] score matrix (the coarse stage of two-stage
         retrieval scans the full corpus, so this is where the score-matrix
@@ -221,7 +221,7 @@ class BinaryQuantizer(EncodedVectors):
         ):
             from ..ops.pallas.bq_kernel import bq_search_mxu
 
-            s, i = bq_search_mxu(
+            return bq_search_mxu(
                 equery.planes,
                 self.planes,
                 distance_type=self.params.distance_type,
@@ -230,8 +230,7 @@ class BinaryQuantizer(EncodedVectors):
                 n_valid=self.count,
                 k=k,
             )
-            return np.asarray(s), np.asarray(i)
-        return super().top_k(equery, k, method=method)
+        return super().top_k_device(equery, k, method=method)
 
     def score_points(self, equery: EncodedQueryBin, ids) -> jax.Array:
         ids = jnp.asarray(ids, jnp.int32)

@@ -17,7 +17,6 @@ import numpy as np
 
 from ..core.interface import EncodedVectors
 from ..core.types import ArgumentsError
-from ..ops.topk import top_k as _topk
 
 
 class ExactRescorer:
@@ -67,17 +66,26 @@ class TwoStageIndex:
             self.fine.encode_query(queries),
         )
 
-    def top_k(
-        self, equery, k: int, method: str = "exact"
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    def top_k_device(self, equery, k: int, method: str = "exact"):
+        """Both stages stay on device; no host sync between coarse and
+        fine."""
         eq_coarse, eq_fine = equery
         r = int(np.ceil(k * self.oversampling))
-        coarse_scores = jnp.asarray(self.coarse.score_batch(eq_coarse))
-        r = min(r, coarse_scores.shape[1])
-        _, cand = _topk(coarse_scores, r, method=method)  # [Q, R]
+        r = min(r, self.coarse.count if self.coarse.count else r)
+        # Route through the coarse quantizer's own top_k_device: on TPU that
+        # is the fused search kernel (no [Q, N] score matrix at the coarse
+        # stage, which scans the whole corpus).
+        _, cand = self.coarse.top_k_device(eq_coarse, r, method=method)
+        cand = jnp.asarray(cand)  # [Q, R]
         fine_scores = jnp.asarray(
             self.fine.score_candidates(eq_fine, cand)
         )  # [Q, R]
         s, pos = jax.lax.top_k(fine_scores, min(k, r))
         idx = jnp.take_along_axis(cand, pos, axis=1)
+        return s, idx
+
+    def top_k(
+        self, equery, k: int, method: str = "exact"
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        s, idx = self.top_k_device(equery, k, method=method)
         return np.asarray(s), np.asarray(idx)

@@ -191,6 +191,9 @@ class ScalarQuantizerU8(EncodedVectors):
                     inv,
                 )
                 return codes_np.view(np.int8), voff_np
+            # Device path: codes STAY on device — only the f32 batch crosses
+            # the host->device link; the int8 codes never round-trip back
+            # (on tunneled TPUs that round trip dominated 1M-scale encode).
             codes, voff = sq_ops.quantize_batch(
                 jnp.asarray(batch),
                 alpha=alpha,
@@ -199,7 +202,10 @@ class ScalarQuantizerU8(EncodedVectors):
                 invert=inv,
                 dpad=actual,
             )
-            return np.asarray(codes), np.asarray(voff)
+            lane = _lane_pad(actual)
+            if lane > actual:
+                codes = jnp.pad(codes, ((0, 0), (0, lane - actual)))
+            return codes, voff
 
         if native is not None and max_threads > 1:
             # Ordered parallel host ingestion — the condvar-ring equivalent
@@ -225,17 +231,27 @@ class ScalarQuantizerU8(EncodedVectors):
                 f"{params.count}"
             )
 
-        codes_np = np.concatenate(code_chunks, axis=0)
         lane = _lane_pad(actual)
-        if lane > actual:
-            codes_np = np.pad(codes_np, ((0, 0), (0, lane - actual)))
+        if native is not None:
+            codes_np = np.concatenate(code_chunks, axis=0)
+            if lane > actual:
+                codes_np = np.pad(codes_np, ((0, 0), (0, lane - actual)))
+            codes_all = jnp.asarray(codes_np)
+            offs_all = jnp.asarray(np.concatenate(off_chunks))
+        else:
+            codes_all = (
+                jnp.concatenate(code_chunks, axis=0)
+                if len(code_chunks) > 1
+                else code_chunks[0]
+            )
+            offs_all = (
+                jnp.concatenate(off_chunks)
+                if len(off_chunks) > 1
+                else off_chunks[0]
+            )
         multiplier = sq_ops.multiplier_for(dt, inv, alpha)
         meta = SQMetadata(actual, alpha, offset, multiplier, params)
-        return cls(
-            jnp.asarray(codes_np),
-            jnp.asarray(np.concatenate(off_chunks)),
-            meta,
-        )
+        return cls(codes_all, offs_all, meta)
 
     # ------------------------------------------------------------------ query
     def encode_query(self, queries) -> EncodedQueryU8:
@@ -289,7 +305,7 @@ class ScalarQuantizerU8(EncodedVectors):
             distance_type=self.params.distance_type,
         )
 
-    def top_k(self, equery: EncodedQueryU8, k: int, method: str = "exact"):
+    def top_k_device(self, equery: EncodedQueryU8, k: int, method: str = "exact"):
         """Fused Pallas search on TPU for DOT/L2: int8 MXU scoring with
         in-tile top-k extraction — the [Q, N] score matrix never touches
         HBM. Falls back to score-then-select otherwise."""
@@ -304,7 +320,7 @@ class ScalarQuantizerU8(EncodedVectors):
         ):
             from ..ops.pallas.sq_kernel import sq_search_pallas
 
-            s, i = sq_search_pallas(
+            return sq_search_pallas(
                 equery.codes,
                 equery.offsets,
                 self.codes,
@@ -314,8 +330,7 @@ class ScalarQuantizerU8(EncodedVectors):
                 n_valid=self.count,
                 k=k,
             )
-            return np.asarray(s), np.asarray(i)
-        return super().top_k(equery, k, method=method)
+        return super().top_k_device(equery, k, method=method)
 
     def score_points(self, equery: EncodedQueryU8, ids) -> jax.Array:
         ids = jnp.asarray(ids, jnp.int32)
