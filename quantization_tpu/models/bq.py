@@ -209,14 +209,14 @@ class BinaryQuantizer(EncodedVectors):
         top-k, no [Q, N] score matrix (the coarse stage of two-stage
         retrieval scans the full corpus, so this is where the score-matrix
         memory wall bites first)."""
-        from ..ops.pallas.ktile import SLOT
+        from ..ops.pallas.ktile import FUSED_K_MAX
 
         if (
             method == "exact"
             and dispatch.use_pallas()
             and self.count
             and self.planes.shape[0] > 0
-            and k <= SLOT
+            and k <= FUSED_K_MAX
             and os.environ.get("QTPU_BQ_KERNEL", "mxu") == "mxu"
         ):
             from ..ops.pallas.bq_kernel import bq_search_mxu

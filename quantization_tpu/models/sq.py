@@ -309,14 +309,14 @@ class ScalarQuantizerU8(EncodedVectors):
         """Fused Pallas search on TPU for DOT/L2: int8 MXU scoring with
         in-tile top-k extraction — the [Q, N] score matrix never touches
         HBM. Falls back to score-then-select otherwise."""
-        from ..ops.pallas.ktile import SLOT
+        from ..ops.pallas.ktile import FUSED_K_MAX
 
         if (
             method == "exact"
             and dispatch.use_pallas()
             and self.count
             and self.params.distance_type != DistanceType.L1
-            and k <= SLOT
+            and k <= FUSED_K_MAX
         ):
             from ..ops.pallas.sq_kernel import sq_search_pallas
 

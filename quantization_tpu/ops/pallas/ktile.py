@@ -26,6 +26,11 @@ NEG = -3.4e38
 # hold NEG/-1.
 SLOT = 128
 
+# Extraction costs k rounds of max/argmax/mask per tile, so the fused path
+# loses to score-matrix + lax.top_k beyond this k (measured on v5e: k=10
+# break-even, k=40 4x slower). Model top_k_device falls back above it.
+FUSED_K_MAX = 16
+
 
 def extract_topk_tile(scores, k: int, base_index):
     """scores f32[TQ, TN] -> (vals f32[TQ, SLOT], idx i32[TQ, SLOT]).
