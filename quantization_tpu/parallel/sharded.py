@@ -23,6 +23,7 @@ from ..core.types import ArgumentsError, DistanceType
 from ..models.bq import BinaryQuantizer, EncodedQueryBin
 from ..models.pq import EncodedQueryPQ, ProductQuantizer
 from ..models.sq import EncodedQueryU8, ScalarQuantizerU8
+from ..ops import dispatch
 
 NEG_INF = jnp.float32(-jnp.inf)
 
@@ -100,8 +101,12 @@ class _ShardedBase:
     def encode_query(self, queries):
         return self.quantizer.encode_query(queries)
 
-    def _shard_dim(self, n: int) -> int:
-        return n + (-n) % self.n_shards
+    def _shard_dim(self, n: int, tile: int = 1) -> int:
+        """Pad the corpus axis so every shard is a multiple of ``tile``
+        (the per-shard Pallas kernels need tile-aligned local slices; the
+        padding is masked out by ``count`` in local_topk_merge)."""
+        step = self.n_shards * tile
+        return n + (-n) % step
 
 
 class ShardedScalarQuantizer(_ShardedBase):
@@ -114,7 +119,9 @@ class ShardedScalarQuantizer(_ShardedBase):
         axis: str = "shard",
     ):
         super().__init__(quantizer, mesh, axis)
-        n_pad = self._shard_dim(self.count)
+        from ..ops.pallas.sq_kernel import TILE_N as SQ_TILE
+
+        n_pad = self._shard_dim(self.count, SQ_TILE)
         codes = _pad_rows(np.asarray(quantizer.codes)[: self.count], n_pad)
         voff = _pad_rows(np.asarray(quantizer.voffsets)[: self.count], n_pad)
         self.codes = jax.device_put(
@@ -150,11 +157,28 @@ def _sq_sharded_topk(
     from ..ops import sq as sq_ops
 
     def local(qc, qo, c, vo, mult):
-        if distance_type == DistanceType.L1:
-            raw = sq_ops.int_l1(qc, c)
+        from ..ops.pallas.sq_kernel import TILE_N as SQ_TILE, sq_scores_pallas
+
+        n_local = c.shape[0]
+        if (
+            dispatch.use_pallas()
+            and distance_type != DistanceType.L1
+            and n_local % SQ_TILE == 0
+        ):
+            # Per-shard Pallas MXU kernel; padding rows are masked by
+            # `count` in local_topk_merge, so n_valid = n_local here.
+            scores = sq_scores_pallas(
+                qc, qo, c, vo, mult,
+                distance_type=distance_type, n_valid=n_local,
+            )
         else:
-            raw = sq_ops.int_dot(qc, c)
-        scores = mult * raw.astype(jnp.float32) + qo[:, None] + vo[None, :]
+            if distance_type == DistanceType.L1:
+                raw = sq_ops.int_l1(qc, c)
+            else:
+                raw = sq_ops.int_dot(qc, c)
+            scores = (
+                mult * raw.astype(jnp.float32) + qo[:, None] + vo[None, :]
+            )
         return local_topk_merge(scores, axis, k, count)
 
     fn = jax.shard_map(
@@ -177,7 +201,9 @@ class ShardedBinaryQuantizer(_ShardedBase):
         axis: str = "shard",
     ):
         super().__init__(quantizer, mesh, axis)
-        n_pad = self._shard_dim(self.count)
+        from ..ops.pallas.bq_kernel import MXU_TILE_N
+
+        n_pad = self._shard_dim(self.count, MXU_TILE_N)
         planes = np.asarray(quantizer.planes)[:, : self.count]
         if planes.shape[1] < n_pad:
             planes = np.pad(planes, ((0, 0), (0, n_pad - planes.shape[1])))
@@ -213,13 +239,27 @@ def _bq_sharded_topk(
     from ..ops import bq as bq_ops
 
     def local(qp, pl_shard):
-        scores = bq_ops.score_batch_xla(
-            qp,
-            pl_shard,
-            distance_type=distance_type,
-            invert=invert,
-            dim=dim,
-        )
+        from ..ops.pallas.bq_kernel import MXU_TILE_N, bq_scores_mxu
+
+        n_local = pl_shard.shape[1]
+        if (
+            dispatch.use_pallas()
+            and n_local % MXU_TILE_N == 0
+            and pl_shard.shape[0] % 8 == 0
+        ):
+            scores = bq_scores_mxu(
+                qp, pl_shard,
+                distance_type=distance_type, invert=invert, dim=dim,
+                n_valid=n_local,
+            )
+        else:
+            scores = bq_ops.score_batch_xla(
+                qp,
+                pl_shard,
+                distance_type=distance_type,
+                invert=invert,
+                dim=dim,
+            )
         return local_topk_merge(scores, axis, k, count)
 
     fn = jax.shard_map(
@@ -243,13 +283,17 @@ class ShardedProductQuantizer(_ShardedBase):
         axis: str = "shard",
     ):
         super().__init__(quantizer, mesh, axis)
-        n_pad = self._shard_dim(self.count)
-        codes = _pad_rows(
-            np.asarray(quantizer.codes)[: self.count, : quantizer.num_chunks],
-            n_pad,
-        )
-        self.codes = jax.device_put(
-            codes, NamedSharding(self.mesh, P(axis, None))
+        from ..ops.pallas.pq_kernel import TILE_N as PQ_TILE
+
+        n_pad = self._shard_dim(self.count, PQ_TILE)
+        self.num_chunks = quantizer.num_chunks
+        # Transposed [Mpad, Npad] scoring layout sharded on the corpus
+        # (lane) axis — the same layout the single-chip Pallas kernel uses.
+        codes_t = np.asarray(quantizer.codes_t)[:, : self.count]
+        if codes_t.shape[1] < n_pad:
+            codes_t = np.pad(codes_t, ((0, 0), (0, n_pad - codes_t.shape[1])))
+        self.codes_t = jax.device_put(
+            codes_t, NamedSharding(self.mesh, P(None, axis))
         )
 
     def top_k(
@@ -257,28 +301,45 @@ class ShardedProductQuantizer(_ShardedBase):
     ) -> Tuple[np.ndarray, np.ndarray]:
         s, i = _pq_sharded_topk(
             equery.lut,
-            self.codes,
+            self.codes_t,
             mesh=self.mesh,
             axis=self.axis,
             k=k,
             count=self.count,
+            num_chunks=self.num_chunks,
         )
         return np.asarray(s), np.asarray(i)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "k", "count"))
-def _pq_sharded_topk(lut, codes, *, mesh, axis, k, count):
+@partial(jax.jit, static_argnames=("mesh", "axis", "k", "count", "num_chunks"))
+def _pq_sharded_topk(lut, codes_t, *, mesh, axis, k, count, num_chunks):
     from ..ops import pq as pq_ops
 
-    def local(lut_rep, codes_shard):
-        scores = pq_ops.score_lut_xla(lut_rep, codes_shard)
+    def local(lut_rep, codes_t_shard):
+        from ..ops.pallas.pq_kernel import (
+            M_BLK,
+            TILE_N as PQ_TILE,
+            pq_scores_pallas,
+        )
+
+        n_local = codes_t_shard.shape[1]
+        if (
+            dispatch.use_pallas()
+            and n_local % PQ_TILE == 0
+            and codes_t_shard.shape[0] % M_BLK == 0
+        ):
+            scores = pq_scores_pallas(lut_rep, codes_t_shard, n_valid=n_local)
+        else:
+            scores = pq_ops.score_lut_xla(
+                lut_rep, codes_t_shard.T[:, :num_chunks]
+            )
         return local_topk_merge(scores, axis, k, count)
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, None, None), P(axis, None)),
+        in_specs=(P(None, None, None), P(None, axis)),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
-    return fn(lut, codes)
+    return fn(lut, codes_t)
