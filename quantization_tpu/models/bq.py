@@ -209,14 +209,14 @@ class BinaryQuantizer(EncodedVectors):
         top-k, no [Q, N] score matrix (the coarse stage of two-stage
         retrieval scans the full corpus, so this is where the score-matrix
         memory wall bites first)."""
-        from ..ops.pallas.ktile import FUSED_K_MAX
+        from ..ops.pallas.ktile import FUSED_K_MAX, SLOT
 
+        fused_ok = (k <= FUSED_K_MAX) if method == "exact" else (k <= SLOT)
         if (
-            method == "exact"
-            and dispatch.use_pallas()
+            dispatch.use_pallas()
             and self.count
             and self.planes.shape[0] > 0
-            and k <= FUSED_K_MAX
+            and fused_ok
             and os.environ.get("QTPU_BQ_KERNEL", "mxu") == "mxu"
         ):
             from ..ops.pallas.bq_kernel import bq_search_mxu
@@ -229,6 +229,7 @@ class BinaryQuantizer(EncodedVectors):
                 dim=self.params.dim,
                 n_valid=self.count,
                 k=k,
+                mode=method,
             )
         return super().top_k_device(equery, k, method=method)
 

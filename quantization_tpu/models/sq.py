@@ -207,6 +207,7 @@ class ScalarQuantizerU8(EncodedVectors):
                 codes = jnp.pad(codes, ((0, 0), (0, lane - actual)))
             return codes, voff
 
+        lane = _lane_pad(actual)
         if native is not None and max_threads > 1:
             # Ordered parallel host ingestion — the condvar-ring equivalent
             # (utils/parallel_encode.py).
@@ -218,20 +219,39 @@ class ScalarQuantizerU8(EncodedVectors):
                 code_chunks.append(codes_np)
                 off_chunks.append(voff_np)
                 total += codes_np.shape[0]
-        else:
+        elif native is not None:
             for batch in batches():
                 check_stop(stop_condition)
                 codes_np, voff_np = encode_one(batch)
                 code_chunks.append(codes_np)
                 off_chunks.append(voff_np)
                 total += codes_np.shape[0]
+        else:
+            # Streaming device accumulation into a preallocated buffer —
+            # peak HBM is the padded corpus itself, not 2x (list+concat).
+            from ..ops.pallas.sq_kernel import TILE_N
+            from ..utils.device_store import DeviceAppender
+
+            npad = params.count + (-params.count) % TILE_N
+            codes_app = DeviceAppender((npad, lane), jnp.int8)
+            voff_app = DeviceAppender((npad,), jnp.float32)
+            for batch in batches():
+                check_stop(stop_condition)
+                codes, voff = encode_one(batch)
+                if total + codes.shape[0] > params.count:
+                    raise ArgumentsError(
+                        f"Vector count exceeds vector parameters count "
+                        f"{params.count}"
+                    )
+                codes_app.append(codes)
+                voff_app.append(voff)
+                total += codes.shape[0]
         if total != params.count:
             raise ArgumentsError(
                 f"Vector count {total} does not match vector parameters count "
                 f"{params.count}"
             )
 
-        lane = _lane_pad(actual)
         if native is not None:
             codes_np = np.concatenate(code_chunks, axis=0)
             if lane > actual:
@@ -239,16 +259,8 @@ class ScalarQuantizerU8(EncodedVectors):
             codes_all = jnp.asarray(codes_np)
             offs_all = jnp.asarray(np.concatenate(off_chunks))
         else:
-            codes_all = (
-                jnp.concatenate(code_chunks, axis=0)
-                if len(code_chunks) > 1
-                else code_chunks[0]
-            )
-            offs_all = (
-                jnp.concatenate(off_chunks)
-                if len(off_chunks) > 1
-                else off_chunks[0]
-            )
+            codes_all = codes_app.finish()
+            offs_all = voff_app.finish()
         multiplier = sq_ops.multiplier_for(dt, inv, alpha)
         meta = SQMetadata(actual, alpha, offset, multiplier, params)
         return cls(codes_all, offs_all, meta)
@@ -309,14 +321,14 @@ class ScalarQuantizerU8(EncodedVectors):
         """Fused Pallas search on TPU for DOT/L2: int8 MXU scoring with
         in-tile top-k extraction — the [Q, N] score matrix never touches
         HBM. Falls back to score-then-select otherwise."""
-        from ..ops.pallas.ktile import FUSED_K_MAX
+        from ..ops.pallas.ktile import FUSED_K_MAX, SLOT
 
+        fused_ok = (k <= FUSED_K_MAX) if method == "exact" else (k <= SLOT)
         if (
-            method == "exact"
-            and dispatch.use_pallas()
+            dispatch.use_pallas()
             and self.count
             and self.params.distance_type != DistanceType.L1
-            and k <= FUSED_K_MAX
+            and fused_ok
         ):
             from ..ops.pallas.sq_kernel import sq_search_pallas
 
@@ -329,6 +341,7 @@ class ScalarQuantizerU8(EncodedVectors):
                 distance_type=self.params.distance_type,
                 n_valid=self.count,
                 k=k,
+                mode=method,
             )
         return super().top_k_device(equery, k, method=method)
 

@@ -25,7 +25,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.types import DistanceType
 from ...utils.padding import pad_dim_to, round_up
 from ..dispatch import interpret_mode
-from .ktile import NEG, SLOT, extract_topk_tile, merge_tile_topk
+from .ktile import (
+    NEG,
+    SLOT,
+    extract_approx_tile,
+    extract_topk_tile,
+    merge_tile_topk,
+    merge_tile_topk_all,
+)
 
 TILE_N = 2048
 W_ALIGN = 8  # sublane tile for 32-bit planes
@@ -55,6 +62,17 @@ def _make_kernel(w: int, distance_type: DistanceType, invert: bool, dim: int):
 
 MXU_TILE_N = 512
 MXU_TILE_Q = 128
+
+
+def _mxu_tile_n(dp: int, n: int) -> int:
+    """Widest corpus tile whose unpack temporaries (planes_rep i32 + bits
+    int8, 5*dp*tn bytes) stay within ~8MB of the 16MB scoped-VMEM stack,
+    and which divides the padded corpus. Wider tiles cut fused-search
+    candidate traffic linearly."""
+    tn = MXU_TILE_N
+    while tn * 2 <= 2048 and n % (tn * 2) == 0 and 5 * dp * tn * 2 <= 8 * 2**20:
+        tn *= 2
+    return tn
 
 
 def _mxu_kernel(mult_ref, qs_ref, p_ref, qb_ref, out_ref):
@@ -88,7 +106,7 @@ def _unpack_bits(p_ref):
     ).astype(jnp.int8)
 
 
-def _make_mxu_topk_kernel(k: int, n_valid: int, tile_n: int):
+def _make_mxu_topk_kernel(k: int, n_valid: int, tile_n: int, approx: bool):
     def kernel(mult_ref, qs_ref, p_ref, qb_ref, outv_ref, outi_ref):
         j = pl.program_id(1)
         bits = _unpack_bits(p_ref)
@@ -102,7 +120,10 @@ def _make_mxu_topk_kernel(k: int, n_valid: int, tile_n: int):
         base = j * tile_n
         gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(gid < n_valid, scores, NEG)
-        vals, idx = extract_topk_tile(scores, k, base)
+        if approx:
+            vals, idx = extract_approx_tile(scores, base)
+        else:
+            vals, idx = extract_topk_tile(scores, k, base)
         outv_ref[:] = vals
         outi_ref[:] = idx
 
@@ -142,7 +163,7 @@ def _metric_affine(distance_type, invert, dim, pq):
 @partial(
     jax.jit,
     static_argnames=(
-        "distance_type", "invert", "dim", "n_valid", "k", "interpret",
+        "distance_type", "invert", "dim", "n_valid", "k", "mode", "interpret",
     ),
 )
 def bq_search_mxu(
@@ -154,10 +175,13 @@ def bq_search_mxu(
     dim: int,
     n_valid: int,
     k: int,
+    mode: str = "exact",
     interpret: bool = None,
 ):
     """Fused BQ search: on-chip bit unpack + int8 MXU scoring + in-tile
     top-k — (scores f32[Q, k], indices i32[Q, k]) without a [Q, N] matrix.
+    ``mode="approx"``: one-pass strided segment-max extraction (cost
+    independent of k, any k <= SLOT) — the coarse-stage default.
 
     Scores are integer-exact. BQ scores tie heavily (they are small
     integers); among tied scores the returned indices may differ from a
@@ -169,7 +193,7 @@ def bq_search_mxu(
         interpret = interpret_mode()
     q = qplanes.shape[0]
     w8, n = planes.shape
-    tn = MXU_TILE_N
+    tn = _mxu_tile_n(w8 * 32, n)
     assert n % tn == 0, f"N={n} must be padded to {tn}"
     dp = w8 * 32
 
@@ -182,7 +206,7 @@ def bq_search_mxu(
     qb = pad_dim_to(qb, 0, qp)
     nt = n // tn
 
-    kernel = _make_mxu_topk_kernel(k, n_valid, tn)
+    kernel = _make_mxu_topk_kernel(k, n_valid, tn, mode == "approx")
     vals, idxs = pl.pallas_call(
         kernel,
         grid=(qp // tq, nt),
@@ -202,7 +226,8 @@ def bq_search_mxu(
         ],
         interpret=interpret,
     )(mult, qs, planes, qb)
-    return merge_tile_topk(vals[:q], idxs[:q], k)
+    merge = merge_tile_topk_all if mode == "approx" else merge_tile_topk
+    return merge(vals[:q], idxs[:q], k)
 
 
 @partial(
@@ -233,7 +258,7 @@ def bq_scores_mxu(
         interpret = interpret_mode()
     q = qplanes.shape[0]
     w8, n = planes.shape
-    tn = MXU_TILE_N
+    tn = _mxu_tile_n(w8 * 32, n)
     assert n % tn == 0, f"N={n} must be padded to {tn}"
     dp = w8 * 32
 

@@ -55,16 +55,51 @@ def extract_topk_tile(scores, k: int, base_index):
     return jnp.concatenate(vals, axis=1), jnp.concatenate(idxs, axis=1)
 
 
+def extract_approx_tile(scores, base_index):
+    """One-pass approximate extraction: scores f32[TQ, TN] -> all SLOT
+    candidate slots, where slot l holds the max over the strided segment
+    {l, l+SLOT, l+2*SLOT, ...} of the tile (the in-kernel analogue of the
+    TPU ``approx_max_k`` bin-and-max). Cost is TN/SLOT compare/select
+    rounds — independent of k — so coarse top-R up to R=SLOT never needs
+    the [Q, N] score matrix. Misses a true top-k entry only when two of a
+    query's tile-local top entries collide in a stride class."""
+    tq, tn = scores.shape
+    ns = tn // SLOT
+    vals = scores[:, :SLOT]
+    win = jnp.zeros((tq, SLOT), jnp.int32)
+    for s in range(1, ns):
+        seg = scores[:, s * SLOT : (s + 1) * SLOT]
+        upd = seg > vals
+        vals = jnp.where(upd, seg, vals)
+        win = jnp.where(upd, s, win)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, SLOT), 1)
+    idx = base_index + win * SLOT + lane
+    return vals, idx
+
+
 def merge_tile_topk(vals, idxs, k: int):
     """Merge per-tile candidates: vals f32[Q, NT*SLOT], idxs i32[Q, NT*SLOT]
-    (as produced by a fused kernel's two outputs) -> ([Q, k], [Q, k])."""
+    (as produced by a fused kernel's two outputs) -> ([Q, k], [Q, k]).
+
+    ``live``: slots per tile that hold real candidates — k for the exact
+    extraction, SLOT for the approximate one."""
+    return _merge(vals, idxs, k, live=min(k, SLOT))
+
+
+def merge_tile_topk_all(vals, idxs, k: int):
+    """Merge variant for the approx extraction: every slot is live."""
+    return _merge(vals, idxs, k, live=SLOT)
+
+
+def _merge(vals, idxs, k: int, live: int):
     q = vals.shape[0]
     nt = vals.shape[1] // SLOT
-    # Only the first k slots per tile are live; slice them out to shrink the
-    # final sort to nt*k entries.
-    v = vals.reshape(q, nt, SLOT)[:, :, :k].reshape(q, nt * k)
-    i = idxs.reshape(q, nt, SLOT)[:, :, :k].reshape(q, nt * k)
-    kk = min(k, nt * k)
+    if live == SLOT:
+        v, i = vals, idxs
+    else:
+        v = vals.reshape(q, nt, SLOT)[:, :, :live].reshape(q, nt * live)
+        i = idxs.reshape(q, nt, SLOT)[:, :, :live].reshape(q, nt * live)
+    kk = min(k, nt * live)
     s, pos = jax.lax.top_k(v, kk)
     gi = jnp.take_along_axis(i, pos, axis=1)
     if kk < k:

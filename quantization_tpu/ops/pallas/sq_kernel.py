@@ -24,7 +24,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.types import DistanceType
 from ...utils.padding import pad_dim_to, round_up
 from ..dispatch import interpret_mode
-from .ktile import NEG, SLOT, extract_topk_tile, merge_tile_topk
+from .ktile import (
+    NEG,
+    SLOT,
+    extract_approx_tile,
+    extract_topk_tile,
+    merge_tile_topk,
+    merge_tile_topk_all,
+)
 
 TILE_N = 512
 TILE_Q = 128
@@ -72,7 +79,7 @@ def _l1_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
         out_ref[:] = mult_ref[0] * out_ref[:] + qoff_ref[:] + voff_ref[:]
 
 
-def _make_dot_topk_kernel(k: int, n_valid: int, tile_n: int):
+def _make_dot_topk_kernel(k: int, n_valid: int, tile_n: int, approx: bool):
     def kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, outv_ref, outi_ref):
         j = pl.program_id(1)
         acc = jax.lax.dot_general(
@@ -87,7 +94,10 @@ def _make_dot_topk_kernel(k: int, n_valid: int, tile_n: int):
         base = j * tile_n
         gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(gid < n_valid, scores, NEG)
-        vals, idx = extract_topk_tile(scores, k, base)
+        if approx:
+            vals, idx = extract_approx_tile(scores, base)
+        else:
+            vals, idx = extract_topk_tile(scores, k, base)
         outv_ref[:] = vals
         outi_ref[:] = idx
 
@@ -96,7 +106,7 @@ def _make_dot_topk_kernel(k: int, n_valid: int, tile_n: int):
 
 @partial(
     jax.jit,
-    static_argnames=("distance_type", "n_valid", "k", "interpret"),
+    static_argnames=("distance_type", "n_valid", "k", "mode", "interpret"),
 )
 def sq_search_pallas(
     qcodes: jax.Array,  # int8 [Q, D]  (D lane-aligned)
@@ -108,12 +118,15 @@ def sq_search_pallas(
     distance_type: DistanceType,
     n_valid: int,
     k: int,
+    mode: str = "exact",
     interpret: bool = None,
 ):
     """Fused SQ search: int8 MXU scoring + in-tile top-k, never
     materializing the [Q, N] score matrix (SURVEY.md §7 hard part 2).
     Returns (scores f32[Q, k], indices i32[Q, k]). DOT/L2 only (L1 scores
-    ride the XLA path)."""
+    ride the XLA path). ``mode="approx"`` swaps the exact k-round
+    extraction for a one-pass strided segment-max (cost independent of k,
+    any k <= SLOT; approx_max_k-grade recall)."""
     assert distance_type != DistanceType.L1
     assert k <= SLOT
     if interpret is None:
@@ -135,7 +148,7 @@ def sq_search_pallas(
     voff2 = voff.reshape(1, -1)
     nt = n // tile_n
 
-    kernel = _make_dot_topk_kernel(k, n_valid, tile_n)
+    kernel = _make_dot_topk_kernel(k, n_valid, tile_n, mode == "approx")
     vals, idxs = pl.pallas_call(
         kernel,
         grid=(qp // tile_q, nt),
@@ -166,7 +179,8 @@ def sq_search_pallas(
         qoff2.astype(jnp.float32),
         voff2.astype(jnp.float32),
     )
-    return merge_tile_topk(vals[:q], idxs[:q], k)
+    merge = merge_tile_topk_all if mode == "approx" else merge_tile_topk
+    return merge(vals[:q], idxs[:q], k)
 
 
 @partial(

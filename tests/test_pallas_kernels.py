@@ -169,6 +169,44 @@ def test_bq_mxu_kernel_matches_xla(rng, dt, invert, dim):
     np.testing.assert_array_equal(got, want)
 
 
+def test_sq_fused_approx_search(rng):
+    """Approx extraction: every returned (score, index) pair must be a true
+    (score[index]) pair, and overlap with the exact top-k must be high
+    (strided segment-max misses only stride-class collisions)."""
+    from quantization_tpu.ops.pallas.sq_kernel import sq_search_pallas
+    from quantization_tpu.ops.topk import topk_exact
+
+    n_valid, d, q, k = 2000, 256, 4, 40
+    npad = round_up(n_valid, SQ_TILE)
+    codes = np.zeros((npad, d), np.int8)
+    codes[:n_valid] = rng.integers(0, 128, (n_valid, d), dtype=np.int8)
+    voff = np.zeros((npad,), np.float32)
+    voff[:n_valid] = rng.random(n_valid, dtype=np.float32)
+    qcodes = rng.integers(0, 128, (q, d), dtype=np.int8)
+    qoff = rng.random(q, dtype=np.float32)
+    mult = jnp.float32(0.37)
+
+    scores = np.asarray(
+        sq_ops.score_batch_xla(
+            jnp.asarray(qcodes), jnp.asarray(qoff), jnp.asarray(codes[:n_valid]),
+            jnp.asarray(voff[:n_valid]), mult, distance_type=DistanceType.DOT,
+        )
+    )
+    ws, wi = topk_exact(jnp.asarray(scores), k)
+    gs, gi = sq_search_pallas(
+        jnp.asarray(qcodes), jnp.asarray(qoff), jnp.asarray(codes),
+        jnp.asarray(voff), mult, distance_type=DistanceType.DOT,
+        n_valid=n_valid, k=k, mode="approx", interpret=True,
+    )
+    gs, gi = np.asarray(gs), np.asarray(gi)
+    for r in range(q):
+        np.testing.assert_allclose(
+            gs[r], scores[r][gi[r]], rtol=1e-6, atol=1e-4
+        )
+        overlap = len(set(gi[r].tolist()) & set(np.asarray(wi)[r].tolist())) / k
+        assert overlap >= 0.8, overlap
+
+
 @pytest.mark.parametrize("dt", [DistanceType.DOT, DistanceType.L2])
 @pytest.mark.parametrize("invert", [False, True])
 def test_bq_fused_search_matches_score_then_topk(rng, dt, invert):
