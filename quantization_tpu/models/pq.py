@@ -229,6 +229,24 @@ class ProductQuantizer(EncodedVectors):
             equery.lut, self.codes[: self.count, : self.num_chunks]
         )
 
+    def top_k_device(self, equery: EncodedQueryPQ, k: int, method: str = "exact"):
+        """Fused PQ search on TPU: one-hot MXU accumulation in VMEM scratch
+        + in-tile top-k — no [Q, N] score matrix."""
+        from ..ops.pallas.ktile import FUSED_K_MAX, SLOT
+
+        fused_ok = (k <= FUSED_K_MAX) if method == "exact" else (k <= SLOT)
+        if dispatch.use_pallas() and self.count and fused_ok:
+            from ..ops.pallas.pq_kernel import pq_search_pallas
+
+            return pq_search_pallas(
+                equery.lut,
+                self.codes_t,
+                n_valid=self.count,
+                k=k,
+                mode=method,
+            )
+        return super().top_k_device(equery, k, method=method)
+
     def score_points(self, equery: EncodedQueryPQ, ids) -> jax.Array:
         ids = jnp.asarray(ids, jnp.int32)
         return pq_ops.score_lut_xla(

@@ -47,6 +47,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.padding import pad_dim_to, round_up
 from ..dispatch import interpret_mode
+from .ktile import (
+    NEG,
+    SLOT,
+    extract_approx_tile,
+    extract_topk_tile,
+    merge_tile_topk,
+    merge_tile_topk_all,
+)
 
 TILE_N = 1024
 TILE_Q = 128
@@ -62,25 +70,120 @@ def _kernel(codes_ref, lut_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    codes = codes_ref[:].astype(jnp.int32) & 0xFF  # [M_BLK, TILE_N] in 0..255
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    out_ref[:] = _accumulate_block(codes_ref, lut_ref, out_ref[:])
 
-    # Static unroll over the chunk block: Mosaic has no dynamic_slice on
-    # register values, and 1-lane dynamic ref loads are unsupported for int8.
-    acc = jnp.zeros(out_ref.shape, jnp.float32)
+
+def _accumulate_block(codes_ref, lut_ref, acc):
+    """One M_BLK chunk block of one-hot MXU accumulation into acc.
+
+    Static unroll over the chunk block: Mosaic has no dynamic_slice on
+    register values, and 1-lane dynamic ref loads are unsupported for int8.
+    The one-hot is built transposed ([K, TILE_N]: code row broadcast over
+    256 sublanes vs a sublane iota) so the MXU contraction is a plain
+    lut_m @ onehot_t."""
+    codes = codes_ref[:].astype(jnp.int32) & 0xFF  # [M_BLK, TILE_N]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
     for m_local in range(M_BLK):
-        # [K, TILE_N] transposed one-hot: code row broadcast over 256
-        # sublanes, compared against a sublane iota.
         onehot_t = (codes[m_local, :][None, :] == iota_k).astype(jnp.bfloat16)
-        lut_m = lut_ref[:, m_local * K : (m_local + 1) * K]  # [TILE_Q, K]
-        # [TILE_Q, TILE_N]: contract over the 256 centroids on the MXU.
+        lut_m = lut_ref[:, m_local * K : (m_local + 1) * K]
         acc = acc + jax.lax.dot_general(
             lut_m,
             onehot_t,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    out_ref[:] += acc
+    return acc
+
+
+def _make_pq_topk_kernel(k: int, n_valid: int, tile_n: int, approx: bool):
+    def kernel(codes_ref, lut_ref, outv_ref, outi_ref, acc_ref):
+        mi = pl.program_id(2)
+        base = pl.program_id(1) * tile_n  # hoisted: program_id is not
+        # lowerable inside a pl.when body under interpret mode
+
+        @pl.when(mi == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] = _accumulate_block(codes_ref, lut_ref, acc_ref[:])
+
+        @pl.when(mi == pl.num_programs(2) - 1)
+        def _():
+            scores = acc_ref[:]
+            gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(gid < n_valid, scores, NEG)
+            if approx:
+                vals, idx = extract_approx_tile(scores, base)
+            else:
+                vals, idx = extract_topk_tile(scores, k, base)
+            outv_ref[:] = vals
+            outi_ref[:] = idx
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_valid", "k", "mode", "interpret"))
+def pq_search_pallas(
+    lut: jax.Array,  # f32 [Q, m, 256]
+    codes_t: jax.Array,  # int8/uint8 [Mpad, Npad]
+    *,
+    n_valid: int,
+    k: int,
+    mode: str = "exact",
+    interpret: bool = None,
+):
+    """Fused PQ search: one-hot MXU accumulation into a VMEM scratch tile +
+    in-tile top-k — (scores f32[Q, k], indices i32[Q, k]) without the
+    [Q, N] score matrix. ``mode="approx"`` uses the one-pass strided
+    segment-max extraction (any k <= SLOT)."""
+    assert k <= SLOT
+    if interpret is None:
+        interpret = interpret_mode()
+    q, m, kc = lut.shape
+    assert kc == K
+    mpad, n = codes_t.shape
+    assert n % TILE_N == 0, f"N={n} must be padded to {TILE_N}"
+    assert mpad % M_BLK == 0
+    tile_q = min(TILE_Q, round_up(q, 8))
+    qp = round_up(q, tile_q)
+    lut_flat = (
+        pad_dim_to(pad_dim_to(lut, 1, mpad), 0, qp)
+        .reshape(qp, mpad * K)
+        .astype(jnp.bfloat16)
+    )
+    nt = n // TILE_N
+
+    kernel = _make_pq_topk_kernel(k, n_valid, TILE_N, mode == "approx")
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid=(qp // tile_q, nt, mpad // M_BLK),
+        in_specs=[
+            pl.BlockSpec(
+                (M_BLK, TILE_N), lambda i, j, l: (l, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_q, M_BLK * K),
+                lambda i, j, l: (i, l),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile_q, SLOT), lambda i, j, l: (i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_q, SLOT), lambda i, j, l: (i, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, nt * SLOT), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nt * SLOT), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile_q, TILE_N), jnp.float32)],
+        interpret=interpret,
+    )(codes_t.astype(jnp.int8), lut_flat)
+    merge = merge_tile_topk_all if mode == "approx" else merge_tile_topk
+    return merge(vals[:q], idxs[:q], k)
 
 
 @partial(jax.jit, static_argnames=("n_valid", "interpret"))

@@ -242,6 +242,38 @@ def test_bq_fused_search_matches_score_then_topk(rng, dt, invert):
     np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
 
 
+@pytest.mark.parametrize("mode", ["exact", "approx"])
+def test_pq_fused_search(rng, mode):
+    from quantization_tpu.ops.pallas.pq_kernel import pq_search_pallas
+    from quantization_tpu.ops.topk import topk_exact
+
+    n_valid, m, q, k = 1500, 24, 3, 10
+    npad = round_up(n_valid, PQ_TILE)
+    mpad = round_up(m, M_BLK)
+    codes = np.zeros((npad, mpad), np.uint8)
+    codes[:n_valid, :m] = rng.integers(0, 256, (n_valid, m), dtype=np.uint8)
+    lut = rng.standard_normal((q, m, 256), dtype=np.float32)
+
+    scores = np.asarray(
+        pq_ops.score_lut_xla(jnp.asarray(lut), jnp.asarray(codes[:n_valid, :m]))
+    )
+    ws, wi = topk_exact(jnp.asarray(scores), k)
+    gs, gi = pq_search_pallas(
+        jnp.asarray(lut), jnp.asarray(codes.T.copy()),
+        n_valid=n_valid, k=k, mode=mode, interpret=True,
+    )
+    gs, gi = np.asarray(gs), np.asarray(gi)
+    scale = np.abs(lut).sum(axis=(1, 2)).max()
+    for r in range(q):
+        # each returned pair must be a true (score[index]) pair (bf16 LUT)
+        np.testing.assert_allclose(gs[r], scores[r][gi[r]], atol=scale * 4e-3)
+        overlap = len(set(gi[r].tolist()) & set(np.asarray(wi)[r].tolist())) / k
+        if mode == "exact":
+            assert overlap >= 0.9, overlap  # bf16 rounding can flip near-ties
+        else:
+            assert overlap >= 0.7, overlap
+
+
 @pytest.mark.parametrize("m", [7, 130])
 @pytest.mark.parametrize("q", [1, 4])
 def test_pq_kernel_matches_xla(rng, m, q):
