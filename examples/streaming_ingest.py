@@ -65,14 +65,18 @@ def main():
     )
 
     def gen(i: int) -> np.ndarray:
+        # Symmetric per-point noise at a scale comparable to the centers:
+        # sign bits then vary within a cluster, so BQ/PQ recall reflects
+        # within-cluster ranking, not just cluster identification.
         rng = np.random.default_rng(1000 + i)
         rows = min(B, N - i * B)
         assign = rng.integers(0, args.clusters, rows)
-        return centers[assign] + rng.random((rows, D), np.float32) * 0.25
+        noise = rng.standard_normal((rows, D), np.float32) * 0.5
+        return centers[assign] + noise
 
     queries = (
         centers[np.random.default_rng(2).integers(0, args.clusters, Q)]
-        + np.random.default_rng(3).random((Q, D), np.float32) * 0.25
+        + np.random.default_rng(3).standard_normal((Q, D), np.float32) * 0.5
     ).astype(np.float32)
 
     # --- pass 0 (host only): SQ min/max calibration + PQ training sample ---
@@ -206,7 +210,7 @@ def main():
     eq_sq = sq.encode_query(queries)
     eq_bq = bq.encode_query(queries)
     eq_pq = pq.encode_query(queries)
-    two = qt.TwoStageIndex(bq, sq, oversampling=4.0)
+    two = qt.TwoStageIndex(bq, sq, oversampling=8.0)
 
     for name, fn in [
         ("SQ fused full-scan", lambda: sq.top_k_device(eq_sq, K)),

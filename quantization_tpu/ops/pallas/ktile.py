@@ -91,6 +91,12 @@ def merge_tile_topk_all(vals, idxs, k: int):
     return _merge(vals, idxs, k, live=SLOT)
 
 
+# Candidate widths beyond this merge hierarchically, capping the top-k
+# workspace (at 10M points the approx extraction emits 1.25M slots/query —
+# a flat sort's temporaries alone are GBs at serving batch sizes).
+_MERGE_BLOCK = 131072
+
+
 def _merge(vals, idxs, k: int, live: int):
     q = vals.shape[0]
     nt = vals.shape[1] // SLOT
@@ -99,7 +105,19 @@ def _merge(vals, idxs, k: int, live: int):
     else:
         v = vals.reshape(q, nt, SLOT)[:, :, :live].reshape(q, nt * live)
         i = idxs.reshape(q, nt, SLOT)[:, :, :live].reshape(q, nt * live)
-    kk = min(k, nt * live)
+    while v.shape[1] > max(_MERGE_BLOCK, 2 * k):
+        nb = -(-v.shape[1] // _MERGE_BLOCK)
+        pad = nb * _MERGE_BLOCK - v.shape[1]
+        if pad:
+            v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=NEG)
+            i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+        kb = min(k, _MERGE_BLOCK)
+        vb = v.reshape(q, nb, _MERGE_BLOCK)
+        sb, pb = jax.lax.top_k(vb, kb)  # [q, nb, kb]
+        ib = jnp.take_along_axis(i.reshape(q, nb, _MERGE_BLOCK), pb, axis=2)
+        v = sb.reshape(q, nb * kb)
+        i = ib.reshape(q, nb * kb)
+    kk = min(k, v.shape[1])
     s, pos = jax.lax.top_k(v, kk)
     gi = jnp.take_along_axis(i, pos, axis=1)
     if kk < k:
