@@ -92,19 +92,14 @@ def encode_batch(x_chunks: jax.Array, c_chunks: jax.Array) -> jax.Array:
     m, b, _ = x_chunks.shape
     k = c_chunks.shape[1]
     g = group_size(m, b, k)
-    ngroups = -(-m // g)
-    if ngroups * g != m:
-        pad = ngroups * g - m
-        x_chunks = jnp.concatenate([x_chunks, x_chunks[:pad]], axis=0)
-        c_chunks = jnp.concatenate([c_chunks, c_chunks[:pad]], axis=0)
+    # Ragged tail group instead of pad-by-duplication: one extra compiled
+    # shape beats copying the whole chunk tensor per call.
     parts = [
-        _encode_group(
-            x_chunks[i * g : (i + 1) * g], c_chunks[i * g : (i + 1) * g]
-        )
-        for i in range(ngroups)
+        _encode_group(x_chunks[i : i + g], c_chunks[i : i + g])
+        for i in range(0, m, g)
     ]
-    codes_mb = jnp.concatenate(parts, axis=0) if ngroups > 1 else parts[0]
-    return codes_mb[:m].T
+    codes_mb = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    return codes_mb.T
 
 
 @partial(jax.jit, static_argnames=("distance_type", "invert"))

@@ -8,6 +8,25 @@ import pytest
 from quantization_tpu.ops.topk import top_k, topk_exact
 
 
+def test_hierarchical_merge_matches_flat(rng, monkeypatch):
+    """ktile._merge blocks huge candidate widths; result must equal a flat
+    top-k over the same candidates."""
+    import jax.numpy as jnp
+
+    from quantization_tpu.ops.pallas import ktile
+
+    monkeypatch.setattr(ktile, "_MERGE_BLOCK", 256)
+    q, nt, k = 3, 16, 7  # width = nt*SLOT = 2048 >> block
+    vals = rng.standard_normal((q, nt * ktile.SLOT)).astype(np.float32)
+    idxs = rng.permutation(nt * ktile.SLOT)[None, :].repeat(q, 0).astype(np.int32)
+    s, i = ktile.merge_tile_topk_all(jnp.asarray(vals), jnp.asarray(idxs), k)
+    ws, wp = topk_exact(jnp.asarray(vals), k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ws), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(i), np.take_along_axis(idxs, np.asarray(wp), axis=1)
+    )
+
+
 @pytest.mark.parametrize("n", [10, 2048, 5000, 10001])
 @pytest.mark.parametrize("k", [1, 10, 100])
 def test_topk_exact_matches_flat(rng, n, k):
