@@ -61,12 +61,23 @@ def device_trace(log_dir: Optional[str]):
 
 
 def timed(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Average seconds per call, with device sync."""
-    import jax
+    """Average seconds per call, steady-state.
 
+    Calls are enqueued on the device stream and drained once with a host
+    readback: per-call ``block_until_ready`` would add a host<->device
+    round trip to every iteration (tens of ms on tunneled TPUs), measuring
+    the link instead of the computation. In-order execution makes the
+    single final drain cover all enqueued work.
+    """
+    import jax
+    import numpy as np
+
+    r = None
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        r = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(r)[0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(fn(*args))
+        r = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(r)[0])
     return (time.perf_counter() - t0) / iters
