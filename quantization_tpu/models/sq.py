@@ -115,6 +115,10 @@ class ScalarQuantizerU8(EncodedVectors):
         self.codes = codes
         self.voffsets = voffsets
         self.metadata = metadata
+        # Device-resident multiplier: passing a fresh jnp scalar per call
+        # would upload it host->device on every search (~ms on tunneled
+        # TPUs).
+        self._mult_dev = jnp.float32(metadata.multiplier)
         self.params = metadata.vector_parameters
         self.count = count
 
@@ -304,7 +308,7 @@ class ScalarQuantizerU8(EncodedVectors):
                 equery.offsets,
                 self.codes,
                 self.voffsets,
-                jnp.float32(self.metadata.multiplier),
+                self._mult_dev,
                 distance_type=self.params.distance_type,
                 n_valid=self.count,
             )
@@ -313,7 +317,7 @@ class ScalarQuantizerU8(EncodedVectors):
             equery.offsets,
             self.codes[: self.count],
             self.voffsets[: self.count],
-            self.metadata.multiplier,
+            self._mult_dev,
             distance_type=self.params.distance_type,
         )
 
@@ -337,7 +341,7 @@ class ScalarQuantizerU8(EncodedVectors):
                 equery.offsets,
                 self.codes,
                 self.voffsets,
-                jnp.float32(self.metadata.multiplier),
+                self._mult_dev,
                 distance_type=self.params.distance_type,
                 n_valid=self.count,
                 k=k,
@@ -352,7 +356,7 @@ class ScalarQuantizerU8(EncodedVectors):
             equery.offsets,
             jnp.take(self.codes, ids, axis=0),
             jnp.take(self.voffsets, ids, axis=0),
-            self.metadata.multiplier,
+            self._mult_dev,
             distance_type=self.params.distance_type,
         )
 
@@ -363,7 +367,7 @@ class ScalarQuantizerU8(EncodedVectors):
             self.codes,
             self.voffsets,
             jnp.asarray(cand, jnp.int32),
-            jnp.float32(self.metadata.multiplier),
+            self._mult_dev,
             distance_type=self.params.distance_type,
         )
 
@@ -380,7 +384,7 @@ class ScalarQuantizerU8(EncodedVectors):
             jnp.take(self.voffsets, ids_a, axis=0),
             jnp.take(self.codes, ids_b, axis=0),
             jnp.take(self.voffsets, ids_b, axis=0),
-            self.metadata.multiplier,
+            self._mult_dev,
             self._internal_diff(),
             distance_type=self.params.distance_type,
         )
