@@ -240,8 +240,20 @@ def score_candidates_xla(
     distance_type: DistanceType,
 ) -> jax.Array:
     """[Q, R] scores against per-query candidate lists (two-stage rescore)."""
-    g = jnp.take(codes, cand, axis=0)  # [Q, R, D]
-    goff = jnp.take(voff, cand)  # [Q, R]
+    return _score_gathered(
+        qcodes,
+        qoff,
+        jnp.take(codes, cand, axis=0),  # [Q, R, D]
+        jnp.take(voff, cand),  # [Q, R]
+        multiplier,
+        distance_type=distance_type,
+    )
+
+
+@partial(jax.jit, static_argnames=("distance_type",))
+def _score_gathered(
+    qcodes, qoff, g, goff, multiplier, *, distance_type: DistanceType
+) -> jax.Array:
     if distance_type == DistanceType.L1:
         raw = jnp.sum(
             jnp.abs(qcodes.astype(jnp.int32)[:, None, :] - g.astype(jnp.int32)),

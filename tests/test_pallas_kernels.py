@@ -242,6 +242,19 @@ def test_bq_fused_search_matches_score_then_topk(rng, dt, invert):
     np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
 
 
+@pytest.mark.parametrize("shape", [(800, 256), (1024, 96)])
+def test_dma_gather_rows(rng, shape):
+    from quantization_tpu.ops.pallas.gather import gather_rows_pallas
+
+    n, d = shape
+    src = rng.integers(-100, 100, (n, d)).astype(np.int8)
+    ids = rng.integers(0, n, (77,)).astype(np.int32)
+    got = np.asarray(
+        gather_rows_pallas(jnp.asarray(src), jnp.asarray(ids), interpret=True)
+    )
+    np.testing.assert_array_equal(got, src[ids])
+
+
 @pytest.mark.parametrize("mode", ["exact", "approx"])
 def test_pq_fused_search(rng, mode):
     from quantization_tpu.ops.pallas.pq_kernel import pq_search_pallas
