@@ -29,16 +29,22 @@ N, D, Q, K = 100_000, 1024, 256, 10
 ITERS = 50
 
 
-def timeit(fn, *args, iters=ITERS, warmup=3):
-    """Steady-state seconds/call: enqueue `iters` calls, drain once."""
+def timeit(fn, *args, iters=ITERS, warmup=3, repeats=3):
+    """Steady-state seconds/call: enqueue `iters` calls, drain once.
+
+    Best of `repeats` passes — the TPU tunnel adds run-to-run jitter that
+    a single pass would fold into the measurement."""
     for _ in range(warmup):
         r = fn(*args)
     np.asarray(jax_leaves(r)[0])  # full drain before starting the clock
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*args)
-    np.asarray(jax_leaves(r)[0])  # drain: in-order device queue
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(*args)
+        np.asarray(jax_leaves(r)[0])  # drain: in-order device queue
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def jax_leaves(tree):
