@@ -5,6 +5,7 @@ Flags mirror the reference's clap interface (ann_benchmark.rs:20-44):
   --method  u8|pq|bq|bq-u8|bq-exact  quantizer (+ optional rescoring stage)
   --quantile F       SQ quantile calibration
   --chunk-size N     PQ chunk size
+  --pq-bits 4|8      PQ code width (4-bit halves bytes, 16x less MXU work)
   --test-acc         measure recall@10/20/30 + latency percentiles
   --bench            measure quantized scoring throughput
   --bench-f32        measure the unquantized f32 baseline (the TPU analog of
@@ -14,6 +15,11 @@ Flags mirror the reference's clap interface (ann_benchmark.rs:20-44):
 Datasets load from --data-dir when the ann-benchmarks HDF5 file exists there,
 else fall back to a seeded synthetic corpus of the same shape (zero-egress
 environments).
+
+Latency note: with the default --query-batch 1, each query pays the full
+host<->device round trip (per the reference's per-query loop) — on tunneled
+dev TPUs that RTT (~tens of ms) dwarfs the scan itself. Use --query-batch
+64+ for engine-limited numbers; recall is batch-size-invariant.
 """
 
 from __future__ import annotations
@@ -44,7 +50,8 @@ def build_index(method: str, data: AnnBenchmarkData, args):
         )
     elif method == "pq":
         index = ProductQuantizer.encode(
-            data.train, params, chunk_size=args.chunk_size
+            data.train, params, chunk_size=args.chunk_size,
+            bits=args.pq_bits,
         )
     elif method == "bq":
         index = BinaryQuantizer.encode(data.train, params)
@@ -134,6 +141,8 @@ def main(argv=None):
                    choices=["u8", "pq", "bq", "bq-u8", "bq-exact"])
     p.add_argument("--quantile", type=float, default=None)
     p.add_argument("--chunk-size", type=int, default=2)
+    p.add_argument("--pq-bits", type=int, default=8, choices=[4, 8],
+                   help="PQ code width: 8 = reference parity, 4 = Quick-ADC")
     p.add_argument("--oversampling", type=float, default=4.0)
     p.add_argument("--test-acc", action="store_true")
     p.add_argument("--bench", action="store_true")

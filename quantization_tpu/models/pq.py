@@ -45,9 +45,10 @@ class PQMetadata:
     centroids: np.ndarray  # f32 [k, dim]
     vector_division: List[Tuple[int, int]]
     vector_parameters: VectorParameters
+    bits: int = 8  # 8 (reference parity, 256 centroids) or 4 (Quick-ADC)
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "centroids": [
                 [float(v) for v in row] for row in np.asarray(self.centroids)
             ],
@@ -56,6 +57,9 @@ class PQMetadata:
             ],
             "vector_parameters": self.vector_parameters.to_json(),
         }
+        if self.bits != 8:
+            out["bits"] = self.bits  # absent in reference-written files
+        return out
 
     @classmethod
     def from_json(cls, obj: dict) -> "PQMetadata":
@@ -65,6 +69,7 @@ class PQMetadata:
                 (int(r["start"]), int(r["end"])) for r in obj["vector_division"]
             ],
             vector_parameters=VectorParameters.from_json(obj["vector_parameters"]),
+            bits=int(obj.get("bits", 8)),
         )
 
 
@@ -123,16 +128,23 @@ class ProductQuantizer(EncodedVectors):
         stop_condition=None,
         batch_size: int = 16384,
         seed: int = 0,
+        bits: int = 8,
     ) -> "ProductQuantizer":
-        """k-means train + batched encode (encoded_vectors_pq.rs:56-107)."""
+        """k-means train + batched encode (encoded_vectors_pq.rs:56-107).
+
+        ``bits=4`` trains 16 centroids per chunk (Quick-ADC style, half the
+        code bytes and 16x less scan compute on the MXU, at a recall cost —
+        use smaller chunk_size to compensate). 8 is reference parity."""
+        if bits not in (4, 8):
+            raise ArgumentsError(f"bits must be 4 or 8, got {bits}")
         division = pq_ops.get_vector_division(params.dim, chunk_size)
-        k = pq_ops.CENTROIDS_COUNT
+        k = pq_ops.CENTROIDS_COUNT if bits == 8 else pq_ops.CENTROIDS_COUNT4
 
         def batches():
             return iter_batches(data, batch_size)
 
         centroids = cls._find_centroids(
-            batches, division, params, stop_condition, seed
+            batches, division, params, stop_condition, seed, k
         )
 
         c_chunks = jnp.asarray(pq_ops.centroids_to_chunks(centroids, division))
@@ -158,16 +170,16 @@ class ProductQuantizer(EncodedVectors):
             if code_chunks
             else np.zeros((0, len(division)), np.uint8)
         )
-        meta = PQMetadata(centroids, division, params)
+        meta = PQMetadata(centroids, division, params, bits=bits)
         return cls(jnp.asarray(codes), meta)
 
     @classmethod
     def _find_centroids(
-        cls, batches, division, params, stop_condition, seed
+        cls, batches, division, params, stop_condition, seed,
+        k=pq_ops.CENTROIDS_COUNT,
     ) -> np.ndarray:
         """Sample + per-chunk k-means (encoded_vectors_pq.rs:278-342), run as
         one batched clustering over all chunks."""
-        k = pq_ops.CENTROIDS_COUNT
         if params.count <= k:
             # Not enough vectors: centroids are the points themselves,
             # zero-filled to k (rs:290-297).
@@ -318,8 +330,10 @@ class ProductQuantizer(EncodedVectors):
 
     # ------------------------------------------------------------- checkpoint
     def get_quantized_vector_size(self) -> int:
-        """One byte per chunk (encoded_vectors_pq.rs:109-114)."""
-        return len(self.metadata.vector_division)
+        """One byte per chunk (encoded_vectors_pq.rs:109-114); 4-bit codes
+        pack two chunks per byte on disk."""
+        m = len(self.metadata.vector_division)
+        return m if self.metadata.bits == 8 else (m + 1) // 2
 
     def save(self, data_path, meta_path) -> None:
         meta_dir = os.path.dirname(os.fspath(meta_path))
@@ -327,11 +341,14 @@ class ProductQuantizer(EncodedVectors):
             os.makedirs(meta_dir, exist_ok=True)
         with open(meta_path, "w") as f:
             json.dump(self.metadata.to_json(), f)
-        EncodedStorage(
-            np.asarray(
-                self.codes[: self.count, : self.num_chunks], dtype=np.uint8
-            )
-        ).save_to_file(data_path)
+        rows = np.asarray(
+            self.codes[: self.count, : self.num_chunks], dtype=np.uint8
+        )
+        if self.metadata.bits == 4:
+            if rows.shape[1] % 2:
+                rows = np.pad(rows, ((0, 0), (0, 1)))
+            rows = (rows[:, 0::2] | (rows[:, 1::2] << 4)).astype(np.uint8)
+        EncodedStorage(rows).save_to_file(data_path)
 
     @classmethod
     def load(cls, data_path, meta_path, params: VectorParameters) -> "ProductQuantizer":
@@ -340,9 +357,18 @@ class ProductQuantizer(EncodedVectors):
                 meta = PQMetadata.from_json(json.load(f))
         except (OSError, json.JSONDecodeError, KeyError) as e:
             raise StorageIOError(f"cannot read metadata {meta_path}: {e}") from e
-        row_size = len(meta.vector_division)
+        m = len(meta.vector_division)
+        row_size = m if meta.bits == 8 else (m + 1) // 2
         storage = EncodedStorage.from_file(data_path, row_size, params.count)
-        return cls(jnp.asarray(storage.data), meta)
+        rows = storage.data
+        if meta.bits == 4:
+            lo = rows & 0x0F
+            hi = rows >> 4
+            rows = np.empty((rows.shape[0], row_size * 2), np.uint8)
+            rows[:, 0::2] = lo
+            rows[:, 1::2] = hi
+            rows = rows[:, :m]
+        return cls(jnp.asarray(rows), meta)
 
 
 # Reference-parity alias.

@@ -28,6 +28,8 @@ from ..dispatch import interpret_mode
 from .ktile import (
     NEG,
     SLOT,
+    SPAN,
+    combine_slots,
     extract_approx_tile,
     extract_topk_tile,
     merge_tile_topk,
@@ -122,10 +124,11 @@ def _make_mxu_topk_kernel(k: int, n_valid: int, tile_n: int, approx: bool):
         scores = jnp.where(gid < n_valid, scores, NEG)
         if approx:
             vals, idx = extract_approx_tile(scores, base)
+            combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
         else:
             vals, idx = extract_topk_tile(scores, k, base)
-        outv_ref[:] = vals
-        outi_ref[:] = idx
+            outv_ref[:] = vals
+            outi_ref[:] = idx
 
     return kernel
 
@@ -205,8 +208,11 @@ def bq_search_mxu(
     qs = pad_dim_to(qs, 0, qp)
     qb = pad_dim_to(qb, 0, qp)
     nt = n // tn
+    approx = mode == "approx"
+    nt_out = -(-nt // SPAN) if approx else nt
+    out_idx = (lambda i, j: (i, j // SPAN)) if approx else (lambda i, j: (i, j))
 
-    kernel = _make_mxu_topk_kernel(k, n_valid, tn, mode == "approx")
+    kernel = _make_mxu_topk_kernel(k, n_valid, tn, approx)
     vals, idxs = pl.pallas_call(
         kernel,
         grid=(qp // tq, nt),
@@ -217,12 +223,12 @@ def bq_search_mxu(
             pl.BlockSpec((tq, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tq, SLOT), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, SLOT), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, SLOT), out_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, SLOT), out_idx, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qp, nt * SLOT), jnp.float32),
-            jax.ShapeDtypeStruct((qp, nt * SLOT), jnp.int32),
+            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
         ],
         interpret=interpret,
     )(mult, qs, planes, qb)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 # Python literal (not a traced jnp scalar): kernels close over it, and
 # Pallas rejects captured constant arrays.
@@ -77,6 +78,30 @@ def extract_approx_tile(scores, base_index):
     return vals, idx
 
 
+# Corpus tiles fused per approx slot block: consecutive tiles max-merge
+# into one [TQ, SLOT] block in VMEM, extending the stride span SPAN-fold.
+# Cuts candidate traffic and final-merge width SPAN-fold; costs a ~k^2 /
+# (2 * tiles_per_span * SLOT) chance per query of dropping a true top-k
+# entry (two entries colliding in a stride class) — noise next to the
+# quantizer's own error at coarse-stage oversampling.
+SPAN = 4
+
+
+def combine_slots(outv_ref, outi_ref, vals, idx, is_first):
+    """Max-merge a tile's slot candidates into the revisited output block."""
+    @pl.when(is_first)
+    def _init():
+        outv_ref[:] = vals
+        outi_ref[:] = idx
+
+    @pl.when(jnp.logical_not(is_first))
+    def _merge():
+        old = outv_ref[:]
+        upd = vals > old
+        outv_ref[:] = jnp.where(upd, vals, old)
+        outi_ref[:] = jnp.where(upd, idx, outi_ref[:])
+
+
 def merge_tile_topk(vals, idxs, k: int):
     """Merge per-tile candidates: vals f32[Q, NT*SLOT], idxs i32[Q, NT*SLOT]
     (as produced by a fused kernel's two outputs) -> ([Q, k], [Q, k]).
@@ -91,10 +116,11 @@ def merge_tile_topk_all(vals, idxs, k: int):
     return _merge(vals, idxs, k, live=SLOT)
 
 
-# Candidate widths beyond this merge hierarchically, capping the top-k
-# workspace (at 10M points the approx extraction emits 1.25M slots/query —
-# a flat sort's temporaries alone are GBs at serving batch sizes).
-_MERGE_BLOCK = 131072
+# Candidate widths beyond this merge block-by-block, capping the flat
+# top-k workspace. Keep it LARGE: flat lax.top_k is fast (13ms for
+# [256, 156k] on v5e) while batched-3D top_k + axis-2 gathers measured
+# ~20x slower — blocks are 2D ops only.
+_MERGE_BLOCK = 1 << 20
 
 
 def _merge(vals, idxs, k: int, live: int):
@@ -106,17 +132,17 @@ def _merge(vals, idxs, k: int, live: int):
         v = vals.reshape(q, nt, SLOT)[:, :, :live].reshape(q, nt * live)
         i = idxs.reshape(q, nt, SLOT)[:, :, :live].reshape(q, nt * live)
     while v.shape[1] > max(_MERGE_BLOCK, 2 * k):
-        nb = -(-v.shape[1] // _MERGE_BLOCK)
-        pad = nb * _MERGE_BLOCK - v.shape[1]
-        if pad:
-            v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=NEG)
-            i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=-1)
-        kb = min(k, _MERGE_BLOCK)
-        vb = v.reshape(q, nb, _MERGE_BLOCK)
-        sb, pb = jax.lax.top_k(vb, kb)  # [q, nb, kb]
-        ib = jnp.take_along_axis(i.reshape(q, nb, _MERGE_BLOCK), pb, axis=2)
-        v = sb.reshape(q, nb * kb)
-        i = ib.reshape(q, nb * kb)
+        parts_v = []
+        parts_i = []
+        for b0 in range(0, v.shape[1], _MERGE_BLOCK):
+            vb = v[:, b0 : b0 + _MERGE_BLOCK]
+            ib = i[:, b0 : b0 + _MERGE_BLOCK]
+            kb = min(k, vb.shape[1])
+            sb, pb = jax.lax.top_k(vb, kb)
+            parts_v.append(sb)
+            parts_i.append(jnp.take_along_axis(ib, pb, axis=1))
+        v = jnp.concatenate(parts_v, axis=1)
+        i = jnp.concatenate(parts_i, axis=1)
     kk = min(k, v.shape[1])
     s, pos = jax.lax.top_k(v, kk)
     gi = jnp.take_along_axis(i, pos, axis=1)

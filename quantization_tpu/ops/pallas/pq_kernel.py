@@ -50,6 +50,8 @@ from ..dispatch import interpret_mode
 from .ktile import (
     NEG,
     SLOT,
+    SPAN,
+    combine_slots,
     extract_approx_tile,
     extract_topk_tile,
     merge_tile_topk,
@@ -59,18 +61,25 @@ from .ktile import (
 TILE_N = 1024
 TILE_Q = 128
 M_BLK = 16  # bounds the unrolled per-chunk temporaries on the VMEM stack
-K = 256  # centroids per chunk
+K = 256  # centroids per chunk (8-bit codes)
+K4 = 16  # centroids per chunk (4-bit codes, Quick-ADC style)
+GRP4 = 8  # 4-bit chunks fused per MXU matmul: 8 x 16 = one 128-wide one-hot
 
 
-def _kernel(codes_ref, lut_ref, out_ref):
-    """grid (nq, nn, nm); out block revisited across the innermost m axis."""
-    mi = pl.program_id(2)
+def _make_scores_kernel(kc: int):
+    accumulate = _accumulate_block if kc == K else _accumulate_block4
 
-    @pl.when(mi == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+    def kernel(codes_ref, lut_ref, out_ref):
+        """grid (nq, nn, nm); out revisited across the innermost m axis."""
+        mi = pl.program_id(2)
 
-    out_ref[:] = _accumulate_block(codes_ref, lut_ref, out_ref[:])
+        @pl.when(mi == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        out_ref[:] = accumulate(codes_ref, lut_ref, out_ref[:])
+
+    return kernel
 
 
 def _accumulate_block(codes_ref, lut_ref, acc):
@@ -95,7 +104,34 @@ def _accumulate_block(codes_ref, lut_ref, acc):
     return acc
 
 
-def _make_pq_topk_kernel(k: int, n_valid: int, tile_n: int, approx: bool):
+def _accumulate_block4(codes_ref, lut_ref, acc):
+    """4-bit variant: GRP4 chunks share one [128, TILE_N] block-diagonal
+    one-hot (chunk g of the group occupies rows [16g, 16g+16)), so a single
+    full-K MXU matmul scores 8 chunks — 16x fewer MACs per dimension than
+    the 8-bit kernel. The flattened LUT layout makes each group's slice a
+    contiguous 128 lanes."""
+    codes = codes_ref[:].astype(jnp.int32) & 0xF  # [M_BLK, TILE_N]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (GRP4 * K4, 1), 0)
+    for g0 in range(0, codes.shape[0], GRP4):
+        oh = None
+        for g in range(GRP4):
+            hit = iota == (codes[g0 + g, :][None, :] + g * K4)
+            oh = hit if oh is None else jnp.logical_or(oh, hit)
+        lut_grp = lut_ref[:, g0 * K4 : g0 * K4 + GRP4 * K4]  # [TQ, 128]
+        acc = acc + jax.lax.dot_general(
+            lut_grp,
+            oh.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return acc
+
+
+def _make_pq_topk_kernel(
+    k: int, n_valid: int, tile_n: int, approx: bool, kc: int = K
+):
+    accumulate = _accumulate_block if kc == K else _accumulate_block4
+
     def kernel(codes_ref, lut_ref, outv_ref, outi_ref, acc_ref):
         mi = pl.program_id(2)
         base = pl.program_id(1) * tile_n  # hoisted: program_id is not
@@ -105,7 +141,9 @@ def _make_pq_topk_kernel(k: int, n_valid: int, tile_n: int, approx: bool):
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        acc_ref[:] = _accumulate_block(codes_ref, lut_ref, acc_ref[:])
+        acc_ref[:] = accumulate(codes_ref, lut_ref, acc_ref[:])
+
+        j = pl.program_id(1)
 
         @pl.when(mi == pl.num_programs(2) - 1)
         def _():
@@ -114,10 +152,11 @@ def _make_pq_topk_kernel(k: int, n_valid: int, tile_n: int, approx: bool):
             scores = jnp.where(gid < n_valid, scores, NEG)
             if approx:
                 vals, idx = extract_approx_tile(scores, base)
+                combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
             else:
                 vals, idx = extract_topk_tile(scores, k, base)
-            outv_ref[:] = vals
-            outi_ref[:] = idx
+                outv_ref[:] = vals
+                outi_ref[:] = idx
 
     return kernel
 
@@ -140,7 +179,7 @@ def pq_search_pallas(
     if interpret is None:
         interpret = interpret_mode()
     q, m, kc = lut.shape
-    assert kc == K
+    assert kc in (K, K4)
     mpad, n = codes_t.shape
     assert n % TILE_N == 0, f"N={n} must be padded to {TILE_N}"
     assert mpad % M_BLK == 0
@@ -148,12 +187,18 @@ def pq_search_pallas(
     qp = round_up(q, tile_q)
     lut_flat = (
         pad_dim_to(pad_dim_to(lut, 1, mpad), 0, qp)
-        .reshape(qp, mpad * K)
+        .reshape(qp, mpad * kc)
         .astype(jnp.bfloat16)
     )
     nt = n // TILE_N
+    approx = mode == "approx"
+    nt_out = -(-nt // SPAN) if approx else nt
+    out_idx = (
+        (lambda i, j, l: (i, j // SPAN)) if approx
+        else (lambda i, j, l: (i, j))
+    )
 
-    kernel = _make_pq_topk_kernel(k, n_valid, TILE_N, mode == "approx")
+    kernel = _make_pq_topk_kernel(k, n_valid, TILE_N, approx, kc)
     vals, idxs = pl.pallas_call(
         kernel,
         grid=(qp // tile_q, nt, mpad // M_BLK),
@@ -162,22 +207,18 @@ def pq_search_pallas(
                 (M_BLK, TILE_N), lambda i, j, l: (l, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_q, M_BLK * K),
+                (tile_q, M_BLK * kc),
                 lambda i, j, l: (i, l),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (tile_q, SLOT), lambda i, j, l: (i, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (tile_q, SLOT), lambda i, j, l: (i, j), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qp, nt * SLOT), jnp.float32),
-            jax.ShapeDtypeStruct((qp, nt * SLOT), jnp.int32),
+            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((tile_q, TILE_N), jnp.float32)],
         interpret=interpret,
@@ -198,7 +239,7 @@ def pq_scores_pallas(
     if interpret is None:
         interpret = interpret_mode()
     q, m, k = lut.shape
-    assert k == K
+    assert k in (K, K4)
     mpad, n = codes_t.shape
     assert n % TILE_N == 0, f"N={n} must be padded to {TILE_N}"
     assert mpad % M_BLK == 0
@@ -207,20 +248,20 @@ def pq_scores_pallas(
     # lut -> bf16 [Qpad, Mpad*K] with zero entries for chunk padding
     lut_flat = (
         pad_dim_to(pad_dim_to(lut, 1, mpad), 0, qp)
-        .reshape(qp, mpad * K)
+        .reshape(qp, mpad * k)
         .astype(jnp.bfloat16)
     )
 
     grid = (qp // tile_q, n // TILE_N, mpad // M_BLK)
     out = pl.pallas_call(
-        _kernel,
+        _make_scores_kernel(k),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
                 (M_BLK, TILE_N), lambda i, j, l: (l, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_q, M_BLK * K),
+                (tile_q, M_BLK * k),
                 lambda i, j, l: (i, l),
                 memory_space=pltpu.VMEM,
             ),

@@ -27,6 +27,8 @@ from ..dispatch import interpret_mode
 from .ktile import (
     NEG,
     SLOT,
+    SPAN,
+    combine_slots,
     extract_approx_tile,
     extract_topk_tile,
     merge_tile_topk,
@@ -96,10 +98,11 @@ def _make_dot_topk_kernel(k: int, n_valid: int, tile_n: int, approx: bool):
         scores = jnp.where(gid < n_valid, scores, NEG)
         if approx:
             vals, idx = extract_approx_tile(scores, base)
+            combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
         else:
             vals, idx = extract_topk_tile(scores, k, base)
-        outv_ref[:] = vals
-        outi_ref[:] = idx
+            outv_ref[:] = vals
+            outi_ref[:] = idx
 
     return kernel
 
@@ -147,8 +150,13 @@ def sq_search_pallas(
     qoff2 = pad_dim_to(qoff.reshape(-1, 1), 0, qp)
     voff2 = voff.reshape(1, -1)
     nt = n // tile_n
+    approx = mode == "approx"
+    # Approx mode max-merges SPAN consecutive tiles into one revisited slot
+    # block: SPAN-fold less candidate traffic and final-merge width.
+    nt_out = -(-nt // SPAN) if approx else nt
+    out_idx = (lambda i, j: (i, j // SPAN)) if approx else (lambda i, j: (i, j))
 
-    kernel = _make_dot_topk_kernel(k, n_valid, tile_n, mode == "approx")
+    kernel = _make_dot_topk_kernel(k, n_valid, tile_n, approx)
     vals, idxs = pl.pallas_call(
         kernel,
         grid=(qp // tile_q, nt),
@@ -160,16 +168,12 @@ def sq_search_pallas(
             pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (tile_q, SLOT), lambda i, j: (i, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (tile_q, SLOT), lambda i, j: (i, j), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qp, nt * SLOT), jnp.float32),
-            jax.ShapeDtypeStruct((qp, nt * SLOT), jnp.int32),
+            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
         ],
         interpret=interpret,
     )(

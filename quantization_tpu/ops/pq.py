@@ -21,6 +21,7 @@ import numpy as np
 from ..core.types import DistanceType
 
 CENTROIDS_COUNT = 256  # encoded_vectors_pq.rs:25
+CENTROIDS_COUNT4 = 16  # 4-bit (Quick-ADC style) extension — not in reference
 KMEANS_SAMPLE_SIZE = 10_000  # rs:22
 KMEANS_MAX_ITERATIONS = 100  # rs:23
 KMEANS_ACCURACY = 1e-5  # rs:24
