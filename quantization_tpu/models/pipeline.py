@@ -9,7 +9,7 @@ device; only the final (scores, indices) land on host.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
