@@ -94,7 +94,7 @@ def gather_rows_pallas(
         grid=(rp // rb,),
         in_specs=[
             pl.BlockSpec((rb, 1), lambda g, ids: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (rb, d), lambda g, ids: (g, 0), memory_space=pltpu.VMEM
