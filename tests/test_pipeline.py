@@ -80,3 +80,46 @@ def test_two_stage_recall_beats_coarse(dataset, fine_kind):
     r_coarse = recall(np.asarray(i_coarse))
     assert r_two >= r_coarse  # rescoring can only help
     assert r_two >= 0.5
+
+
+def test_two_stage_pq_fine(rng):
+    """BQ coarse -> PQ rescoring (any quantizer can be the fine stage)."""
+    import quantization_tpu as qt
+
+    n, d, q = 800, 64, 6
+    data = rng.random((n, d), dtype=np.float32) * 2 - 1
+    queries = rng.random((q, d), dtype=np.float32) * 2 - 1
+    params = qt.VectorParameters(d, n, qt.DistanceType.DOT, False)
+    bq = qt.BinaryQuantizer.encode(data, params)
+    pq = qt.ProductQuantizer.encode(data, params, chunk_size=4)
+    two = qt.TwoStageIndex(bq, pq, oversampling=6.0)
+    s, i = two.top_k(two.encode_query(queries), 10)
+    assert s.shape == (q, 10) and i.shape == (q, 10)
+    assert int(np.max(i)) < n and int(np.min(i)) >= 0
+    # fine scores must be the PQ scores of the returned candidates
+    eq = pq.encode_query(queries)
+    ref = np.asarray(pq.score_candidates(eq, i))
+    np.testing.assert_allclose(np.asarray(s), ref, rtol=1e-5, atol=1e-4)
+
+
+def test_model_topk_approx_method(rng):
+    """method='approx' on every quantizer returns valid (score, id) pairs
+    with high overlap vs exact."""
+    import quantization_tpu as qt
+
+    n, d, q, k = 1500, 64, 4, 10
+    data = rng.random((n, d), dtype=np.float32) * 2 - 1
+    queries = rng.random((q, d), dtype=np.float32) * 2 - 1
+    params = qt.VectorParameters(d, n, qt.DistanceType.DOT, False)
+    for enc in (
+        qt.ScalarQuantizerU8.encode(data, params),
+        qt.BinaryQuantizer.encode(data, params),
+        qt.ProductQuantizer.encode(data, params, chunk_size=4),
+    ):
+        eq = enc.encode_query(queries)
+        se, ie = enc.top_k(eq, k, method="exact")
+        sa, ia = enc.top_k(eq, k, method="approx")
+        assert sa.shape == (q, k)
+        for r in range(q):
+            overlap = len(set(ia[r].tolist()) & set(ie[r].tolist())) / k
+            assert overlap >= 0.7, (type(enc).__name__, overlap)
