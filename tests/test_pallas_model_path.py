@@ -60,3 +60,53 @@ def test_pq_model_pallas_path(rng, force_pallas, monkeypatch):
     monkeypatch.delenv("QTPU_FORCE_PALLAS", raising=False)
     want = np.asarray(enc.score_batch(eq))
     np.testing.assert_allclose(got, want, atol=np.abs(want).max() * 1e-2 + 1e-3)
+
+
+@pytest.mark.parametrize("method", ["exact", "approx"])
+def test_model_fused_topk_routing(rng, force_pallas, monkeypatch, method):
+    """top_k_device with Pallas forced routes through the fused search
+    kernels (interpreted off-TPU) and must match the XLA score+select
+    path."""
+    from quantization_tpu.ops.topk import topk_exact
+
+    n, dim, q, k = 600, 64, 3, 5
+    data = rng.random((n, dim), dtype=np.float32)
+    queries = rng.random((q, dim), dtype=np.float32)
+    params = VectorParameters(dim, n, DistanceType.DOT, False)
+    for enc in (
+        ScalarQuantizerU8.encode(data, params),
+        BinaryQuantizer.encode(data, params),
+        ProductQuantizer.encode(data, params, chunk_size=4),
+    ):
+        eq = enc.encode_query(queries)
+        gs, gi = enc.top_k(eq, k, method=method)
+
+        monkeypatch.setenv("QTPU_DISABLE_PALLAS", "1")
+        monkeypatch.delenv("QTPU_FORCE_PALLAS", raising=False)
+        import jax.numpy as jnp
+
+        scores = jnp.asarray(enc.score_batch(eq))
+        ws, wi = topk_exact(scores, k)
+        monkeypatch.setenv("QTPU_FORCE_PALLAS", "1")
+        monkeypatch.delenv("QTPU_DISABLE_PALLAS", raising=False)
+
+        name = type(enc).__name__
+        if method == "exact" and name != "ProductQuantizer":
+            np.testing.assert_allclose(
+                np.asarray(gs), np.asarray(ws), atol=1e-4, rtol=1e-4,
+                err_msg=name,
+            )
+        else:
+            # approx mode — and PQ in any mode, whose bf16 LUT rounds
+            # near-ties into a different selection: every returned pair
+            # must be a true (score, id) pair, with high top-k overlap.
+            sc = np.asarray(scores)
+            atol = 0.05 * np.abs(sc).max() if name == "ProductQuantizer" else 1e-4
+            for r in range(q):
+                np.testing.assert_allclose(
+                    gs[r], sc[r][gi[r]], atol=atol, rtol=1e-2, err_msg=name
+                )
+                overlap = len(
+                    set(map(int, gi[r])) & set(map(int, np.asarray(wi)[r]))
+                ) / k
+                assert overlap >= 0.6, (name, method, overlap)
