@@ -104,7 +104,7 @@ def main():
     params_dot = qt.VectorParameters(D, N, qt.DistanceType.DOT, False)
     alpha, offset = sq_ops.alpha_offset_from_min_max(mn, mx)
     actual = sq_ops.actual_dim(D)
-    lane = actual + (-actual) % 128
+    lane = sq_ops.lane_dim(D)
     npad = N + (-N) % SQ_TILE
     w = -(-D // 32)
     w8 = w + (-w) % 8
@@ -155,9 +155,8 @@ def main():
         codes, voff = sq_ops.quantize_batch(
             xb, alpha=alpha, offset=offset,
             distance_type=qt.DistanceType.DOT, invert=False, dpad=actual,
+            lane=lane,
         )
-        if lane > actual:
-            codes = jnp.pad(codes, ((0, 0), (0, lane - actual)))
         sq_codes.append(codes)
         sq_voff.append(voff)
         bq_planes_t.append(pack_bits_dev(xb))

@@ -20,7 +20,7 @@ iterator contract (encoded_vectors_u8.rs:35) for corpora larger than RAM/HBM.
 from __future__ import annotations
 
 import abc
-from typing import Callable, Iterable, Iterator, Optional, Tuple, Union
+from typing import Callable, Iterable, Iterator, Tuple, Union
 
 import numpy as np
 
@@ -53,7 +53,28 @@ def iter_batches(
 
 def validate_vector_parameters(data: DataLike, params: VectorParameters) -> None:
     """Check every batch's dim and the total count
-    (reference validate_vector_parameters, encoded_vectors.rs:47-70)."""
+    (reference validate_vector_parameters, encoded_vectors.rs:47-70).
+
+    Called by every quantizer's encode() on materialized arrays, where it is
+    O(1) shape checks (the reference guards its encoders with this under
+    debug_assert!, encoded_vectors_u8.rs:56 / _pq.rs:64 / _binary.rs:171).
+    Stream factories are validated incrementally inside the encode loops
+    instead — pre-iterating a stream twice here would double ingestion cost.
+    """
+    if not callable(data):
+        arr = np.asarray(data)
+        if arr.ndim != 2 or arr.shape[1] != params.dim:
+            got = arr.shape[1] if arr.ndim == 2 else arr.shape
+            raise ArgumentsError(
+                f"Vector length {got} does not match vector "
+                f"parameters dim {params.dim}"
+            )
+        if arr.shape[0] != params.count:
+            raise ArgumentsError(
+                f"Vector count {arr.shape[0]} does not match vector "
+                f"parameters count {params.count}"
+            )
+        return
     count = 0
     for batch in iter_batches(data):
         if batch.shape[1] != params.dim:

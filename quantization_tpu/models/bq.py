@@ -13,13 +13,17 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.interface import DataLike, EncodedVectors, iter_batches
+from ..core.interface import (
+    DataLike,
+    EncodedVectors,
+    iter_batches,
+    validate_vector_parameters,
+)
 from ..core.storage import EncodedStorage
 from ..core.types import (
     ArgumentsError,
@@ -98,6 +102,8 @@ class BinaryQuantizer(EncodedVectors):
         """Pack sign bits batch-by-batch (encoded_vectors_binary.rs:165-191)
         with a cancellation check between batches; optionally via the native
         C++ packer, optionally on an ordered worker pool."""
+        if not callable(data):
+            validate_vector_parameters(data, params)
         row_bytes = bq_ops.storage_bytes(params.dim, store_type)
         native = None
         if use_native:

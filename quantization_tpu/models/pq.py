@@ -22,7 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.interface import DataLike, EncodedVectors, iter_batches
+from ..core.interface import (
+    DataLike,
+    EncodedVectors,
+    iter_batches,
+    validate_vector_parameters,
+)
 from ..core.storage import EncodedStorage
 from ..core.types import (
     ArgumentsError,
@@ -137,6 +142,8 @@ class ProductQuantizer(EncodedVectors):
         use smaller chunk_size to compensate). 8 is reference parity."""
         if bits not in (4, 8):
             raise ArgumentsError(f"bits must be 4 or 8, got {bits}")
+        if not callable(data):
+            validate_vector_parameters(data, params)
         division = pq_ops.get_vector_division(params.dim, chunk_size)
         k = pq_ops.CENTROIDS_COUNT if bits == 8 else pq_ops.CENTROIDS_COUNT4
 

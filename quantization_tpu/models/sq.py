@@ -9,10 +9,13 @@ reference are deliberate TPU inversions (see SURVEY.md §7):
     save/load compatibility (§3.5).
   * Batch scoring is the primitive: one int8 MXU matmul produces [Q, N]
     scores; the reference scores one (query, point) per call.
-  * Alignment is the TPU lane width 128 (vs 16). Files written with other
-    alignments load fine: codes are zero-padded to the lane width on device,
-    and zero-codes on both operands contribute exactly 0 to both integer
-    kernels, so scores are unchanged.
+  * On-disk rows use the reference's 16-aligned actual_dim
+    (encoded_vectors_u8.rs:12,252-259) in both directions: files written
+    here pass the reference's exact-size check and vice versa, with
+    voffsets computed over the 16-aligned width exactly as the reference
+    computes them. In memory, codes are zero-padded further to the 128
+    lane width — zero-codes on both operands contribute exactly 0 to both
+    integer kernels, so scores are unchanged.
 
 Scoring math (parity with encoded_vectors_u8.rs:145-158,386-453):
     score(q, i)        = multiplier * kernel(Q, V_i) + q.offset + v_offset[i]
@@ -25,13 +28,18 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.interface import DataLike, EncodedVectors, iter_batches
+from ..core.interface import (
+    DataLike,
+    EncodedVectors,
+    iter_batches,
+    validate_vector_parameters,
+)
 from ..core.storage import EncodedStorage
 from ..core.types import (
     ArgumentsError,
@@ -90,7 +98,7 @@ class EncodedQueryU8:
 
 
 def _lane_pad(n: int) -> int:
-    return n + (-n) % sq_ops.ALIGNMENT
+    return n + (-n) % sq_ops.LANE
 
 
 class ScalarQuantizerU8(EncodedVectors):
@@ -141,6 +149,8 @@ class ScalarQuantizerU8(EncodedVectors):
         pass 1 scans min/max (+ optional quantile sample), pass 2 quantizes
         batch-by-batch on device with a cancellation check between batches.
         """
+        if not callable(data):
+            validate_vector_parameters(data, params)
         actual = sq_ops.actual_dim(params.dim)
         if params.count == 0:
             # Early-out with zeroed metadata (encoded_vectors_u8.rs:43-54).
@@ -198,18 +208,15 @@ class ScalarQuantizerU8(EncodedVectors):
             # Device path: codes STAY on device — only the f32 batch crosses
             # the host->device link; the int8 codes never round-trip back
             # (on tunneled TPUs that round trip dominated 1M-scale encode).
-            codes, voff = sq_ops.quantize_batch(
+            return sq_ops.quantize_batch(
                 jnp.asarray(batch),
                 alpha=alpha,
                 offset=offset,
                 distance_type=dt,
                 invert=inv,
                 dpad=actual,
+                lane=_lane_pad(actual),
             )
-            lane = _lane_pad(actual)
-            if lane > actual:
-                codes = jnp.pad(codes, ((0, 0), (0, lane - actual)))
-            return codes, voff
 
         lane = _lane_pad(actual)
         if native is not None and max_threads > 1:
@@ -286,10 +293,8 @@ class ScalarQuantizerU8(EncodedVectors):
             distance_type=self.params.distance_type,
             invert=self.params.invert,
             dpad=m.actual_dim,
+            lane=self.codes.shape[1],
         )
-        lane = self.codes.shape[1]
-        if lane > m.actual_dim:
-            codes = jnp.pad(codes, ((0, 0), (0, lane - m.actual_dim)))
         return EncodedQueryU8(codes, qoff)
 
     # ------------------------------------------------------------------ score

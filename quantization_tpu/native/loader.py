@@ -25,16 +25,29 @@ _tried = False
 
 
 def _build() -> bool:
+    # Compile to a unique temp name and os.rename() into place (atomic on
+    # POSIX): two processes racing the first-use build (pytest-xdist,
+    # parallel ingestion jobs) each produce a complete .so and the loser's
+    # rename simply wins last — nobody ever CDLLs a half-written file.
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
+    # -ffp-contract=off: GCC contracts a*b+c into FMA by default, which
+    # diverges from the reference's strict f32 evaluation (rustc does not
+    # contract) — the quantize path must match Rust bit-for-bit.
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _LIB,
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-std=c++17",
+        "-shared", "-fPIC", _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(
             cmd, check=True, capture_output=True, timeout=120
         )
+        os.replace(tmp, _LIB)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -75,7 +88,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.qtpu_cpu_scan_hamming.argtypes = [u8p, u8p, i64, i64, f32, f32, f32p]
         lib.qtpu_cpu_scan_dot_f32.argtypes = [f32p, f32p, i64, i64, f32p]
         lib.qtpu_abi_version.restype = ctypes.c_int
-        if lib.qtpu_abi_version() != 1:
+        if lib.qtpu_abi_version() != 2:
             return None
         _lib = lib
         return _lib

@@ -19,45 +19,45 @@ extern "C" {
 
 // distance_type: 0 = Dot, 1 = L1, 2 = L2 (matches DistanceType order).
 //
-// Mirrors the per-vector hot loop of encoded_vectors_u8.rs:73-118:
-// clamp((v - offset) / alpha, 0, 127) truncated toward zero, padding to
-// dpad with pad_code, and the per-vector correction term (negated when
-// invert != 0). codes_out is [n, dpad] u8, voff_out is [n] f32.
+// Mirrors the per-vector hot loop of encoded_vectors_u8.rs:73-118
+// BIT-FOR-BIT: IEEE f32 division (the reference's f32_to_u8 at :234-237 —
+// note XLA's divide is NOT correctly rounded, so the device encoder can
+// differ by one code at exact quantization boundaries; this host path is
+// the byte-exact reference-interop encoder), clamp + trunc-toward-zero
+// like `as u8`, padding to dpad with pad_code, and the per-vector
+// correction term accumulated as a sequential f32 fold exactly like the
+// Rust `iter().map(..).sum::<f32>()` (:94-109), negated when invert != 0.
+// codes_out is [n, dpad] u8, voff_out is [n] f32.
 void qtpu_quantize_u8(
     const float* data, int64_t n, int64_t dim, int64_t dpad,
     float alpha, float offset, uint8_t pad_code,
     int distance_type, int invert,
     uint8_t* codes_out, float* voff_out) {
-  // Multiply by the f32 reciprocal, matching ops/sq._inv_alpha bit-for-bit
-  // (XLA constant-folds division by a literal the same way).
-  const float inv_alpha = 1.0f / alpha;
   for (int64_t row = 0; row < n; ++row) {
     const float* v = data + row * dim;
     uint8_t* out = codes_out + row * dpad;
-    double sum = 0.0, sum_sq = 0.0;
+    float sum = 0.0f, sum_sq = 0.0f;
     for (int64_t j = 0; j < dim; ++j) {
-      float q = (v[j] - offset) * inv_alpha;
+      float q = (v[j] - offset) / alpha;
       q = std::min(std::max(q, 0.0f), 127.0f);
       if (std::isnan(q)) q = 0.0f;
       uint8_t code = (uint8_t)q;  // truncation toward zero, like `as u8`
       out[j] = code;
-      sum += code;
-      sum_sq += (double)code * code;
+      sum += (float)code;
+      sum_sq += (float)code * (float)code;
     }
     for (int64_t j = dim; j < dpad; ++j) {
       out[j] = pad_code;
-      sum += pad_code;
-      sum_sq += (double)pad_code * pad_code;
+      sum += (float)pad_code;
+      sum_sq += (float)pad_code * (float)pad_code;
     }
     float voff;
     if (distance_type == 0) {  // Dot
-      voff = (float)(dpad * (double)offset * offset +
-                     sum * (double)alpha * offset);
+      voff = (float)dpad * offset * offset + sum * alpha * offset;
     } else if (distance_type == 1) {  // L1
       voff = 0.0f;
     } else {  // L2
-      voff = (float)(dpad * (double)offset * offset +
-                     sum_sq * (double)alpha * alpha);
+      voff = (float)dpad * offset * offset + sum_sq * alpha * alpha;
     }
     voff_out[row] = invert ? -voff : voff;
   }
@@ -169,6 +169,6 @@ void qtpu_cpu_scan_dot_f32(
   }
 }
 
-int qtpu_abi_version() { return 1; }
+int qtpu_abi_version() { return 2; }
 
 }  // extern "C"

@@ -23,7 +23,6 @@ Metric mapping from the XOR count x with true dimension d
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,10 +9,12 @@ TPU-native re-design of the reference SQ codec/kernels
     TPU replacement for the `maddubs` AVX2 kernel (cpp/avx2.c:25-63).
   * layout is SoA: codes int8[N, D_pad] + per-vector f32 correction offsets[N]
     (vs the reference's per-row inline f32 prefix, encoded_vectors_u8.rs:78-116).
-  * D is padded to the TPU lane width 128 (vs ALIGNMENT=16 at
-    encoded_vectors_u8.rs:12) with the same placeholder semantics: the pad
-    encodes real value 0.0 for DOT and `offset` (code 0) for L1/L2
-    (encoded_vectors_u8.rs:84-93), so pads cancel exactly in scores.
+  * D is padded in two steps: pad_code to the reference's 16-aligned
+    actual_dim (same placeholder semantics as encoded_vectors_u8.rs:84-93 —
+    the pad encodes real value 0.0 for DOT and `offset` i.e. code 0 for
+    L1/L2, so pads cancel exactly in scores and voffsets match the
+    reference bit-for-bit), then zeros to the TPU lane width 128 (zero
+    lanes on both operands contribute exactly 0 to every kernel and sum).
 
 Score contract (encoded_vectors_u8.rs:145-158):
     score = multiplier * int_kernel(Q, V) + query_offset + vector_offset
@@ -32,14 +34,25 @@ import numpy as np
 
 from ..core.types import DistanceType
 
-ALIGNMENT = 128  # TPU lane width; reference uses 16 (encoded_vectors_u8.rs:12)
+ALIGNMENT = 16  # reference row alignment (encoded_vectors_u8.rs:12)
+LANE = 128  # TPU lane width: in-memory code matrices are padded to this
 CODE_MAX = 127.0
 
 
 def actual_dim(dim: int, alignment: int = ALIGNMENT) -> int:
-    """dim rounded up to the alignment (reference get_actual_dim,
-    encoded_vectors_u8.rs:257-259)."""
+    """dim rounded up to the reference's 16-byte alignment (get_actual_dim,
+    encoded_vectors_u8.rs:257-259). This is the on-disk row width; the
+    in-memory layout zero-pads further to the 128 lane width (``LANE``),
+    which is score-neutral: lanes in [actual_dim, LANE-aligned) hold code 0
+    on both query and corpus sides, contributing exactly 0 to the integer
+    dot kernel and 0 to every offset sum."""
     return dim + (alignment - dim % alignment) % alignment
+
+
+def lane_dim(dim: int) -> int:
+    """The in-memory column count: actual_dim rounded up to the lane width."""
+    a = actual_dim(dim)
+    return a + (-a) % LANE
 
 
 def alpha_offset_from_min_max(mn: float, mx: float) -> Tuple[float, float]:
@@ -67,9 +80,15 @@ def multiplier_for(distance_type: DistanceType, invert: bool, alpha: float) -> f
 
 
 def _inv_alpha(alpha: float) -> float:
-    """f32 reciprocal, computed identically on host and device so the native
-    C++ encoder and the XLA encoder quantize bit-for-bit alike (XLA
-    constant-folds division by a literal into this multiply anyway)."""
+    """f32 reciprocal for the device quantizer. XLA's f32 divide is not
+    correctly rounded (measured: reciprocal+Newton on CPU even for traced
+    divisors), so IEEE-exact parity with the reference's `(v-off)/alpha`
+    is unattainable on the device path regardless — use the explicit
+    reciprocal multiply, which XLA folds a static divisor into anyway.
+    Consequence: device codes can differ from the reference's by one at
+    exact quantization boundaries (probability ~2^-23 per element on
+    continuous data). The native C++ encoder (native/qtpu_native.cpp) does
+    true IEEE division and is the byte-exact reference-interop path."""
     return float(np.float32(1.0) / np.float32(alpha))
 
 
@@ -86,11 +105,10 @@ def _f32_to_code(x: jax.Array, alpha: float, offset: float) -> jax.Array:
 def pad_code(distance_type: DistanceType, alpha: float, offset: float) -> int:
     """Code value used for lane padding (encoded_vectors_u8.rs:84-93):
     DOT pads with the code of real value 0.0; L1/L2 pad with the code of
-    `offset`, which is always 0."""
+    `offset`, which is always 0. Host-computed with true IEEE division, so
+    it matches the reference's f32_to_u8 exactly."""
     if distance_type == DistanceType.DOT:
-        q = (np.float32(0.0) - np.float32(offset)) * np.float32(
-            _inv_alpha(alpha)
-        )
+        q = (np.float32(0.0) - np.float32(offset)) / np.float32(alpha)
         q = min(max(q, 0.0), CODE_MAX)
         if np.isnan(q):
             q = 0.0
@@ -100,7 +118,7 @@ def pad_code(distance_type: DistanceType, alpha: float, offset: float) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("alpha", "offset", "distance_type", "invert", "dpad"),
+    static_argnames=("alpha", "offset", "distance_type", "invert", "dpad", "lane"),
 )
 def quantize_batch(
     x: jax.Array,
@@ -110,14 +128,21 @@ def quantize_batch(
     distance_type: DistanceType,
     invert: bool,
     dpad: int,
+    lane: int = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Encode a [B, dim] float32 batch -> (codes int8[B, dpad], voffset f32[B]).
+    """Encode a [B, dim] float32 batch -> (codes int8[B, lane], voffset f32[B]).
 
     Implements the per-vector hot loop of encoded_vectors_u8.rs:73-118 as one
-    fused device op: quantize, pad, and compute the per-vector correction
-    term (encoded_vectors_u8.rs:94-109), negated under ``invert``.
+    fused device op: quantize, pad with ``pad_code`` to the reference's
+    16-aligned ``dpad``, zero-pad to the TPU lane width ``lane``, and compute
+    the per-vector correction term (encoded_vectors_u8.rs:94-109) over the
+    dpad width exactly as the reference does — the zero lanes beyond dpad
+    contribute 0 to every sum, so voffsets match the reference bit-for-bit
+    while the in-memory matrix stays MXU-tileable.
     """
     b, dim = x.shape
+    if lane is None:
+        lane = dpad
     codes_f = _f32_to_code(x.astype(jnp.float32), alpha, offset)
     if dpad > dim:
         pc = pad_code(distance_type, alpha, offset)
@@ -133,12 +158,16 @@ def quantize_batch(
         )
     if invert:
         voff = -voff
+    if lane > dpad:
+        codes_f = jnp.concatenate(
+            [codes_f, jnp.zeros((b, lane - dpad), jnp.float32)], axis=1
+        )
     return codes_f.astype(jnp.int8), voff.astype(jnp.float32)
 
 
 @partial(
     jax.jit,
-    static_argnames=("alpha", "offset", "distance_type", "invert", "dpad"),
+    static_argnames=("alpha", "offset", "distance_type", "invert", "dpad", "lane"),
 )
 def encode_query_batch(
     q: jax.Array,
@@ -148,13 +177,17 @@ def encode_query_batch(
     distance_type: DistanceType,
     invert: bool,
     dpad: int,
+    lane: int = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Quantize queries exactly like data (encoded_vectors_u8.rs:290-329).
 
     The query offset term is Sum(Q)*alpha*offset for DOT and
-    Sum(Q^2)*alpha^2 for L2 (zero for L1), negated under invert.
+    Sum(Q^2)*alpha^2 for L2 (zero for L1), negated under invert. Padding
+    mirrors quantize_batch: pad_code to the 16-aligned dpad, zeros to lane.
     """
     b, dim = q.shape
+    if lane is None:
+        lane = dpad
     codes_f = _f32_to_code(q.astype(jnp.float32), alpha, offset)
     if dpad > dim:
         pc = pad_code(distance_type, alpha, offset)
@@ -168,6 +201,10 @@ def encode_query_batch(
         qoff = jnp.sum(codes_f * codes_f, axis=1) * (alpha * alpha)
     if invert:
         qoff = -qoff
+    if lane > dpad:
+        codes_f = jnp.concatenate(
+            [codes_f, jnp.zeros((b, lane - dpad), jnp.float32)], axis=1
+        )
     return codes_f.astype(jnp.int8), qoff.astype(jnp.float32)
 
 

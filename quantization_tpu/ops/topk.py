@@ -44,10 +44,13 @@ def topk_approx(
 
 
 def _pad_k(s, i, k, n):
+    # Sentinel contract (shared with ktile._merge): when fewer than k
+    # candidates exist, missing slots hold score -inf and index -1 — never
+    # a valid corpus id.
     got = s.shape[1]
     if got < k:
         s = jnp.pad(s, ((0, 0), (0, k - got)), constant_values=NEG_INF)
-        i = jnp.pad(i, ((0, 0), (0, k - got)))
+        i = jnp.pad(i, ((0, 0), (0, k - got)), constant_values=-1)
     return s, i.astype(jnp.int32)
 
 

@@ -46,6 +46,9 @@ def test_topk_k_larger_than_n(rng):
     s, i = topk_exact(scores, 8)
     assert s.shape == (2, 8)
     assert np.all(np.isneginf(np.asarray(s)[:, 5:]))
+    # missing-slot sentinel is -1 (same contract as the fused-kernel merge),
+    # never a valid corpus id like 0
+    assert np.all(np.asarray(i)[:, 5:] == -1)
 
 
 def test_topk_dispatch(rng):
