@@ -20,12 +20,30 @@ from ..core.types import ArgumentsError
 
 
 class ExactRescorer:
-    """f32 rescoring stage backed by the original vectors kept on device."""
+    """f32 rescoring stage backed by the original vectors.
 
-    def __init__(self, data: np.ndarray, distance_type, invert: bool):
+    ``host_resident=False`` (default) keeps the corpus in HBM — right for
+    corpora that fit (1M x 768 f32 is ~3GB). ``host_resident=True`` keeps
+    it on the host (accepts a numpy array OR an np.memmap, so a 10M x 1536
+    corpus — 61GB, beyond one chip's HBM — rescs from disk-backed memory):
+    per call only the gathered [Q, R, D] candidate rows cross the link.
+    For multi-chip HBM residency use
+    ``parallel.sharded.ShardedExactRescorer`` instead."""
+
+    def __init__(
+        self,
+        data: np.ndarray,
+        distance_type,
+        invert: bool,
+        host_resident: bool = False,
+    ):
         from ..core.distances import pairwise_score
 
-        self._data = jnp.asarray(data, jnp.float32)
+        self._host = host_resident
+        if host_resident:
+            self._data = np.asarray(data)  # no copy for memmaps/f32 arrays
+        else:
+            self._data = jnp.asarray(data, jnp.float32)
         self._dt = distance_type
         self._invert = invert
         self._pairwise_score = pairwise_score
@@ -35,13 +53,28 @@ class ExactRescorer:
         return q[None, :] if q.ndim == 1 else q
 
     def score_points(self, equery, ids) -> jax.Array:
-        sub = jnp.take(self._data, jnp.asarray(ids, jnp.int32), axis=0)
+        if self._host:
+            sub = jnp.asarray(
+                self._data[np.asarray(ids, np.int64)], jnp.float32
+            )
+        else:
+            sub = jnp.take(self._data, jnp.asarray(ids, jnp.int32), axis=0)
         return self._pairwise_score(equery, sub, self._dt, self._invert)
 
     def score_candidates(self, equery, cand) -> jax.Array:
         from ..core.distances import score as _score
 
-        g = jnp.take(self._data, jnp.asarray(cand, jnp.int32), axis=0)  # [Q,R,D]
+        if self._host:
+            # Host gather (numpy fancy-index works on memmaps too), then a
+            # single [Q, R, D] upload — HBM never holds the corpus.
+            idx = np.asarray(cand, np.int64)
+            g = jnp.asarray(
+                self._data[idx.reshape(-1)], jnp.float32
+            ).reshape(idx.shape + (self._data.shape[1],))
+        else:
+            g = jnp.take(
+                self._data, jnp.asarray(cand, jnp.int32), axis=0
+            )  # [Q,R,D]
         return _score(equery[:, None, :], g, self._dt, self._invert)
 
 

@@ -101,6 +101,29 @@ def _lane_pad(n: int) -> int:
     return n + (-n) % sq_ops.LANE
 
 
+# Corpus rows per L1 scoring block (see top_k_device): bounds the transient
+# score matrix at [Q, 1M] (~1GB at Q=256) regardless of corpus size.
+L1_BLOCK_ROWS = 1 << 20
+
+
+def calibrate_sq(
+    batches_fn, params: VectorParameters, quantile, stop_condition, seed: int
+):
+    """Two-pass SQ calibration (encoded_vectors_u8.rs:57-71): full min/max
+    scan, then an optional quantile interval over a <=100k-row sample.
+    ``batches_fn`` is a zero-arg callable returning a fresh batch iterator.
+    Returns (alpha, offset)."""
+    mn, mx = find_min_max_batches(batches_fn())
+    alpha, offset = sq_ops.alpha_offset_from_min_max(mn, mx)
+    if quantile is not None:
+        check_stop(stop_condition)
+        sample = sample_rows(batches_fn, params.count, QUANTILE_SAMPLE_SIZE, seed)
+        interval = find_quantile_interval(sample, params.count, float(quantile))
+        if interval is not None:
+            alpha, offset = sq_ops.alpha_offset_from_min_max(*interval)
+    return alpha, offset
+
+
 class ScalarQuantizerU8(EncodedVectors):
     """u8 affine codec with MXU integer scoring."""
 
@@ -164,14 +187,7 @@ class ScalarQuantizerU8(EncodedVectors):
         def batches():
             return iter_batches(data, batch_size)
 
-        mn, mx = find_min_max_batches(batches())
-        alpha, offset = sq_ops.alpha_offset_from_min_max(mn, mx)
-        if quantile is not None:
-            check_stop(stop_condition)
-            sample = sample_rows(batches, params.count, QUANTILE_SAMPLE_SIZE, seed)
-            interval = find_quantile_interval(sample, params.count, float(quantile))
-            if interval is not None:
-                alpha, offset = sq_ops.alpha_offset_from_min_max(*interval)
+        alpha, offset = calibrate_sq(batches, params, quantile, stop_condition, seed)
 
         dt, inv = params.distance_type, params.invert
         native = None
@@ -329,7 +345,10 @@ class ScalarQuantizerU8(EncodedVectors):
     def top_k_device(self, equery: EncodedQueryU8, k: int, method: str = "exact"):
         """Fused Pallas search on TPU for DOT/L2: int8 MXU scoring with
         in-tile top-k extraction — the [Q, N] score matrix never touches
-        HBM. Falls back to score-then-select otherwise."""
+        HBM. L1 (no matmul structure — it rides the VPU through XLA's
+        fusion, see PERF_NOTES "Kernels") blocks the corpus axis instead,
+        so its peak HBM is [Q, block] + codes, never [Q, N]. Falls back to
+        score-then-select otherwise."""
         from ..ops.pallas.ktile import FUSED_K_MAX, SLOT
 
         fused_ok = (k <= FUSED_K_MAX) if method == "exact" else (k <= SLOT)
@@ -352,7 +371,43 @@ class ScalarQuantizerU8(EncodedVectors):
                 k=k,
                 mode=method,
             )
+        if (
+            self.params.distance_type == DistanceType.L1
+            and self.count > L1_BLOCK_ROWS
+        ):
+            return self._l1_blocked_topk(equery, k, method)
         return super().top_k_device(equery, k, method=method)
+
+    def _l1_blocked_topk(self, equery: EncodedQueryU8, k: int, method: str):
+        """Corpus-blocked L1 search: per-block score + top-k, merged at the
+        end — a [Q, N] L1 score matrix at 10M x 256 queries would be 10GB
+        of HBM; blocks cap it at [Q, L1_BLOCK_ROWS]. All blocks are
+        enqueued before any host sync (two compiled shapes: body + tail)."""
+        from ..ops.topk import top_k as _topk
+
+        parts_s, parts_i = [], []
+        for b0 in range(0, self.count, L1_BLOCK_ROWS):
+            b1 = min(b0 + L1_BLOCK_ROWS, self.count)
+            scores = sq_ops.score_batch_xla(
+                equery.codes,
+                equery.offsets,
+                jax.lax.slice_in_dim(self.codes, b0, b1, axis=0),
+                jax.lax.slice_in_dim(self.voffsets, b0, b1, axis=0),
+                self._mult_dev,
+                distance_type=DistanceType.L1,
+            )
+            s, i = _topk(scores, min(k, b1 - b0), method=method)
+            parts_s.append(s)
+            parts_i.append(i + b0)
+        s = jnp.concatenate(parts_s, axis=1)
+        i = jnp.concatenate(parts_i, axis=1)
+        kk = min(k, s.shape[1])
+        ss, pos = jax.lax.top_k(s, kk)
+        ii = jnp.take_along_axis(i, pos, axis=1)
+        if kk < k:
+            ss = jnp.pad(ss, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+            ii = jnp.pad(ii, ((0, 0), (0, k - kk)), constant_values=-1)
+        return ss, ii
 
     def score_points(self, equery: EncodedQueryU8, ids) -> jax.Array:
         ids = jnp.asarray(ids, jnp.int32)

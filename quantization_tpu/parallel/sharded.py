@@ -7,6 +7,26 @@ axis (the points axis), every chip scores its shard with one quantized
 matmul/popcount pass and computes a *local* top-k, and the only collective is
 an ``all_gather`` of (k scores, k global indices) per shard followed by a
 final merge — scores ride ICI, never the host.
+
+Construction paths:
+  * wrap an already-encoded single-device quantizer (re-lays its arrays
+    under a NamedSharding) — fine when the corpus fits one chip;
+  * ``ShardedX.encode(data, params, mesh=...)`` — streaming sharded-native
+    ingestion: each host batch is quantized and committed straight into
+    per-shard device buffers, so the corpus codes NEVER materialize on one
+    chip (the TPU equivalent of the reference's injectable storage seam,
+    encoded_storage.rs:7-25);
+  * ``ShardedX.load(...)`` — reads the reference two-file format shard by
+    shard (each shard's slice goes straight to its device).
+
+``save`` writes the same reference-compatible blob shard by shard. Both
+require a fully-addressable mesh (single-controller; multi-host writes per
+process only its addressable shards).
+
+For two-stage retrieval every sharded class exposes ``top_k_device`` (results
+stay on device) and ``score_candidates`` (candidate ids replicated; each
+shard rescoring the ids it owns, merged with one ``psum``), so a
+``TwoStageIndex`` can run entirely on sharded stages.
 """
 
 from __future__ import annotations
@@ -19,11 +39,26 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.types import ArgumentsError, DistanceType
-from ..models.bq import BinaryQuantizer, EncodedQueryBin
-from ..models.pq import EncodedQueryPQ, ProductQuantizer
-from ..models.sq import EncodedQueryU8, ScalarQuantizerU8
+from ..core.types import (
+    ArgumentsError,
+    DistanceType,
+    StorageIOError,
+    VectorParameters,
+    check_stop,
+)
+from ..models.bq import BinaryQuantizer, BQMetadata, EncodedQueryBin
+from ..models.pq import EncodedQueryPQ, PQMetadata, ProductQuantizer
+from ..models.sq import (
+    EncodedQueryU8,
+    ScalarQuantizerU8,
+    SQMetadata,
+    calibrate_sq,
+)
+from ..ops import bq as bq_ops
 from ..ops import dispatch
+from ..ops import pq as pq_ops
+from ..ops import sq as sq_ops
+from ..utils.device_store import DeviceAppender
 
 NEG_INF = jnp.float32(-jnp.inf)
 
@@ -59,19 +94,27 @@ def local_topk_merge(
     axis: str,
     k: int,
     count: int,
+    method: str = "exact",
 ) -> Tuple[jax.Array, jax.Array]:
     """Shared tail of every sharded scorer: mask shard padding, local top-k,
     all-gather k rows per shard over ICI, merge. Replaces the reference
-    caller's point loop + heap (ann_benchmark_data.rs:151-166)."""
+    caller's point loop + heap (ann_benchmark_data.rs:151-166).
+
+    ``method="approx"`` uses the TPU partial-reduce top-k for the *local*
+    selection (the cross-shard merge is always exact over the gathered
+    candidates)."""
     n_local = scores.shape[1]
-    n_shards = jax.lax.psum(1, axis)
     shard_idx = jax.lax.axis_index(axis)
     gidx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + (
         shard_idx * n_local
     )
     scores = jnp.where(gidx < count, scores, NEG_INF)
     kk = min(k, n_local)
-    s, i = jax.lax.top_k(scores, kk)
+    if method == "approx":
+        s, i = jax.lax.approx_max_k(scores, kk)
+        i = i.astype(jnp.int32)
+    else:
+        s, i = jax.lax.top_k(scores, kk)
     gi = jnp.take_along_axis(gidx, i, axis=1)
     s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)
     gi_all = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
@@ -87,26 +130,70 @@ def _pad_rows(arr: np.ndarray, target: int, fill=0) -> np.ndarray:
     return np.pad(arr, pad, constant_values=fill)
 
 
-class _ShardedBase:
-    """Common construction: re-lay host copies of the quantizer's arrays with
-    a NamedSharding over the points axis."""
+def _owned_scores_psum(scores, owned, axis):
+    """Zero out non-owned candidate scores and merge across shards."""
+    return jax.lax.psum(jnp.where(owned, scores, 0.0), axis)
 
-    def __init__(self, quantizer, mesh: Optional[Mesh], axis: str):
+
+class _ShardedBase:
+    """Common state. Two construction paths: wrap a single-device quantizer
+    (``quantizer`` set) or build from sharded parts (``metadata`` set)."""
+
+    def __init__(self, quantizer, mesh: Optional[Mesh], axis: str,
+                 metadata=None):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis = axis
         self.quantizer = quantizer
-        self.count = quantizer.count
+        self.metadata = metadata if metadata is not None else quantizer.metadata
+        self.params = self.metadata.vector_parameters
+        self.count = self.params.count
         self.n_shards = self.mesh.shape[axis]
 
     def encode_query(self, queries):
-        return self.quantizer.encode_query(queries)
+        if self.quantizer is not None:
+            return self.quantizer.encode_query(queries)
+        return self._encode_query_from_meta(queries)
+
+    def top_k(self, equery, k: int, method: str = "exact"):
+        s, i = self.top_k_device(equery, k, method=method)
+        return np.asarray(s), np.asarray(i)
 
     def _shard_dim(self, n: int, tile: int = 1) -> int:
         """Pad the corpus axis so every shard is a multiple of ``tile``
         (the per-shard Pallas kernels need tile-aligned local slices; the
         padding is masked out by ``count`` in local_topk_merge)."""
         step = self.n_shards * tile
-        return n + (-n) % step
+        return max(n + (-n) % step, step)
+
+    @staticmethod
+    def _shard_dim_for(mesh: Mesh, axis: str, n: int, tile: int) -> int:
+        step = mesh.shape[axis] * tile
+        return max(n + (-n) % step, step)
+
+    def _write_blob_sharded(self, path, arr, axis_dim: int, row_writer,
+                            row_size: int):
+        """Write the reference blob shard by shard: ``row_writer(rows_np,
+        start_row)`` converts one shard's device slice to file rows; rows
+        past ``count`` are dropped. ``axis_dim`` is the array axis that
+        carries the corpus."""
+        n = self.count
+        with open(path, "wb") as f:
+            f.truncate(n * row_size)
+            seen = set()
+            for shard in arr.addressable_shards:
+                sl = shard.index[axis_dim]
+                r0 = sl.start or 0
+                if r0 in seen or r0 >= n:
+                    continue  # replicated copy on another mesh axis / padding
+                seen.add(r0)
+                data_np = np.asarray(shard.data)
+                rows = row_writer(data_np)
+                valid = min(rows.shape[0], n - r0)
+                f.seek(r0 * row_size)
+                f.write(rows[:valid].tobytes())
+
+
+# --------------------------------------------------------------------- SQ
 
 
 class ShardedScalarQuantizer(_ShardedBase):
@@ -128,34 +215,267 @@ class ShardedScalarQuantizer(_ShardedBase):
             codes, NamedSharding(self.mesh, P(axis, None))
         )
         self.voffsets = jax.device_put(voff, NamedSharding(self.mesh, P(axis)))
+        self._mult_dev = jnp.float32(self.metadata.multiplier)
 
-    def top_k(
+    @classmethod
+    def _from_parts(
+        cls, codes, voffsets, metadata: SQMetadata, mesh: Mesh, axis: str
+    ) -> "ShardedScalarQuantizer":
+        obj = cls.__new__(cls)
+        _ShardedBase.__init__(obj, None, mesh, axis, metadata=metadata)
+        obj.codes = codes
+        obj.voffsets = voffsets
+        obj._mult_dev = jnp.float32(metadata.multiplier)
+        return obj
+
+    @classmethod
+    def encode(
+        cls,
+        data,
+        params: VectorParameters,
+        mesh: Optional[Mesh] = None,
+        axis: str = "shard",
+        quantile: Optional[float] = None,
+        stop_condition=None,
+        batch_size: int = 65536,
+        seed: int = 0,
+    ) -> "ShardedScalarQuantizer":
+        """Sharded-native streaming encode: calibrate over the batch stream,
+        then quantize batch-by-batch straight into the sharded code buffer —
+        the corpus never materializes on a single device. Cancellation is
+        checked between batches (≙ stop_condition,
+        encoded_vectors_u8.rs:74)."""
+        from ..core.interface import iter_batches
+        from ..ops.pallas.sq_kernel import TILE_N as SQ_TILE
+
+        mesh = mesh if mesh is not None else make_mesh()
+        actual = sq_ops.actual_dim(params.dim)
+        lane = actual + (-actual) % sq_ops.LANE
+
+        def batches():
+            return iter_batches(data, batch_size)
+
+        alpha, offset = calibrate_sq(
+            batches, params, quantile, stop_condition, seed
+        ) if params.count else (0.0, 0.0)
+
+        npad = cls._shard_dim_for(mesh, axis, params.count, SQ_TILE)
+        codes_app = DeviceAppender(
+            (npad, lane), jnp.int8,
+            sharding=NamedSharding(mesh, P(axis, None)),
+        )
+        voff_app = DeviceAppender(
+            (npad,), jnp.float32, sharding=NamedSharding(mesh, P(axis))
+        )
+        total = 0
+        for batch in batches():
+            check_stop(stop_condition)
+            if batch.shape[1] != params.dim:
+                raise ArgumentsError(
+                    f"Vector length {batch.shape[1]} does not match vector "
+                    f"parameters dim {params.dim}"
+                )
+            if total + batch.shape[0] > params.count:
+                raise ArgumentsError(
+                    f"Vector count exceeds vector parameters count "
+                    f"{params.count}"
+                )
+            cb, vb = sq_ops.quantize_batch(
+                jnp.asarray(batch),
+                alpha=alpha,
+                offset=offset,
+                distance_type=params.distance_type,
+                invert=params.invert,
+                dpad=actual,
+                lane=lane,
+            )
+            codes_app.append(cb)
+            voff_app.append(vb)
+            total += batch.shape[0]
+        if total != params.count:
+            raise ArgumentsError(
+                f"Vector count {total} does not match vector parameters "
+                f"count {params.count}"
+            )
+        multiplier = sq_ops.multiplier_for(
+            params.distance_type, params.invert, alpha
+        )
+        meta = SQMetadata(actual, alpha, offset, multiplier, params)
+        return cls._from_parts(
+            codes_app.finish(), voff_app.finish(), meta, mesh, axis
+        )
+
+    def _encode_query_from_meta(self, queries) -> EncodedQueryU8:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.params.dim:
+            raise ArgumentsError(
+                f"query dim {q.shape[1]} != corpus dim {self.params.dim}"
+            )
+        m = self.metadata
+        codes, qoff = sq_ops.encode_query_batch(
+            jnp.asarray(q),
+            alpha=m.alpha,
+            offset=m.offset,
+            distance_type=self.params.distance_type,
+            invert=self.params.invert,
+            dpad=m.actual_dim,
+            lane=self.codes.shape[1],
+        )
+        return EncodedQueryU8(codes, qoff)
+
+    def top_k_device(
         self, equery: EncodedQueryU8, k: int, method: str = "exact"
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        s, i = _sq_sharded_topk(
+    ) -> Tuple[jax.Array, jax.Array]:
+        return _sq_sharded_topk(
             equery.codes,
             equery.offsets,
             self.codes,
             self.voffsets,
-            jnp.float32(self.quantizer.metadata.multiplier),
+            self._mult_dev,
             mesh=self.mesh,
             axis=self.axis,
             k=k,
             count=self.count,
-            distance_type=self.quantizer.params.distance_type,
+            distance_type=self.params.distance_type,
+            method=method,
         )
-        return np.asarray(s), np.asarray(i)
+
+    def score_candidates(self, equery: EncodedQueryU8, cand) -> jax.Array:
+        """[Q, R] scores for global candidate ids: each shard rescans the
+        ids it owns; one psum merges (ids < 0 or >= count score 0)."""
+        return _sq_sharded_score_candidates(
+            equery.codes,
+            equery.offsets,
+            self.codes,
+            self.voffsets,
+            self._mult_dev,
+            jnp.asarray(cand, jnp.int32),
+            mesh=self.mesh,
+            axis=self.axis,
+            count=self.count,
+            distance_type=self.params.distance_type,
+        )
+
+    # ----------------------------------------------------------- checkpoint
+    def save(self, data_path, meta_path) -> None:
+        """Reference two-file format (encoded_vectors_u8.rs:263-271), blob
+        written shard by shard — no single-device gather."""
+        import json
+        import os
+
+        meta_dir = os.path.dirname(os.fspath(meta_path))
+        if meta_dir:
+            os.makedirs(meta_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(self.metadata.to_json(), f)
+        m = self.metadata
+        row_size = m.actual_dim + 4
+        voffs = {
+            (s.index[0].start or 0): np.asarray(s.data)
+            for s in self.voffsets.addressable_shards
+        }
+
+        def rows_of(codes_np, r0=None):
+            n_rows = codes_np.shape[0]
+            rows = np.zeros((n_rows, row_size), np.uint8)
+            rows[:, 4:] = codes_np[:, : m.actual_dim].view(np.uint8)
+            return rows
+
+        n = self.count
+        with open(data_path, "wb") as f:
+            f.truncate(n * row_size)
+            seen = set()
+            for shard in self.codes.addressable_shards:
+                r0 = shard.index[0].start or 0
+                if r0 in seen or r0 >= n:
+                    continue
+                seen.add(r0)
+                codes_np = np.asarray(shard.data)
+                rows = rows_of(codes_np)
+                voff = voffs[r0].astype(np.float32)
+                rows[:, :4] = voff.view(np.uint8).reshape(-1, 4)
+                valid = min(rows.shape[0], n - r0)
+                f.seek(r0 * row_size)
+                f.write(rows[:valid].tobytes())
+
+    @classmethod
+    def load(
+        cls,
+        data_path,
+        meta_path,
+        params: VectorParameters,
+        mesh: Optional[Mesh] = None,
+        axis: str = "shard",
+    ) -> "ShardedScalarQuantizer":
+        """Load the reference two-file format shard by shard: each device
+        reads only its slice of the blob (via a memory map)."""
+        import json
+        import os
+
+        from ..ops.pallas.sq_kernel import TILE_N as SQ_TILE
+
+        mesh = mesh if mesh is not None else make_mesh()
+        try:
+            with open(meta_path) as f:
+                meta = SQMetadata.from_json(json.load(f))
+        except (OSError, json.JSONDecodeError, KeyError) as e:
+            raise StorageIOError(f"cannot read metadata {meta_path}: {e}") from e
+        row_size = meta.actual_dim + 4
+        n = params.count
+        expected = n * row_size
+        actual_size = os.path.getsize(data_path)
+        if actual_size != expected:
+            raise StorageIOError(
+                f"file size {actual_size} does not match expected "
+                f"{expected} ({n} rows x {row_size} bytes)"
+            )
+        lane = meta.actual_dim + (-meta.actual_dim) % sq_ops.LANE
+        npad = cls._shard_dim_for(mesh, axis, n, SQ_TILE)
+        mm = (
+            np.memmap(data_path, np.uint8, "r").reshape(n, row_size)
+            if n
+            else None
+        )
+
+        def cb_codes(index):
+            sl = index[0]
+            r0, r1 = sl.start or 0, sl.stop if sl.stop is not None else npad
+            out = np.zeros((r1 - r0, lane), np.int8)
+            v = max(0, min(r1, n) - r0)
+            if v:
+                out[:v, : meta.actual_dim] = mm[r0 : r0 + v, 4:].view(np.int8)
+            return out
+
+        def cb_voff(index):
+            sl = index[0]
+            r0, r1 = sl.start or 0, sl.stop if sl.stop is not None else npad
+            out = np.zeros((r1 - r0,), np.float32)
+            v = max(0, min(r1, n) - r0)
+            if v:
+                out[:v] = (
+                    mm[r0 : r0 + v, :4].copy().view(np.float32).reshape(v)
+                )
+            return out
+
+        codes = jax.make_array_from_callback(
+            (npad, lane), NamedSharding(mesh, P(axis, None)), cb_codes
+        )
+        voff = jax.make_array_from_callback(
+            (npad,), NamedSharding(mesh, P(axis)), cb_voff
+        )
+        return cls._from_parts(codes, voff, meta, mesh, axis)
 
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "k", "count", "distance_type"),
+    static_argnames=("mesh", "axis", "k", "count", "distance_type", "method"),
 )
 def _sq_sharded_topk(
-    qcodes, qoff, codes, voff, multiplier, *, mesh, axis, k, count, distance_type
+    qcodes, qoff, codes, voff, multiplier, *, mesh, axis, k, count,
+    distance_type, method="exact",
 ):
-    from ..ops import sq as sq_ops
-
     def local(qc, qo, c, vo, mult):
         from ..ops.pallas.sq_kernel import TILE_N as SQ_TILE, sq_scores_pallas
 
@@ -179,7 +499,7 @@ def _sq_sharded_topk(
             scores = (
                 mult * raw.astype(jnp.float32) + qo[:, None] + vo[None, :]
             )
-        return local_topk_merge(scores, axis, k, count)
+        return local_topk_merge(scores, axis, k, count, method=method)
 
     fn = jax.shard_map(
         local,
@@ -189,6 +509,46 @@ def _sq_sharded_topk(
         check_vma=False,
     )
     return fn(qcodes, qoff, codes, voff, multiplier)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "count", "distance_type"),
+)
+def _sq_sharded_score_candidates(
+    qcodes, qoff, codes, voff, multiplier, cand, *, mesh, axis, count,
+    distance_type,
+):
+    def local(qc, qo, c, vo, mult, cd):
+        n_local = c.shape[0]
+        shard_idx = jax.lax.axis_index(axis)
+        local_ids = cd - shard_idx * n_local
+        owned = (local_ids >= 0) & (local_ids < n_local) & (cd < count) & (
+            cd >= 0
+        )
+        safe = jnp.clip(local_ids, 0, n_local - 1)
+        flat = safe.reshape(-1)
+        g = jnp.take(c, flat, axis=0).reshape(cd.shape + (c.shape[1],))
+        goff = jnp.take(vo, flat).reshape(cd.shape)
+        scores = sq_ops._score_gathered(
+            qc, qo, g, goff, mult, distance_type=distance_type
+        )
+        return _owned_scores_psum(scores, owned, axis)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None), P(None), P(axis, None), P(axis), P(),
+            P(None, None),
+        ),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    return fn(qcodes, qoff, codes, voff, multiplier, cand)
+
+
+# --------------------------------------------------------------------- BQ
 
 
 class ShardedBinaryQuantizer(_ShardedBase):
@@ -203,6 +563,7 @@ class ShardedBinaryQuantizer(_ShardedBase):
         super().__init__(quantizer, mesh, axis)
         from ..ops.pallas.bq_kernel import MXU_TILE_N
 
+        self.store_type = quantizer.store_type
         n_pad = self._shard_dim(self.count, MXU_TILE_N)
         planes = np.asarray(quantizer.planes)[:, : self.count]
         if planes.shape[1] < n_pad:
@@ -211,11 +572,97 @@ class ShardedBinaryQuantizer(_ShardedBase):
             planes, NamedSharding(self.mesh, P(None, axis))
         )
 
-    def top_k(
+    @classmethod
+    def _from_parts(
+        cls, planes, metadata: BQMetadata, mesh: Mesh, axis: str,
+        store_type: str,
+    ) -> "ShardedBinaryQuantizer":
+        obj = cls.__new__(cls)
+        _ShardedBase.__init__(obj, None, mesh, axis, metadata=metadata)
+        obj.planes = planes
+        obj.store_type = store_type
+        return obj
+
+    @classmethod
+    def encode(
+        cls,
+        data,
+        params: VectorParameters,
+        mesh: Optional[Mesh] = None,
+        axis: str = "shard",
+        stop_condition=None,
+        batch_size: int = 65536,
+        store_type: str = "u128",
+    ) -> "ShardedBinaryQuantizer":
+        """Streaming sharded-native sign-bit packing
+        (encoded_vectors_binary.rs:165-191 semantics, per-shard buffers)."""
+        from ..core.interface import iter_batches
+        from ..ops.pallas.bq_kernel import MXU_TILE_N, W_ALIGN
+
+        mesh = mesh if mesh is not None else make_mesh()
+        row_bytes = bq_ops.storage_bytes(params.dim, store_type)
+        w = (row_bytes + 3) // 4
+        wpad = max(w + (-w) % W_ALIGN, W_ALIGN)
+        npad = cls._shard_dim_for(mesh, axis, params.count, MXU_TILE_N)
+        app = DeviceAppender(
+            (wpad, npad), jnp.uint32,
+            sharding=NamedSharding(mesh, P(None, axis)), axis=1,
+        )
+        total = 0
+        for batch in iter_batches(data, batch_size):
+            check_stop(stop_condition)
+            if batch.shape[1] != params.dim:
+                raise ArgumentsError(
+                    f"Vector length {batch.shape[1]} does not match vector "
+                    f"parameters dim {params.dim}"
+                )
+            if total + batch.shape[0] > params.count:
+                raise ArgumentsError(
+                    f"Vector count exceeds vector parameters count "
+                    f"{params.count}"
+                )
+            rows = bq_ops.pack_rows(batch, row_bytes)
+            planes = bq_ops.rows_to_planes(rows)  # [w, B]
+            if planes.shape[0] < wpad:
+                planes = np.pad(
+                    planes, ((0, wpad - planes.shape[0]), (0, 0))
+                )
+            app.append(jnp.asarray(planes))
+            total += batch.shape[0]
+        if total != params.count:
+            raise ArgumentsError(
+                f"Vector count {total} does not match vector parameters "
+                f"count {params.count}"
+            )
+        return cls._from_parts(
+            app.finish(), BQMetadata(params), mesh, axis, store_type
+        )
+
+    def _encode_query_from_meta(self, queries) -> EncodedQueryBin:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.params.dim:
+            raise ArgumentsError(
+                f"query dim {q.shape[1]} != corpus dim {self.params.dim}"
+            )
+        row_bytes = bq_ops.storage_bytes(self.params.dim, self.store_type)
+        rows = bq_ops.pack_rows(q, row_bytes)
+        pad = (-row_bytes) % 4
+        if pad:
+            rows = np.pad(rows, ((0, 0), (0, pad)))
+        words = rows.reshape(rows.shape[0], -1, 4).view(np.uint32)
+        words = words.reshape(rows.shape[0], -1)
+        w8 = self.planes.shape[0]
+        if words.shape[1] < w8:
+            words = np.pad(words, ((0, 0), (0, w8 - words.shape[1])))
+        return EncodedQueryBin(jnp.asarray(words))
+
+    def top_k_device(
         self, equery: EncodedQueryBin, k: int, method: str = "exact"
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        p = self.quantizer.params
-        s, i = _bq_sharded_topk(
+    ) -> Tuple[jax.Array, jax.Array]:
+        p = self.params
+        return _bq_sharded_topk(
             equery.planes,
             self.planes,
             mesh=self.mesh,
@@ -225,19 +672,111 @@ class ShardedBinaryQuantizer(_ShardedBase):
             distance_type=p.distance_type,
             invert=p.invert,
             dim=p.dim,
+            method=method,
         )
-        return np.asarray(s), np.asarray(i)
+
+    def score_candidates(self, equery: EncodedQueryBin, cand) -> jax.Array:
+        p = self.params
+        return _bq_sharded_score_candidates(
+            equery.planes,
+            self.planes,
+            jnp.asarray(cand, jnp.int32),
+            mesh=self.mesh,
+            axis=self.axis,
+            count=self.count,
+            distance_type=p.distance_type,
+            invert=p.invert,
+            dim=p.dim,
+        )
+
+    # ----------------------------------------------------------- checkpoint
+    def save(self, data_path, meta_path) -> None:
+        import json
+        import os
+
+        meta_dir = os.path.dirname(os.fspath(meta_path))
+        if meta_dir:
+            os.makedirs(meta_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(self.metadata.to_json(), f)
+        row_bytes = bq_ops.storage_bytes(self.params.dim, self.store_type)
+        self._write_blob_sharded(
+            data_path,
+            self.planes,
+            axis_dim=1,
+            row_writer=lambda planes_np: bq_ops.planes_to_rows(
+                planes_np, row_bytes
+            ),
+            row_size=row_bytes,
+        )
+
+    @classmethod
+    def load(
+        cls,
+        data_path,
+        meta_path,
+        params: VectorParameters,
+        mesh: Optional[Mesh] = None,
+        axis: str = "shard",
+        store_type: str = "u128",
+    ) -> "ShardedBinaryQuantizer":
+        import json
+        import os
+
+        from ..ops.pallas.bq_kernel import MXU_TILE_N, W_ALIGN
+
+        mesh = mesh if mesh is not None else make_mesh()
+        try:
+            with open(meta_path) as f:
+                meta = BQMetadata.from_json(json.load(f))
+        except (OSError, json.JSONDecodeError, KeyError) as e:
+            raise StorageIOError(f"cannot read metadata {meta_path}: {e}") from e
+        row_bytes = bq_ops.storage_bytes(params.dim, store_type)
+        n = params.count
+        expected = n * row_bytes
+        actual_size = os.path.getsize(data_path)
+        if actual_size != expected:
+            raise StorageIOError(
+                f"file size {actual_size} does not match expected {expected}"
+            )
+        w = (row_bytes + 3) // 4
+        wpad = max(w + (-w) % W_ALIGN, W_ALIGN)
+        npad = cls._shard_dim_for(mesh, axis, n, MXU_TILE_N)
+        mm = (
+            np.memmap(data_path, np.uint8, "r").reshape(n, row_bytes)
+            if n
+            else None
+        )
+
+        def cb(index):
+            sl = index[1]
+            c0, c1 = sl.start or 0, sl.stop if sl.stop is not None else npad
+            out = np.zeros((wpad, c1 - c0), np.uint32)
+            v = max(0, min(c1, n) - c0)
+            if v:
+                planes = bq_ops.rows_to_planes(
+                    np.ascontiguousarray(mm[c0 : c0 + v])
+                )
+                out[: planes.shape[0], :v] = planes
+            return out
+
+        planes = jax.make_array_from_callback(
+            (wpad, npad), NamedSharding(mesh, P(None, axis)), cb
+        )
+        return cls._from_parts(planes, meta, mesh, axis, store_type)
 
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "k", "count", "distance_type", "invert", "dim"),
+    static_argnames=(
+        "mesh", "axis", "k", "count", "distance_type", "invert", "dim",
+        "method",
+    ),
 )
 def _bq_sharded_topk(
-    qplanes, planes, *, mesh, axis, k, count, distance_type, invert, dim
+    qplanes, planes, *, mesh, axis, k, count, distance_type, invert, dim,
+    method="exact",
 ):
-    from ..ops import bq as bq_ops
-
     def local(qp, pl_shard):
         from ..ops.pallas.bq_kernel import MXU_TILE_N, bq_scores_mxu
 
@@ -260,7 +799,7 @@ def _bq_sharded_topk(
                 invert=invert,
                 dim=dim,
             )
-        return local_topk_merge(scores, axis, k, count)
+        return local_topk_merge(scores, axis, k, count, method=method)
 
     fn = jax.shard_map(
         local,
@@ -270,6 +809,40 @@ def _bq_sharded_topk(
         check_vma=False,
     )
     return fn(qplanes, planes)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "count", "distance_type", "invert", "dim"),
+)
+def _bq_sharded_score_candidates(
+    qplanes, planes, cand, *, mesh, axis, count, distance_type, invert, dim
+):
+    def local(qp, pl_shard, cd):
+        n_local = pl_shard.shape[1]
+        shard_idx = jax.lax.axis_index(axis)
+        local_ids = cd - shard_idx * n_local
+        owned = (local_ids >= 0) & (local_ids < n_local) & (cd < count) & (
+            cd >= 0
+        )
+        safe = jnp.clip(local_ids, 0, n_local - 1)
+        scores = bq_ops.score_candidates_xla(
+            qp, pl_shard, safe,
+            distance_type=distance_type, invert=invert, dim=dim,
+        )
+        return _owned_scores_psum(scores, owned, axis)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None), P(None, axis), P(None, None)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    return fn(qplanes, planes, cand)
+
+
+# --------------------------------------------------------------------- PQ
 
 
 class ShardedProductQuantizer(_ShardedBase):
@@ -295,11 +868,112 @@ class ShardedProductQuantizer(_ShardedBase):
         self.codes_t = jax.device_put(
             codes_t, NamedSharding(self.mesh, P(None, axis))
         )
+        self._c_chunks = quantizer._c_chunks
 
-    def top_k(
+    @classmethod
+    def _from_parts(
+        cls, codes_t, metadata: PQMetadata, mesh: Mesh, axis: str
+    ) -> "ShardedProductQuantizer":
+        obj = cls.__new__(cls)
+        _ShardedBase.__init__(obj, None, mesh, axis, metadata=metadata)
+        obj.codes_t = codes_t
+        obj.num_chunks = len(metadata.vector_division)
+        obj._c_chunks = jnp.asarray(
+            pq_ops.centroids_to_chunks(
+                np.asarray(metadata.centroids), metadata.vector_division
+            )
+        )
+        return obj
+
+    @classmethod
+    def encode(
+        cls,
+        data,
+        params: VectorParameters,
+        chunk_size: int,
+        mesh: Optional[Mesh] = None,
+        axis: str = "shard",
+        stop_condition=None,
+        batch_size: int = 16384,
+        seed: int = 0,
+        bits: int = 8,
+    ) -> "ShardedProductQuantizer":
+        """Streaming sharded-native PQ: k-means on a sample (replicated —
+        centroids are tiny), then nearest-centroid codes committed batch by
+        batch into the sharded transposed code buffer."""
+        from ..core.interface import iter_batches
+        from ..ops.pallas.pq_kernel import M_BLK, TILE_N as PQ_TILE
+
+        if bits not in (4, 8):
+            raise ArgumentsError(f"bits must be 4 or 8, got {bits}")
+        mesh = mesh if mesh is not None else make_mesh()
+        division = pq_ops.get_vector_division(params.dim, chunk_size)
+        k = pq_ops.CENTROIDS_COUNT if bits == 8 else pq_ops.CENTROIDS_COUNT4
+
+        def batches():
+            return iter_batches(data, batch_size)
+
+        centroids = ProductQuantizer._find_centroids(
+            batches, division, params, stop_condition, seed, k
+        )
+        c_chunks = jnp.asarray(pq_ops.centroids_to_chunks(centroids, division))
+
+        m = len(division)
+        mpad = max(m + (-m) % M_BLK, M_BLK)
+        npad = cls._shard_dim_for(mesh, axis, params.count, PQ_TILE)
+        app = DeviceAppender(
+            (mpad, npad), jnp.uint8,
+            sharding=NamedSharding(mesh, P(None, axis)), axis=1,
+        )
+        total = 0
+        for batch in batches():
+            check_stop(stop_condition)
+            if batch.shape[1] != params.dim:
+                raise ArgumentsError(
+                    f"Vector length {batch.shape[1]} does not match vector "
+                    f"parameters dim {params.dim}"
+                )
+            if total + batch.shape[0] > params.count:
+                raise ArgumentsError(
+                    f"Vector count exceeds vector parameters count "
+                    f"{params.count}"
+                )
+            x_chunks = jnp.asarray(pq_ops.chunk_tensor(batch, division))
+            codes = pq_ops.encode_batch(x_chunks, c_chunks)  # [B, m] u8
+            ct = jnp.pad(codes.T, ((0, mpad - m), (0, 0)))
+            app.append(ct)
+            total += batch.shape[0]
+        if total != params.count:
+            raise ArgumentsError(
+                f"Vector count {total} does not match vector parameters "
+                f"count {params.count}"
+            )
+        meta = PQMetadata(centroids, division, params, bits=bits)
+        return cls._from_parts(app.finish(), meta, mesh, axis)
+
+    def _encode_query_from_meta(self, queries) -> EncodedQueryPQ:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.params.dim:
+            raise ArgumentsError(
+                f"query dim {q.shape[1]} != corpus dim {self.params.dim}"
+            )
+        q_chunks = jnp.asarray(
+            pq_ops.chunk_tensor(q, self.metadata.vector_division)
+        )
+        lut = pq_ops.build_lut(
+            q_chunks,
+            self._c_chunks,
+            distance_type=self.params.distance_type,
+            invert=self.params.invert,
+        )
+        return EncodedQueryPQ(lut)
+
+    def top_k_device(
         self, equery: EncodedQueryPQ, k: int, method: str = "exact"
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        s, i = _pq_sharded_topk(
+    ) -> Tuple[jax.Array, jax.Array]:
+        return _pq_sharded_topk(
             equery.lut,
             self.codes_t,
             mesh=self.mesh,
@@ -307,14 +981,95 @@ class ShardedProductQuantizer(_ShardedBase):
             k=k,
             count=self.count,
             num_chunks=self.num_chunks,
+            method=method,
         )
-        return np.asarray(s), np.asarray(i)
+
+    def score_candidates(self, equery: EncodedQueryPQ, cand) -> jax.Array:
+        return _pq_sharded_score_candidates(
+            equery.lut,
+            self.codes_t,
+            jnp.asarray(cand, jnp.int32),
+            mesh=self.mesh,
+            axis=self.axis,
+            count=self.count,
+            num_chunks=self.num_chunks,
+        )
+
+    # ----------------------------------------------------------- checkpoint
+    def save(self, data_path, meta_path) -> None:
+        import json
+        import os
+
+        meta_dir = os.path.dirname(os.fspath(meta_path))
+        if meta_dir:
+            os.makedirs(meta_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(self.metadata.to_json(), f)
+        m = self.num_chunks
+        self._write_blob_sharded(
+            data_path,
+            self.codes_t,
+            axis_dim=1,
+            row_writer=lambda ct_np: np.ascontiguousarray(ct_np[:m].T),
+            row_size=m,
+        )
+
+    @classmethod
+    def load(
+        cls,
+        data_path,
+        meta_path,
+        params: VectorParameters,
+        mesh: Optional[Mesh] = None,
+        axis: str = "shard",
+    ) -> "ShardedProductQuantizer":
+        import json
+        import os
+
+        from ..ops.pallas.pq_kernel import M_BLK, TILE_N as PQ_TILE
+
+        mesh = mesh if mesh is not None else make_mesh()
+        try:
+            with open(meta_path) as f:
+                meta = PQMetadata.from_json(json.load(f))
+        except (OSError, json.JSONDecodeError, KeyError) as e:
+            raise StorageIOError(f"cannot read metadata {meta_path}: {e}") from e
+        m = len(meta.vector_division)
+        n = params.count
+        expected = n * m
+        actual_size = os.path.getsize(data_path)
+        if actual_size != expected:
+            raise StorageIOError(
+                f"file size {actual_size} does not match expected {expected}"
+            )
+        mpad = max(m + (-m) % M_BLK, M_BLK)
+        npad = cls._shard_dim_for(mesh, axis, n, PQ_TILE)
+        mm = (
+            np.memmap(data_path, np.uint8, "r").reshape(n, m) if n else None
+        )
+
+        def cb(index):
+            sl = index[1]
+            c0, c1 = sl.start or 0, sl.stop if sl.stop is not None else npad
+            out = np.zeros((mpad, c1 - c0), np.uint8)
+            v = max(0, min(c1, n) - c0)
+            if v:
+                out[:m, :v] = mm[c0 : c0 + v].T
+            return out
+
+        codes_t = jax.make_array_from_callback(
+            (mpad, npad), NamedSharding(mesh, P(None, axis)), cb
+        )
+        return cls._from_parts(codes_t, meta, mesh, axis)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "k", "count", "num_chunks"))
-def _pq_sharded_topk(lut, codes_t, *, mesh, axis, k, count, num_chunks):
-    from ..ops import pq as pq_ops
-
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "k", "count", "num_chunks", "method"),
+)
+def _pq_sharded_topk(
+    lut, codes_t, *, mesh, axis, k, count, num_chunks, method="exact"
+):
     def local(lut_rep, codes_t_shard):
         from ..ops.pallas.pq_kernel import (
             M_BLK,
@@ -333,7 +1088,7 @@ def _pq_sharded_topk(lut, codes_t, *, mesh, axis, k, count, num_chunks):
             scores = pq_ops.score_lut_xla(
                 lut_rep, codes_t_shard.T[:, :num_chunks]
             )
-        return local_topk_merge(scores, axis, k, count)
+        return local_topk_merge(scores, axis, k, count, method=method)
 
     fn = jax.shard_map(
         local,
@@ -343,3 +1098,111 @@ def _pq_sharded_topk(lut, codes_t, *, mesh, axis, k, count, num_chunks):
         check_vma=False,
     )
     return fn(lut, codes_t)
+
+
+@partial(
+    jax.jit, static_argnames=("mesh", "axis", "count", "num_chunks")
+)
+def _pq_sharded_score_candidates(
+    lut, codes_t, cand, *, mesh, axis, count, num_chunks
+):
+    def local(lut_rep, ct_shard, cd):
+        n_local = ct_shard.shape[1]
+        shard_idx = jax.lax.axis_index(axis)
+        local_ids = cd - shard_idx * n_local
+        owned = (local_ids >= 0) & (local_ids < n_local) & (cd < count) & (
+            cd >= 0
+        )
+        safe = jnp.clip(local_ids, 0, n_local - 1)
+        scores = pq_ops.score_candidates_lut(
+            lut_rep, ct_shard.T[:, :num_chunks], safe
+        )
+        return _owned_scores_psum(scores, owned, axis)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, None), P(None, axis), P(None, None)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    return fn(lut, codes_t, cand)
+
+
+# ------------------------------------------------------------ f32 rescorer
+
+
+class ShardedExactRescorer:
+    """f32 rescoring stage with the original vectors sharded over the
+    points axis — the sharded counterpart of models.pipeline.ExactRescorer,
+    for two-stage configurations whose f32 corpus exceeds one chip's HBM."""
+
+    def __init__(
+        self,
+        data,
+        distance_type: DistanceType,
+        invert: bool,
+        mesh: Optional[Mesh] = None,
+        axis: str = "shard",
+    ):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = axis
+        self._dt = distance_type
+        self._invert = invert
+        n_shards = self.mesh.shape[axis]
+        data = np.asarray(data, np.float32)
+        self.count = data.shape[0]
+        npad = self.count + (-self.count) % n_shards
+        self._data = jax.device_put(
+            _pad_rows(data, max(npad, n_shards)),
+            NamedSharding(self.mesh, P(axis, None)),
+        )
+
+    def encode_query(self, queries):
+        q = jnp.asarray(queries, jnp.float32)
+        return q[None, :] if q.ndim == 1 else q
+
+    def score_candidates(self, equery, cand) -> jax.Array:
+        return _exact_sharded_score_candidates(
+            equery,
+            self._data,
+            jnp.asarray(cand, jnp.int32),
+            mesh=self.mesh,
+            axis=self.axis,
+            count=self.count,
+            distance_type=self._dt,
+            invert=self._invert,
+        )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "count", "distance_type", "invert"),
+)
+def _exact_sharded_score_candidates(
+    queries, data, cand, *, mesh, axis, count, distance_type, invert
+):
+    from ..core.distances import score as _score
+
+    def local(q, d_shard, cd):
+        n_local = d_shard.shape[0]
+        shard_idx = jax.lax.axis_index(axis)
+        local_ids = cd - shard_idx * n_local
+        owned = (local_ids >= 0) & (local_ids < n_local) & (cd < count) & (
+            cd >= 0
+        )
+        safe = jnp.clip(local_ids, 0, n_local - 1)
+        g = jnp.take(d_shard, safe.reshape(-1), axis=0).reshape(
+            cd.shape + (d_shard.shape[1],)
+        )
+        scores = _score(q[:, None, :], g, distance_type, invert)
+        return _owned_scores_psum(scores, owned, axis)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None), P(axis, None), P(None, None)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    return fn(queries, data, cand)

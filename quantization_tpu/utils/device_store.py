@@ -19,33 +19,58 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _commit(buf: jax.Array, chunk: jax.Array, start: jax.Array) -> jax.Array:
-    idx = (start,) + (jnp.int32(0),) * (buf.ndim - 1)
+def _commit_impl(
+    buf: jax.Array, chunk: jax.Array, start: jax.Array, axis: int = 0
+) -> jax.Array:
+    idx = tuple(
+        start if a == axis else jnp.int32(0) for a in range(buf.ndim)
+    )
     return jax.lax.dynamic_update_slice(buf, chunk, idx)
 
 
-class DeviceAppender:
-    """Append [B, ...] device chunks along axis 0 of a preallocated buffer."""
+_commit = jax.jit(_commit_impl, donate_argnums=(0,), static_argnames=("axis",))
 
-    def __init__(self, shape, dtype, fill=0):
-        self._buf = jnp.full(shape, fill, dtype)
+
+class DeviceAppender:
+    """Append device chunks along ``axis`` of a preallocated buffer.
+
+    With ``sharding`` the buffer is allocated directly under that sharding
+    (never materialized on one device) and every commit preserves it — the
+    streaming-encode path for corpora whose codes exceed one chip's HBM:
+    each small host batch is quantized and committed straight into the
+    sharded buffer (GSPMD turns the dynamic_update_slice into a masked
+    per-shard update)."""
+
+    def __init__(self, shape, dtype, fill=0, sharding=None, axis: int = 0):
+        self._axis = axis
+        if sharding is not None:
+            self._buf = jax.jit(
+                lambda: jnp.full(shape, fill, dtype), out_shardings=sharding
+            )()
+            self._commit = jax.jit(
+                partial(_commit_impl, axis=axis),
+                donate_argnums=(0,),
+                out_shardings=sharding,
+            )
+        else:
+            self._buf = jnp.full(shape, fill, dtype)
+            self._commit = partial(_commit, axis=axis)
         self._pos = 0
-        self._cap = shape[0]
+        self._cap = shape[axis]
 
     @property
     def pos(self) -> int:
         return self._pos
 
     def append(self, chunk: jax.Array) -> None:
-        b = chunk.shape[0]
+        b = chunk.shape[self._axis]
         if self._pos + b > self._cap:
             raise ValueError(
                 f"DeviceAppender overflow: {self._pos}+{b} > {self._cap}"
             )
         if chunk.dtype != self._buf.dtype:
             chunk = chunk.astype(self._buf.dtype)
-        self._buf = _commit(self._buf, chunk, jnp.int32(self._pos))
+        self._buf = self._commit(self._buf, chunk, jnp.int32(self._pos))
         self._pos += b
 
     def finish(self) -> jax.Array:

@@ -123,3 +123,69 @@ def test_model_topk_approx_method(rng):
         for r in range(q):
             overlap = len(set(ia[r].tolist()) & set(ie[r].tolist())) / k
             assert overlap >= 0.7, (type(enc).__name__, overlap)
+
+
+def test_exact_rescorer_host_resident_matches_device(rng):
+    """host_resident=True gathers candidate rows on the host (memmap-safe)
+    and must produce identical scores to the device-resident rescorer."""
+    import numpy as np
+
+    n, dim, q, r = 200, 24, 3, 11
+    data = rng.random((n, dim), dtype=np.float32)
+    queries = rng.random((q, dim), dtype=np.float32)
+    cand = rng.integers(0, n, (q, r)).astype(np.int32)
+    dev = ExactRescorer(data, DistanceType.L2, True)
+    host = ExactRescorer(data, DistanceType.L2, True, host_resident=True)
+    eq_d, eq_h = dev.encode_query(queries), host.encode_query(queries)
+    np.testing.assert_allclose(
+        np.asarray(host.score_candidates(eq_h, cand)),
+        np.asarray(dev.score_candidates(eq_d, cand)),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(host.score_points(eq_h, cand[0])),
+        np.asarray(dev.score_points(eq_d, cand[0])),
+        rtol=1e-6,
+    )
+
+
+def test_pq_lut_precision_paths_agree(rng):
+    """int8 (default) and bf16 LUT paths of the fused PQ kernel must agree
+    within their quantization tolerances (forced Pallas interpret mode)."""
+    import numpy as np
+
+    from quantization_tpu.ops import pq as pq_ops
+    from quantization_tpu.ops.pallas.pq_kernel import (
+        M_BLK,
+        TILE_N,
+        pq_scores_pallas,
+    )
+    from quantization_tpu.utils.padding import round_up
+
+    n_valid, m, q = 300, 8, 4
+    npad = round_up(n_valid, TILE_N)
+    mpad = round_up(m, M_BLK)
+    codes = np.zeros((npad, mpad), np.uint8)
+    codes[:n_valid, :m] = rng.integers(0, 256, (n_valid, m), dtype=np.uint8)
+    # L2-like LUT: all-positive entries with a large common offset — the
+    # regime where mid-range centering matters most.
+    lut = 10.0 + rng.random((q, m, 256), dtype=np.float32)
+
+    import jax.numpy as jnp
+
+    want = np.asarray(
+        pq_ops.score_lut_xla(jnp.asarray(lut), jnp.asarray(codes[:n_valid, :m]))
+    )
+    for precision in ("int8", "bf16"):
+        got = np.asarray(
+            pq_scores_pallas(
+                jnp.asarray(lut),
+                jnp.asarray(codes.T.copy()),
+                n_valid=n_valid,
+                interpret=True,
+                precision=precision,
+            )
+        )
+        # int8 with centering: step = max|centered|/127 ~ 0.004 per chunk
+        atol = m * 0.01 if precision == "int8" else np.abs(lut).sum() * 4e-3
+        np.testing.assert_allclose(got, want, atol=atol)

@@ -176,3 +176,26 @@ def test_sq_top_k(rng):
     exact = np.argsort(-want, axis=1)[:, :10]
     for row in range(2):
         assert len(set(i[row]) & set(exact[row])) >= 8
+
+
+def test_sq_l1_blocked_topk_matches_unblocked(rng, monkeypatch):
+    """The corpus-blocked L1 search path (top_k_device blocks the [Q, N]
+    score matrix) must match the flat score+top-k exactly; block size is
+    shrunk so a small corpus crosses several block (and tail) boundaries."""
+    import quantization_tpu.models.sq as sq_model
+
+    n, dim, q, k = 333, 40, 3, 7
+    data = rng.random((n, dim), dtype=np.float32)
+    queries = rng.random((q, dim), dtype=np.float32)
+    params = VectorParameters(dim, n, DistanceType.L1, True)
+    enc = ScalarQuantizerU8.encode(data, params)
+    eq = enc.encode_query(queries)
+    s_ref, i_ref = enc.top_k(eq, k)
+
+    monkeypatch.setattr(sq_model, "L1_BLOCK_ROWS", 100)
+    s_got, i_got = enc.top_k(eq, k)
+    np.testing.assert_allclose(s_got, s_ref, rtol=1e-5, atol=1e-4)
+    # ties possible on random u8 L1 scores; assert the score multiset only
+    monkeypatch.setattr(sq_model, "L1_BLOCK_ROWS", 64)  # k > some tail size
+    s_got2, _ = enc.top_k(eq, k)
+    np.testing.assert_allclose(s_got2, s_ref, rtol=1e-5, atol=1e-4)
