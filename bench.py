@@ -8,11 +8,12 @@ Both sides run score + top-k through the same jitted search program; the
 quantized side scores through the production path (Pallas int8 MXU kernel on
 TPU, XLA elsewhere).
 
-Timing is steady-state throughput: `iters` query batches are enqueued on the
-device stream and the clock stops when the last result is read back. This
-pipelined regime is the serving-relevant number; per-call host sync would
-measure the host<->device round-trip (tens of ms on tunneled TPUs), not the
-engine.
+Timing is steady-state throughput with CHAIN query batches processed per
+dispatch (a data-dependent chain inside one jitted program): on tunneled
+TPUs each dispatch costs ~0.9 ms of serialized host<->tunnel overhead (a
+trivial `x+1` measures 0.9 ms/call), so per-call timing measures the
+tunnel, not the engine — see PERF_NOTES "dispatch floor". Both sides
+(quantized and f32) are timed identically, so vs_baseline stays fair.
 
 Prints ONE JSON line:
   {"metric": ..., "value": qps, "unit": "queries/s", "vs_baseline": x_f32}
@@ -26,14 +27,14 @@ import time
 import numpy as np
 
 N, D, Q, K = 100_000, 1024, 256, 10
-ITERS = 50
+ITERS = 25
+CHAIN = 8  # query batches chained per dispatch
 
 
 def timeit(fn, *args, iters=ITERS, warmup=3, repeats=3):
-    """Steady-state seconds/call: enqueue `iters` calls, drain once.
-
-    Best of `repeats` passes — the TPU tunnel adds run-to-run jitter that
-    a single pass would fold into the measurement."""
+    """Steady-state seconds per chained batch: enqueue `iters` chained
+    calls, drain once; best of `repeats` passes — the TPU tunnel adds
+    run-to-run jitter that a single pass would fold into the measurement."""
     for _ in range(warmup):
         r = fn(*args)
     np.asarray(jax_leaves(r)[0])  # full drain before starting the clock
@@ -44,7 +45,7 @@ def timeit(fn, *args, iters=ITERS, warmup=3, repeats=3):
             r = fn(*args)
         np.asarray(jax_leaves(r)[0])  # drain: in-order device queue
         best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    return best / CHAIN
 
 
 def jax_leaves(tree):
@@ -78,8 +79,7 @@ def main():
     if pallas:
         from quantization_tpu.ops.pallas.sq_kernel import sq_search_pallas
 
-        @jax.jit
-        def quant_search(qc, qo, c, vo):
+        def one_search(qc, qo, c, vo):
             # Fused score+top-k: the [Q, N] score matrix never reaches HBM.
             return sq_search_pallas(
                 qc, qo, c, vo, mult,
@@ -88,19 +88,32 @@ def main():
             )
     else:
 
-        @jax.jit
-        def quant_search(qc, qo, c, vo):
+        def one_search(qc, qo, c, vo):
             s = sq_ops.score_batch_xla(
                 qc, qo, c[:N], vo[:N], mult, distance_type=DistanceType.DOT
             )
             return topk_exact(s, K)
+
+    @jax.jit
+    def quant_search(qc, qo, c, vo):
+        out = None
+        for _ in range(CHAIN):
+            sv, si = one_search(qc, qo, c, vo)
+            qo = qo + sv[0, 0] * 1e-12  # serialize the chain
+            out = (sv, si)
+        return out
 
     data_dev = jnp.asarray(data)
     queries_dev = jnp.asarray(queries)
 
     @jax.jit
     def f32_search(q, x):
-        return topk_exact(q @ x.T, K)
+        out = None
+        for _ in range(CHAIN):
+            sv, si = topk_exact(q @ x.T, K)
+            q = q + sv[0, 0] * 1e-12
+            out = (sv, si)
+        return out
 
     t_quant = timeit(quant_search, eq.codes, eq.offsets, enc.codes, enc.voffsets)
     t_f32 = timeit(f32_search, queries_dev, data_dev)

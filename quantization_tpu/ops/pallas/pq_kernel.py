@@ -66,6 +66,38 @@ K4 = 16  # centroids per chunk (4-bit codes, Quick-ADC style)
 GRP4 = 8  # 4-bit chunks fused per MXU matmul: 8 x 16 = one 128-wide one-hot
 
 
+def _lut_precision() -> str:
+    """LUT dtype for the one-hot MXU path. ``int8`` (default) quantizes the
+    per-query LUT to int8 with per-(query, chunk) mid-range centering and a
+    per-query scale, riding the v5e int8 MXU at 2x the bf16 rate (394 vs
+    197 TOPS) — the centering keeps the quantization step at
+    max|centered entry|/127, well inside the reference's dim*0.05 bound.
+    ``QTPU_PQ_LUT=bf16`` restores the bf16 path."""
+    import os
+
+    return os.environ.get("QTPU_PQ_LUT", "int8")
+
+
+def _quantize_lut(lut: jax.Array, mpad: int, qp: int):
+    """f32 [Q, m, kc] -> (int8 [qp, mpad*kc], scale [qp, 1], bias [qp, 1]).
+
+    scores = scale * sum_m lutq[m, code] + bias, where bias folds the
+    per-chunk mid-range centers back in (one add per query)."""
+    q, m, kc = lut.shape
+    mid = 0.5 * (
+        jnp.max(lut, axis=2, keepdims=True) + jnp.min(lut, axis=2, keepdims=True)
+    )  # [Q, m, 1]
+    centered = lut - mid
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(centered), axis=(1, 2), keepdims=True) / 127.0,
+        1e-30,
+    )  # [Q, 1, 1]
+    lutq = jnp.round(centered / scale).astype(jnp.int8)
+    lutq = pad_dim_to(pad_dim_to(lutq, 1, mpad), 0, qp).reshape(qp, mpad * kc)
+    bias = pad_dim_to(jnp.sum(mid[:, :, 0], axis=1, keepdims=True), 0, qp)
+    return lutq, pad_dim_to(scale[:, :, 0], 0, qp), bias
+
+
 def _make_scores_kernel(kc: int):
     accumulate = _accumulate_block if kc == K else _accumulate_block4
 
@@ -78,6 +110,29 @@ def _make_scores_kernel(kc: int):
             out_ref[:] = jnp.zeros_like(out_ref)
 
         out_ref[:] = accumulate(codes_ref, lut_ref, out_ref[:])
+
+    return kernel
+
+
+def _make_scores_kernel_i8(kc: int):
+    accumulate = _accumulate_block_i8 if kc == K else _accumulate_block4_i8
+
+    def kernel(codes_ref, lut_ref, scale_ref, bias_ref, out_ref, acc_ref):
+        """int8-LUT variant: int32 accumulation in scratch, affine
+        dequantize epilogue on the last m step."""
+        mi = pl.program_id(2)
+
+        @pl.when(mi == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] = accumulate(codes_ref, lut_ref, acc_ref[:])
+
+        @pl.when(mi == pl.num_programs(2) - 1)
+        def _():
+            out_ref[:] = (
+                scale_ref[:] * acc_ref[:].astype(jnp.float32) + bias_ref[:]
+            )
 
     return kernel
 
@@ -100,6 +155,42 @@ def _accumulate_block(codes_ref, lut_ref, acc):
             onehot_t,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+        )
+    return acc
+
+
+def _accumulate_block_i8(codes_ref, lut_ref, acc):
+    """int8-LUT twin of _accumulate_block: one-hot int8 x LUT int8 on the
+    int8 MXU path, int32 accumulation (max |acc| <= 127*m — no overflow)."""
+    codes = codes_ref[:].astype(jnp.int32) & 0xFF  # [M_BLK, TILE_N]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    for m_local in range(M_BLK):
+        onehot_t = (codes[m_local, :][None, :] == iota_k).astype(jnp.int8)
+        lut_m = lut_ref[:, m_local * K : (m_local + 1) * K]
+        acc = acc + jax.lax.dot_general(
+            lut_m,
+            onehot_t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    return acc
+
+
+def _accumulate_block4_i8(codes_ref, lut_ref, acc):
+    """int8-LUT twin of _accumulate_block4 (block-diagonal grouped 4-bit)."""
+    codes = codes_ref[:].astype(jnp.int32) & 0xF  # [M_BLK, TILE_N]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (GRP4 * K4, 1), 0)
+    for g0 in range(0, codes.shape[0], GRP4):
+        oh = None
+        for g in range(GRP4):
+            hit = iota == (codes[g0 + g, :][None, :] + g * K4)
+            oh = hit if oh is None else jnp.logical_or(oh, hit)
+        lut_grp = lut_ref[:, g0 * K4 : g0 * K4 + GRP4 * K4]  # [TQ, 128]
+        acc = acc + jax.lax.dot_general(
+            lut_grp,
+            oh.astype(jnp.int8),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
         )
     return acc
 
@@ -128,11 +219,19 @@ def _accumulate_block4(codes_ref, lut_ref, acc):
 
 
 def _make_pq_topk_kernel(
-    k: int, n_valid: int, tile_n: int, approx: bool, kc: int = K
+    k: int, n_valid: int, tile_n: int, approx: bool, kc: int = K,
+    int8_lut: bool = False,
 ):
-    accumulate = _accumulate_block if kc == K else _accumulate_block4
+    if int8_lut:
+        accumulate = _accumulate_block_i8 if kc == K else _accumulate_block4_i8
+    else:
+        accumulate = _accumulate_block if kc == K else _accumulate_block4
 
-    def kernel(codes_ref, lut_ref, outv_ref, outi_ref, acc_ref):
+    def kernel(codes_ref, lut_ref, *rest):
+        if int8_lut:
+            scale_ref, bias_ref, outv_ref, outi_ref, acc_ref = rest
+        else:
+            outv_ref, outi_ref, acc_ref = rest
         mi = pl.program_id(2)
         base = pl.program_id(1) * tile_n  # hoisted: program_id is not
         # lowerable inside a pl.when body under interpret mode
@@ -147,7 +246,13 @@ def _make_pq_topk_kernel(
 
         @pl.when(mi == pl.num_programs(2) - 1)
         def _():
-            scores = acc_ref[:]
+            if int8_lut:
+                scores = (
+                    scale_ref[:] * acc_ref[:].astype(jnp.float32)
+                    + bias_ref[:]
+                )
+            else:
+                scores = acc_ref[:]
             gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             scores = jnp.where(gid < n_valid, scores, NEG)
             if approx:
@@ -161,7 +266,9 @@ def _make_pq_topk_kernel(
     return kernel
 
 
-@partial(jax.jit, static_argnames=("n_valid", "k", "mode", "interpret"))
+@partial(
+    jax.jit, static_argnames=("n_valid", "k", "mode", "interpret", "precision")
+)
 def pq_search_pallas(
     lut: jax.Array,  # f32 [Q, m, 256]
     codes_t: jax.Array,  # int8/uint8 [Mpad, Npad]
@@ -170,14 +277,19 @@ def pq_search_pallas(
     k: int,
     mode: str = "exact",
     interpret: bool = None,
+    precision: str = None,
 ):
     """Fused PQ search: one-hot MXU accumulation into a VMEM scratch tile +
     in-tile top-k — (scores f32[Q, k], indices i32[Q, k]) without the
     [Q, N] score matrix. ``mode="approx"`` uses the one-pass strided
-    segment-max extraction (any k <= SLOT)."""
+    segment-max extraction (any k <= SLOT). ``precision`` "int8" (default,
+    2x MXU rate) or "bf16"."""
     assert k <= SLOT
     if interpret is None:
         interpret = interpret_mode()
+    if precision is None:
+        precision = _lut_precision()
+    int8_lut = precision == "int8"
     q, m, kc = lut.shape
     assert kc in (K, K4)
     mpad, n = codes_t.shape
@@ -185,11 +297,6 @@ def pq_search_pallas(
     assert mpad % M_BLK == 0
     tile_q = min(TILE_Q, round_up(q, 8))
     qp = round_up(q, tile_q)
-    lut_flat = (
-        pad_dim_to(pad_dim_to(lut, 1, mpad), 0, qp)
-        .reshape(qp, mpad * kc)
-        .astype(jnp.bfloat16)
-    )
     nt = n // TILE_N
     approx = mode == "approx"
     nt_out = -(-nt // SPAN) if approx else nt
@@ -198,20 +305,41 @@ def pq_search_pallas(
         else (lambda i, j, l: (i, j))
     )
 
-    kernel = _make_pq_topk_kernel(k, n_valid, TILE_N, approx, kc)
+    kernel = _make_pq_topk_kernel(k, n_valid, TILE_N, approx, kc, int8_lut)
+    in_specs = [
+        pl.BlockSpec(
+            (M_BLK, TILE_N), lambda i, j, l: (l, j), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (tile_q, M_BLK * kc),
+            lambda i, j, l: (i, l),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if int8_lut:
+        lut_flat, scale, bias = _quantize_lut(lut, mpad, qp)
+        operands = (codes_t.astype(jnp.int8), lut_flat, scale, bias)
+        in_specs += [
+            pl.BlockSpec(
+                (tile_q, 1), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_q, 1), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        scratch = [pltpu.VMEM((tile_q, TILE_N), jnp.int32)]
+    else:
+        lut_flat = (
+            pad_dim_to(pad_dim_to(lut, 1, mpad), 0, qp)
+            .reshape(qp, mpad * kc)
+            .astype(jnp.bfloat16)
+        )
+        operands = (codes_t.astype(jnp.int8), lut_flat)
+        scratch = [pltpu.VMEM((tile_q, TILE_N), jnp.float32)]
     vals, idxs = pl.pallas_call(
         kernel,
         grid=(qp // tile_q, nt, mpad // M_BLK),
-        in_specs=[
-            pl.BlockSpec(
-                (M_BLK, TILE_N), lambda i, j, l: (l, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (tile_q, M_BLK * kc),
-                lambda i, j, l: (i, l),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
@@ -220,24 +348,28 @@ def pq_search_pallas(
             jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
             jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((tile_q, TILE_N), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(codes_t.astype(jnp.int8), lut_flat)
+    )(*operands)
     merge = merge_tile_topk_all if mode == "approx" else merge_tile_topk
     return merge(vals[:q], idxs[:q], k)
 
 
-@partial(jax.jit, static_argnames=("n_valid", "interpret"))
+@partial(jax.jit, static_argnames=("n_valid", "interpret", "precision"))
 def pq_scores_pallas(
     lut: jax.Array,  # f32 [Q, m, 256]
     codes_t: jax.Array,  # int8/uint8 [Mpad, Npad]  (Mpad multiple of M_BLK)
     *,
     n_valid: int,
     interpret: bool = None,
+    precision: str = None,
 ) -> jax.Array:
     """[Q, n_valid] f32 PQ scores via one-hot MXU accumulation."""
     if interpret is None:
         interpret = interpret_mode()
+    if precision is None:
+        precision = _lut_precision()
+    int8_lut = precision == "int8"
     q, m, k = lut.shape
     assert k in (K, K4)
     mpad, n = codes_t.shape
@@ -245,27 +377,52 @@ def pq_scores_pallas(
     assert mpad % M_BLK == 0
     tile_q = min(TILE_Q, round_up(q, 8))
     qp = round_up(q, tile_q)
-    # lut -> bf16 [Qpad, Mpad*K] with zero entries for chunk padding
+
+    grid = (qp // tile_q, n // TILE_N, mpad // M_BLK)
+    in_specs = [
+        pl.BlockSpec(
+            (M_BLK, TILE_N), lambda i, j, l: (l, j), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (tile_q, M_BLK * k),
+            lambda i, j, l: (i, l),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if int8_lut:
+        lut_flat, scale, bias = _quantize_lut(lut, mpad, qp)
+        operands = (codes_t.astype(jnp.int8), lut_flat, scale, bias)
+        in_specs += [
+            pl.BlockSpec(
+                (tile_q, 1), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_q, 1), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        out = pl.pallas_call(
+            _make_scores_kernel_i8(k),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (tile_q, TILE_N), lambda i, j, l: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((qp, n), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((tile_q, TILE_N), jnp.int32)],
+            interpret=interpret,
+        )(*operands)
+        return out[:q, :n_valid]
+    # bf16 path: lut -> bf16 [Qpad, Mpad*K] with zero entries for padding
     lut_flat = (
         pad_dim_to(pad_dim_to(lut, 1, mpad), 0, qp)
         .reshape(qp, mpad * k)
         .astype(jnp.bfloat16)
     )
-
-    grid = (qp // tile_q, n // TILE_N, mpad // M_BLK)
     out = pl.pallas_call(
         _make_scores_kernel(k),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (M_BLK, TILE_N), lambda i, j, l: (l, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (tile_q, M_BLK * k),
-                lambda i, j, l: (i, l),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (tile_q, TILE_N), lambda i, j, l: (i, j), memory_space=pltpu.VMEM
         ),

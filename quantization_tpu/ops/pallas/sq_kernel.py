@@ -81,9 +81,18 @@ def _l1_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
         out_ref[:] = mult_ref[0] * out_ref[:] + qoff_ref[:] + voff_ref[:]
 
 
-def _make_dot_topk_kernel(k: int, n_valid: int, tile_n: int, approx: bool):
+def _make_dot_topk_kernel(
+    k: int, n_valid: int, tile_n: int, approx: bool, j_axis: int = 1
+):
+    """``j_axis`` names the grid axis that walks corpus tiles: 1 for the
+    approx kernel (queries outer, so the revisited slot block sees
+    consecutive corpus tiles), 0 for the exact kernel (corpus OUTER — each
+    corpus tile is fetched once and reused across every query tile, so the
+    corpus streams from HBM exactly once regardless of Q; measured on v5e
+    the fused search is streaming-bound, see PERF_NOTES)."""
+
     def kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, outv_ref, outi_ref):
-        j = pl.program_id(1)
+        j = pl.program_id(j_axis)
         acc = jax.lax.dot_general(
             q_ref[:],
             c_ref[:],
@@ -152,20 +161,40 @@ def sq_search_pallas(
     nt = n // tile_n
     approx = mode == "approx"
     # Approx mode max-merges SPAN consecutive tiles into one revisited slot
-    # block: SPAN-fold less candidate traffic and final-merge width.
+    # block: SPAN-fold less candidate traffic and final-merge width. That
+    # revisiting requires the corpus axis INNERMOST (queries outer); exact
+    # mode has no revisiting, so it runs corpus-OUTER instead — the fused
+    # search is HBM-streaming-bound, and corpus-outer fetches each corpus
+    # tile once total instead of once per query tile.
     nt_out = -(-nt // SPAN) if approx else nt
-    out_idx = (lambda i, j: (i, j // SPAN)) if approx else (lambda i, j: (i, j))
+    qt = qp // tile_q
+    scratch = []
+    if approx:
+        grid = (qt, nt)
+        out_idx = lambda i, j: (i, j // SPAN)  # noqa: E731
+        q_idx = lambda i, j: (i, 0)  # noqa: E731
+        c_idx = lambda i, j: (j, 0)  # noqa: E731
+        qo_idx = lambda i, j: (i, 0)  # noqa: E731
+        vo_idx = lambda i, j: (0, j)  # noqa: E731
+        kernel = _make_dot_topk_kernel(k, n_valid, tile_n, approx, 1)
+    else:
+        grid = (nt, qt)
+        out_idx = lambda j, i: (i, j)  # noqa: E731
+        q_idx = lambda j, i: (i, 0)  # noqa: E731
+        c_idx = lambda j, i: (j, 0)  # noqa: E731
+        qo_idx = lambda j, i: (i, 0)  # noqa: E731
+        vo_idx = lambda j, i: (0, j)  # noqa: E731
+        kernel = _make_dot_topk_kernel(k, n_valid, tile_n, approx, 0)
 
-    kernel = _make_dot_topk_kernel(k, n_valid, tile_n, approx)
     vals, idxs = pl.pallas_call(
         kernel,
-        grid=(qp // tile_q, nt),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # multiplier (1,)
-            pl.BlockSpec((tile_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, d), q_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), c_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), qo_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), vo_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
@@ -175,6 +204,7 @@ def sq_search_pallas(
             jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
             jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
         ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(
         multiplier.reshape(1).astype(jnp.float32),
