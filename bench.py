@@ -8,12 +8,17 @@ Both sides run score + top-k through the same jitted search program; the
 quantized side scores through the production path (Pallas int8 MXU kernel on
 TPU, XLA elsewhere).
 
-Timing is steady-state throughput with CHAIN query batches processed per
-dispatch (a data-dependent chain inside one jitted program): on tunneled
+Timing is steady-state throughput with CHAIN INDEPENDENT query batches
+processed per dispatch (distinct slices of one query pool inside one
+jitted program; the device queue executes them back to back): on tunneled
 TPUs each dispatch costs ~0.9 ms of serialized host<->tunnel overhead (a
 trivial `x+1` measures 0.9 ms/call), so per-call timing measures the
-tunnel, not the engine — see PERF_NOTES "dispatch floor". Both sides
-(quantized and f32) are timed identically, so vs_baseline stays fair.
+tunnel, not the engine — see PERF_NOTES "dispatch floor". The batches
+must be independent, NOT artificially data-chained: a scalar result->query
+dependency blocks XLA's TopK custom-call rewrite and the selection falls
+back to a full sort (35.8 ms vs 1.0 ms for [256, 100k] — measured).
+Both sides (quantized and f32) are timed identically, so vs_baseline
+stays fair.
 
 Prints ONE JSON line:
   {"metric": ..., "value": qps, "unit": "queries/s", "vs_baseline": x_f32}
@@ -68,11 +73,11 @@ def main():
 
     rng = np.random.default_rng(42)
     data = rng.random((N, D), dtype=np.float32) * 2.0 - 1.0
-    queries = rng.random((Q, D), dtype=np.float32) * 2.0 - 1.0
+    queries = rng.random((CHAIN * Q, D), dtype=np.float32) * 2.0 - 1.0
 
     params = VectorParameters(D, N, DistanceType.DOT, False)
     enc = ScalarQuantizerU8.encode(data, params)
-    eq = enc.encode_query(queries)
+    eq = enc.encode_query(queries)  # CHAIN*Q rows; sliced per chained batch
     mult = jnp.float32(enc.metadata.multiplier)
 
     pallas = use_pallas()
@@ -96,24 +101,23 @@ def main():
 
     @jax.jit
     def quant_search(qc, qo, c, vo):
-        out = None
-        for _ in range(CHAIN):
-            sv, si = one_search(qc, qo, c, vo)
-            qo = qo + sv[0, 0] * 1e-12  # serialize the chain
-            out = (sv, si)
-        return out
+        outs = []
+        for b in range(CHAIN):
+            qcb = jax.lax.dynamic_slice_in_dim(qc, b * Q, Q, 0)
+            qob = jax.lax.dynamic_slice_in_dim(qo, b * Q, Q, 0)
+            outs.append(one_search(qcb, qob, c, vo))
+        return outs
 
     data_dev = jnp.asarray(data)
     queries_dev = jnp.asarray(queries)
 
     @jax.jit
     def f32_search(q, x):
-        out = None
-        for _ in range(CHAIN):
-            sv, si = topk_exact(q @ x.T, K)
-            q = q + sv[0, 0] * 1e-12
-            out = (sv, si)
-        return out
+        outs = []
+        for b in range(CHAIN):
+            qb = jax.lax.dynamic_slice_in_dim(q, b * Q, Q, 0)
+            outs.append(topk_exact(qb @ x.T, K))
+        return outs
 
     t_quant = timeit(quant_search, eq.codes, eq.offsets, enc.codes, enc.voffsets)
     t_f32 = timeit(f32_search, queries_dev, data_dev)

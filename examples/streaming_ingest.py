@@ -213,7 +213,9 @@ def main():
 
     for name, fn in [
         ("SQ fused full-scan", lambda: sq.top_k_device(eq_sq, K)),
+        ("SQ fused approx", lambda: sq.top_k_device(eq_sq, K, method="approx")),
         ("BQ fused full-scan", lambda: bq.top_k_device(eq_bq, K)),
+        ("BQ fused approx", lambda: bq.top_k_device(eq_bq, K, method="approx")),
         ("PQ full-scan", lambda: pq.top_k_device(eq_pq, K)),
         ("two-stage BQ->SQ", lambda: two.top_k_device((eq_bq, eq_sq), K)),
     ]:
