@@ -67,10 +67,53 @@ def build_index(method: str, data: AnnBenchmarkData, args):
         index = TwoStageIndex(coarse, fine, oversampling=args.oversampling)
     else:
         raise SystemExit(f"unknown method {method!r}")
+    if getattr(args, "sharded", False):
+        index = _shard_index(index, data)
     encode_s = time.perf_counter() - t0
     print(f"[{data.name}] {method} encode: {encode_s:.2f}s "
           f"({n / max(encode_s, 1e-9):,.0f} vectors/s)")
     return index
+
+
+def _shard_index(index, data):
+    """Re-lay the index over all available devices (--sharded): corpus axis
+    sharded via shard_map, local top-k merged with one all_gather per
+    query batch. A 1-device mesh degenerates to the single-chip path."""
+    from ..models.bq import BinaryQuantizer
+    from ..models.pipeline import ExactRescorer, TwoStageIndex
+    from ..models.pq import ProductQuantizer
+    from ..models.sq import ScalarQuantizerU8
+    from ..parallel.sharded import (
+        ShardedBinaryQuantizer,
+        ShardedExactRescorer,
+        ShardedProductQuantizer,
+        ShardedScalarQuantizer,
+        make_mesh,
+    )
+
+    mesh = make_mesh()
+
+    def wrap(ix):
+        if isinstance(ix, ScalarQuantizerU8):
+            return ShardedScalarQuantizer(ix, mesh)
+        if isinstance(ix, BinaryQuantizer):
+            return ShardedBinaryQuantizer(ix, mesh)
+        if isinstance(ix, ProductQuantizer):
+            return ShardedProductQuantizer(ix, mesh)
+        if isinstance(ix, ExactRescorer):
+            invert = data.distance_type != DistanceType.DOT
+            return ShardedExactRescorer(
+                data.train, data.distance_type, invert, mesh
+            )
+        return ix
+
+    if isinstance(index, TwoStageIndex):
+        return TwoStageIndex(
+            wrap(index.coarse), wrap(index.fine),
+            oversampling=index.oversampling,
+            coarse_method=index.coarse_method,
+        )
+    return wrap(index)
 
 
 def bench_scoring(data: AnnBenchmarkData, index, args, label: str):
@@ -152,6 +195,8 @@ def main(argv=None):
     p.add_argument("--data-dir", default="test_data")
     p.add_argument("--synthetic-count", type=int, default=100_000)
     p.add_argument("--topk-method", default="exact", choices=["exact", "approx"])
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the corpus over all available devices")
     p.add_argument("--json", action="store_true", help="emit JSON results")
     args = p.parse_args(argv)
 

@@ -112,8 +112,12 @@ def merge_tile_topk(vals, idxs, k: int):
 
 
 def merge_tile_topk_all(vals, idxs, k: int):
-    """Merge variant for the approx extraction: every slot is live."""
-    return _merge(vals, idxs, k, live=SLOT)
+    """Merge variant for the approx extraction: every slot is live, and the
+    final selection uses the TPU partial-reduce top-k (approx_max_k) — at
+    10M points the candidate width is ~156k and an exact lax.top_k merge
+    costs 13.7 ms (measured, k=80) vs <1 ms for the partial reduce; the
+    extraction feeding it is already approximate by construction."""
+    return _merge(vals, idxs, k, live=SLOT, approx_select=True)
 
 
 # Candidate widths beyond this merge block-by-block, capping the flat
@@ -123,7 +127,7 @@ def merge_tile_topk_all(vals, idxs, k: int):
 _MERGE_BLOCK = 1 << 20
 
 
-def _merge(vals, idxs, k: int, live: int):
+def _merge(vals, idxs, k: int, live: int, approx_select: bool = False):
     q = vals.shape[0]
     nt = vals.shape[1] // SLOT
     if live == SLOT:
@@ -144,7 +148,11 @@ def _merge(vals, idxs, k: int, live: int):
         v = jnp.concatenate(parts_v, axis=1)
         i = jnp.concatenate(parts_i, axis=1)
     kk = min(k, v.shape[1])
-    s, pos = jax.lax.top_k(v, kk)
+    if approx_select and v.shape[1] >= 4 * kk:
+        s, pos = jax.lax.approx_max_k(v, kk)
+        pos = pos.astype(jnp.int32)
+    else:
+        s, pos = jax.lax.top_k(v, kk)
     gi = jnp.take_along_axis(i, pos, axis=1)
     if kk < k:
         s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=NEG)
