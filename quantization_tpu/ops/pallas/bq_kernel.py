@@ -109,6 +109,10 @@ def _unpack_bits(p_ref):
 
 
 def _make_mxu_topk_kernel(k: int, n_valid: int, tile_n: int, approx: bool):
+    """Approx kernel: queries-outer grid (i, j) — the SPAN-merged slot
+    block needs consecutive corpus tiles; runs a 256-row query tile so the
+    bit unpack happens once per corpus tile at Q<=256."""
+
     def kernel(mult_ref, qs_ref, p_ref, qb_ref, outv_ref, outi_ref):
         j = pl.program_id(1)
         bits = _unpack_bits(p_ref)
@@ -129,6 +133,37 @@ def _make_mxu_topk_kernel(k: int, n_valid: int, tile_n: int, approx: bool):
             vals, idx = extract_topk_tile(scores, k, base)
             outv_ref[:] = vals
             outi_ref[:] = idx
+
+    return kernel
+
+
+def _make_mxu_topk_kernel_outer(k: int, n_valid: int, tile_n: int):
+    """Exact kernel: corpus-OUTER grid (j, i) with the unpacked bit tile
+    cached in a VMEM scratch — the VPU unpack (~4 ops per unpacked int8,
+    the dominant cost after extraction at 10M) runs once per corpus tile
+    instead of once per (corpus tile, query tile)."""
+
+    def kernel(mult_ref, qs_ref, p_ref, qb_ref, outv_ref, outi_ref, bits_ref):
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _unpack():
+            bits_ref[:] = _unpack_bits(p_ref)
+
+        acc = jax.lax.dot_general(
+            qs_ref[:],
+            bits_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = mult_ref[0] * acc.astype(jnp.float32) + qb_ref[:]
+        base = j * tile_n
+        gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(gid < n_valid, scores, NEG)
+        vals, idx = extract_topk_tile(scores, k, base)
+        outv_ref[:] = vals
+        outi_ref[:] = idx
 
     return kernel
 
@@ -203,24 +238,41 @@ def bq_search_mxu(
     qs, pq = _query_signs(qplanes, w8, dim)
     mult, qb = _metric_affine(distance_type, invert, dim, pq)
 
-    tq = min(MXU_TILE_Q, round_up(q, 32))
+    approx = mode == "approx"
+    # Approx extraction temporaries are small -> a 256-row query tile is
+    # safe and halves the per-corpus-tile unpack at Q=256. Exact keeps 128
+    # (k-round temporaries) and caches the unpack in scratch instead.
+    tq = min(256 if approx else MXU_TILE_Q, round_up(q, 32))
     qp = round_up(q, tq)
     qs = pad_dim_to(qs, 0, qp)
     qb = pad_dim_to(qb, 0, qp)
     nt = n // tn
-    approx = mode == "approx"
+    qt = qp // tq
     nt_out = -(-nt // SPAN) if approx else nt
-    out_idx = (lambda i, j: (i, j // SPAN)) if approx else (lambda i, j: (i, j))
-
-    kernel = _make_mxu_topk_kernel(k, n_valid, tn, approx)
+    scratch = []
+    if approx:
+        grid = (qt, nt)
+        out_idx = lambda i, j: (i, j // SPAN)  # noqa: E731
+        q_idx = lambda i, j: (i, 0)  # noqa: E731
+        p_idx = lambda i, j: (0, j)  # noqa: E731
+        qb_idx = lambda i, j: (i, 0)  # noqa: E731
+        kernel = _make_mxu_topk_kernel(k, n_valid, tn, approx)
+    else:
+        grid = (nt, qt)
+        out_idx = lambda j, i: (i, j)  # noqa: E731
+        q_idx = lambda j, i: (i, 0)  # noqa: E731
+        p_idx = lambda j, i: (0, j)  # noqa: E731
+        qb_idx = lambda j, i: (i, 0)  # noqa: E731
+        kernel = _make_mxu_topk_kernel_outer(k, n_valid, tn)
+        scratch = [pltpu.VMEM((dp, tn), jnp.int8)]
     vals, idxs = pl.pallas_call(
         kernel,
-        grid=(qp // tq, nt),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # mult (1,)
-            pl.BlockSpec((tq, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w8, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, dp), q_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w8, tn), p_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, 1), qb_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tq, SLOT), out_idx, memory_space=pltpu.VMEM),
@@ -230,6 +282,7 @@ def bq_search_mxu(
             jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
             jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
         ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(mult, qs, planes, qb)
     merge = merge_tile_topk_all if mode == "approx" else merge_tile_topk

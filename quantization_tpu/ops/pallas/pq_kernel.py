@@ -295,7 +295,10 @@ def pq_search_pallas(
     mpad, n = codes_t.shape
     assert n % TILE_N == 0, f"N={n} must be padded to {TILE_N}"
     assert mpad % M_BLK == 0
-    tile_q = min(TILE_Q, round_up(q, 8))
+    # The one-hot build (VPU) is per (query tile, corpus tile, chunk):
+    # a 256-row query tile halves it at Q=256. Exact mode keeps 128 rows —
+    # its k-round extraction temporaries stack on the scoped-VMEM limit.
+    tile_q = min(256 if mode == "approx" else TILE_Q, round_up(q, 8))
     qp = round_up(q, tile_q)
     nt = n // TILE_N
     approx = mode == "approx"
@@ -375,7 +378,9 @@ def pq_scores_pallas(
     mpad, n = codes_t.shape
     assert n % TILE_N == 0, f"N={n} must be padded to {TILE_N}"
     assert mpad % M_BLK == 0
-    tile_q = min(TILE_Q, round_up(q, 8))
+    # 256-row query tile: halves the per-corpus-tile one-hot build at
+    # Q=256 (no extraction temporaries in the scores kernel).
+    tile_q = min(256, round_up(q, 8))
     qp = round_up(q, tile_q)
 
     grid = (qp // tile_q, n // TILE_N, mpad // M_BLK)

@@ -152,7 +152,13 @@ def sq_search_pallas(
     tile_n = TILE_N
     while tile_n * 2 <= 2048 and n % (tile_n * 2) == 0:
         tile_n *= 2
-    tile_q = min(TILE_Q, round_up(q, 32))
+    # Approx mode runs a 256-row query tile: its extraction temporaries are
+    # small (one compare/select sweep), and the wider tile halves corpus
+    # streaming at Q=256 (approx keeps queries-outer for slot revisiting).
+    # Exact mode stays at 128: its k-round unrolled temporaries are
+    # [tile_q, tile_n]-sized and stack on the 16MB scoped-VMEM limit.
+    tq_cap = 256 if mode == "approx" else TILE_Q
+    tile_q = min(tq_cap, round_up(q, 32))
     assert n % tile_n == 0, f"N={n} must be padded to {tile_n}"
     qp = round_up(q, tile_q)
     qcodes = pad_dim_to(qcodes, 0, qp)
