@@ -1,0 +1,37 @@
+"""ann_benchmark CLI smoke tests on the virtual CPU mesh, including the
+--sharded path (the CLI twin of demos/src/ann_benchmark.rs:104-162)."""
+
+import numpy as np
+
+
+def _run(argv):
+    from quantization_tpu.bench.ann_benchmark import main
+
+    return main(argv)
+
+
+def test_cli_u8_synthetic_acc():
+    res = _run([
+        "--dataset", "sift", "--method", "u8", "--test-acc",
+        "--synthetic-count", "3000", "--query-batch", "64",
+    ])
+    assert len(res) == 1
+    assert res[0]["same_10"] > 0.5  # SQ on synthetic clustered data
+
+
+def test_cli_sharded_two_stage():
+    res = _run([
+        "--dataset", "sift", "--method", "bq-u8", "--sharded", "--test-acc",
+        "--synthetic-count", "3000", "--query-batch", "64",
+    ])
+    assert len(res) == 1
+    assert res[0]["same_10"] > 0.5
+    assert np.isfinite(res[0]["avg_us"])
+
+
+def test_cli_sharded_exact_rescorer():
+    res = _run([
+        "--dataset", "sift", "--method", "bq-exact", "--sharded",
+        "--test-acc", "--synthetic-count", "3000", "--query-batch", "64",
+    ])
+    assert res[0]["same_10"] > 0.6
