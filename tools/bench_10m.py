@@ -1,0 +1,256 @@
+"""10M x 768 serve benchmark with DEVICE-SIDE corpus generation.
+
+The tunnel environment uploads at single-digit MB/s, so streaming 30GB of
+f32 host batches (examples/streaming_ingest.py, the real-ingestion demo)
+takes hours here. For serve-path benchmarking the corpus content only
+needs to be a reproducible clustered distribution — so this harness
+generates every batch ON DEVICE (jax.random), encodes SQ+BQ+PQ into
+preallocated device buffers, maintains the exact f32 top-K ground truth
+incrementally, and then times the serve paths. Nothing big ever crosses
+the host<->device link.
+
+    python tools/bench_10m.py --n 10000000 --d 768
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--batch", type=int, default=250_000)  # must divide --n
+    ap.add_argument("--queries", type=int, default=256)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--chunk-size", type=int, default=8)
+    ap.add_argument("--clusters", type=int, default=1024)
+    ap.add_argument("--normalize", action="store_true",
+                    help="L2-normalize vectors (cosine regime — the "
+                    "ann-benchmarks angular datasets; BQ sign bits are "
+                    "only informative on normalized/centered data)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import quantization_tpu as qt
+    from quantization_tpu.models.bq import BQMetadata
+    from quantization_tpu.models.pq import PQMetadata
+    from quantization_tpu.models.sq import SQMetadata
+    from quantization_tpu.ops import pq as pq_ops
+    from quantization_tpu.ops import sq as sq_ops
+    from quantization_tpu.ops.kmeans import kmeans_batched
+    from quantization_tpu.ops.pallas.sq_kernel import TILE_N as SQ_TILE
+    from quantization_tpu.utils.compile_cache import enable_compilation_cache
+    from quantization_tpu.utils.device_store import DeviceAppender
+
+    enable_compilation_cache()
+
+    N, D, B, Q, K = args.n, args.d, args.batch, args.queries, args.k
+    assert N % B == 0, "--batch must divide --n (fixed-shape device gen)"
+    assert D % args.chunk_size == 0
+    m = D // args.chunk_size
+    nb = -(-N // B)
+
+    centers = jnp.asarray(
+        np.random.default_rng(7).random((args.clusters, D), np.float32) * 2 - 1
+    )
+
+    @jax.jit
+    def gen_dev(key):
+        k1, k2 = jax.random.split(key)
+        assign = jax.random.randint(k1, (B,), 0, args.clusters)
+        noise = jax.random.normal(k2, (B, D), jnp.float32) * 0.5
+        x = jnp.take(centers, assign, axis=0) + noise
+        if args.normalize:
+            x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        return x
+
+    keys = jax.random.split(jax.random.key(42), nb)
+
+    # --- pass 0 (device): min/max calibration + PQ training sample ---
+    # Running device-side accumulators, ONE host sync at the end: a
+    # per-batch float() sync cost ~29s/batch through the tunnel (measured).
+    t0 = time.perf_counter()
+
+    @jax.jit
+    def minmax_step(key, mn, mx):
+        x = gen_dev(key)
+        return jnp.minimum(mn, jnp.min(x)), jnp.maximum(mx, jnp.max(x))
+
+    mn_d = jnp.float32(np.inf)
+    mx_d = jnp.float32(-np.inf)
+    for i in range(nb):
+        mn_d, mx_d = minmax_step(keys[i], mn_d, mx_d)
+    mn, mx = float(mn_d), float(mx_d)
+    sample = np.asarray(gen_dev(keys[0])[:10_000])  # train sample (one batch)
+    print(f"pass0 (device calibration): {time.perf_counter()-t0:.0f}s", flush=True)
+
+    t0 = time.perf_counter()
+    division = pq_ops.get_vector_division(D, args.chunk_size)
+    sample_chunks = jnp.asarray(pq_ops.chunk_tensor(sample, division))
+    cent_chunks = kmeans_batched(sample_chunks, pq_ops.CENTROIDS_COUNT)
+    centroids = pq_ops.chunks_to_centroids(np.asarray(cent_chunks), division, D)
+    print(f"PQ k-means ({m} chunks x 256): {time.perf_counter()-t0:.0f}s", flush=True)
+
+    # --- pass 1 (device): encode SQ+BQ+PQ + running exact GT ---
+    params_dot = qt.VectorParameters(D, N, qt.DistanceType.DOT, False)
+    alpha, offset = sq_ops.alpha_offset_from_min_max(mn, mx)
+    actual = sq_ops.actual_dim(D)
+    lane = sq_ops.lane_dim(D)
+    npad = N + (-N) % SQ_TILE
+    w = -(-D // 32)
+    w8 = w + (-w) % 8
+    dp = w8 * 32
+
+    pow2 = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
+
+    queries = np.asarray(
+        jax.random.normal(jax.random.key(3), (Q, D), jnp.float32) * 0.5
+        + jnp.take(
+            centers,
+            jax.random.randint(jax.random.key(2), (Q,), 0, args.clusters),
+            axis=0,
+        )
+    ).astype(np.float32)
+    if args.normalize:
+        queries = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    queries_dev = jnp.asarray(queries)
+
+    cents_dev = jnp.asarray(pq_ops.centroids_to_chunks(centroids, division))
+
+    # One encode pass per quantizer family, benched then FREED: holding
+    # SQ codes (7.9GB) + BQ + PQ (+2GB) simultaneously pushes HBM to
+    # ~12.5/15.75GB and the serve calls degrade ~4x (measured: SQ approx
+    # 63 ms in the crowded layout vs 15.8 ms isolated — allocator
+    # fragmentation at near-capacity). GT is computed in the first pass.
+    def quantize_sq(xb):
+        return sq_ops.quantize_batch(
+            xb, alpha=alpha, offset=offset,
+            distance_type=qt.DistanceType.DOT, invert=False, dpad=actual,
+            lane=lane,
+        )
+
+    def pack_bq(xb):
+        bits = (xb > 0).astype(jnp.uint32)
+        bits = jnp.pad(bits, ((0, 0), (0, dp - D)))
+        return jnp.sum(
+            bits.reshape(-1, w8, 32) * pow2[None, None, :], axis=2,
+            dtype=jnp.uint32,
+        )
+
+    def encode_pq(xb):
+        xc = jnp.transpose(xb.reshape(-1, m, args.chunk_size), (1, 0, 2))
+        return pq_ops.encode_batch(xc, cents_dev).astype(jnp.uint8)
+
+    best_s = jnp.full((Q, K), -np.inf, jnp.float32)
+    best_i = jnp.full((Q, K), -1, jnp.int32)
+
+    @jax.jit
+    def gt_update(key, best_s, best_i, base):
+        xb = gen_dev(key)
+        s = queries_dev @ xb.T
+        ii = base + jnp.arange(xb.shape[0], dtype=jnp.int32)
+        cs = jnp.concatenate([best_s, s], axis=1)
+        ci = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ii[None, :], s.shape)], axis=1
+        )
+        ts, tp = jax.lax.top_k(cs, K)
+        return ts, jnp.take_along_axis(ci, tp, axis=1)
+
+    def timeit(fn, iters=10):
+        r = fn()
+        np.asarray(jax.tree_util.tree_leaves(r)[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn()
+        np.asarray(jax.tree_util.tree_leaves(r)[0])
+        return (time.perf_counter() - t0) / iters
+
+    def recall(ids, gt):
+        ids = np.asarray(ids)
+        return float(np.mean([
+            len(set(ids[r].tolist()) & set(gt[r].tolist())) / K
+            for r in range(Q)
+        ]))
+
+    def report(name, fn, gt):
+        try:
+            t = timeit(fn)
+            _, ids = fn()
+            print(
+                f"{name:18s}: {Q/t:10.0f} qps  ({t*1e3:7.2f} ms/batch)  "
+                f"recall@{K} vs exact = {recall(ids, gt):.3f}",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:18s}: FAILED {type(e).__name__}: {e}", flush=True)
+
+    mult = sq_ops.multiplier_for(qt.DistanceType.DOT, False, alpha)
+
+    # --- pass A: GT + BQ + PQ (small codes) ---
+    bq_planes_t = DeviceAppender((npad, w8), jnp.uint32)
+    pq_codes = DeviceAppender((npad, m), jnp.uint8)
+    bq_enc = jax.jit(lambda k: pack_bq(gen_dev(k)))  # jit ONCE: a fresh
+    pq_enc = jax.jit(lambda k: encode_pq(gen_dev(k)))  # jit per loop
+    # iteration retraces every batch (~9s/batch through the tunnel)
+    t0 = time.perf_counter()
+    for i in range(nb):
+        best_s, best_i = gt_update(keys[i], best_s, best_i, jnp.int32(i * B))
+        bq_planes_t.append(bq_enc(keys[i]))
+        pq_codes.append(pq_enc(keys[i]))
+    jax.block_until_ready(best_s)
+    print(f"pass A (GT + BQ + PQ encode): {time.perf_counter()-t0:.0f}s", flush=True)
+    gt = np.asarray(best_i)
+
+    bq = qt.BinaryQuantizer(
+        jnp.transpose(bq_planes_t.finish()), BQMetadata(params_dot)
+    )
+    pq = qt.ProductQuantizer(
+        pq_codes.finish(), PQMetadata(centroids, division, params_dot)
+    )
+    eq_bq = bq.encode_query(queries)
+    eq_pq = pq.encode_query(queries)
+    report("BQ fused exact", lambda: bq.top_k_device(eq_bq, K), gt)
+    report("BQ fused approx", lambda: bq.top_k_device(eq_bq, K, method="approx"), gt)
+    report("PQ fused exact", lambda: pq.top_k_device(eq_pq, K), gt)
+    del pq, eq_pq  # free ~2GB before the SQ pass
+
+    # --- pass B: SQ codes (7.9GB) ---
+    sq_codes = DeviceAppender((npad, lane), jnp.int8)
+    sq_voff = DeviceAppender((npad,), jnp.float32)
+    sq_enc = jax.jit(lambda k: quantize_sq(gen_dev(k)))
+    t0 = time.perf_counter()
+    for i in range(nb):
+        c, v = sq_enc(keys[i])
+        sq_codes.append(c)
+        sq_voff.append(v)
+    print(f"pass B (SQ encode): {time.perf_counter()-t0:.0f}s "
+          f"({N/(time.perf_counter()-t0):,.0f} vec/s)", flush=True)
+    sq = qt.ScalarQuantizerU8(
+        sq_codes.finish(), sq_voff.finish(),
+        SQMetadata(actual, alpha, offset, mult, params_dot),
+    )
+    eq_sq = sq.encode_query(queries)
+    report("SQ fused exact", lambda: sq.top_k_device(eq_sq, K), gt)
+    report("SQ fused approx", lambda: sq.top_k_device(eq_sq, K, method="approx"), gt)
+
+    # Oversampling sweep: on noise-dominated clustered data the BQ coarse
+    # stage needs a wide candidate pool before rescoring recovers recall
+    # (each cluster holds ~N/clusters points the sign bits cannot rank).
+    for ov in (8.0, 32.0, 128.0, 512.0):
+        two = qt.TwoStageIndex(bq, sq, oversampling=ov)
+        eq2 = (eq_bq, eq_sq)
+        report(f"two-stage ov={ov:g}", lambda: two.top_k_device(eq2, K), gt)
+
+
+if __name__ == "__main__":
+    main()
