@@ -215,9 +215,12 @@ class BinaryQuantizer(EncodedVectors):
         top-k, no [Q, N] score matrix (the coarse stage of two-stage
         retrieval scans the full corpus, so this is where the score-matrix
         memory wall bites first)."""
-        from ..ops.pallas.ktile import FUSED_K_MAX, SLOT
+        from ..ops.pallas.ktile import APPROX_K_MAX, FUSED_K_MAX
 
-        fused_ok = (k <= FUSED_K_MAX) if method == "exact" else (k <= SLOT)
+        fused_ok = (
+            (k <= FUSED_K_MAX) if method == "exact"
+            else (k <= APPROX_K_MAX)
+        )
         if (
             dispatch.use_pallas()
             and self.count

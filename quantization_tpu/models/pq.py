@@ -251,9 +251,12 @@ class ProductQuantizer(EncodedVectors):
     def top_k_device(self, equery: EncodedQueryPQ, k: int, method: str = "exact"):
         """Fused PQ search on TPU: one-hot MXU accumulation in VMEM scratch
         + in-tile top-k — no [Q, N] score matrix."""
-        from ..ops.pallas.ktile import FUSED_K_MAX, SLOT
+        from ..ops.pallas.ktile import APPROX_K_MAX, FUSED_K_MAX
 
-        fused_ok = (k <= FUSED_K_MAX) if method == "exact" else (k <= SLOT)
+        fused_ok = (
+            (k <= FUSED_K_MAX) if method == "exact"
+            else (k <= APPROX_K_MAX)
+        )
         if dispatch.use_pallas() and self.count and fused_ok:
             from ..ops.pallas.pq_kernel import pq_search_pallas
 

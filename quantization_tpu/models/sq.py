@@ -105,6 +105,11 @@ def _lane_pad(n: int) -> int:
 # score matrix at [Q, 1M] (~1GB at Q=256) regardless of corpus size.
 L1_BLOCK_ROWS = 1 << 20
 
+# Gathered candidate rows per rescoring block (see score_candidates):
+# 32k x 768 int8 is ~24MB, comfortably inside the VMEM stack budget the
+# compiler uses for DMA-gather outputs.
+_GATHER_ROWS_BUDGET = 32768
+
 
 def calibrate_sq(
     batches_fn, params: VectorParameters, quantile, stop_condition, seed: int
@@ -349,9 +354,12 @@ class ScalarQuantizerU8(EncodedVectors):
         fusion, see PERF_NOTES "Kernels") blocks the corpus axis instead,
         so its peak HBM is [Q, block] + codes, never [Q, N]. Falls back to
         score-then-select otherwise."""
-        from ..ops.pallas.ktile import FUSED_K_MAX, SLOT
+        from ..ops.pallas.ktile import APPROX_K_MAX, FUSED_K_MAX
 
-        fused_ok = (k <= FUSED_K_MAX) if method == "exact" else (k <= SLOT)
+        fused_ok = (
+            (k <= FUSED_K_MAX) if method == "exact"
+            else (k <= APPROX_K_MAX)
+        )
         if (
             dispatch.use_pallas()
             and self.count
@@ -425,26 +433,41 @@ class ScalarQuantizerU8(EncodedVectors):
         if dispatch.use_pallas() and self.count:
             # Candidate rows come through the DMA gather kernel: XLA's row
             # gather costs ~10us/row on v5e vs ~2us/row for pipelined DMAs.
-            from ..ops.pallas.gather import gather_rows_pallas
-
+            # Wide candidate pools are scored in column blocks so each
+            # gathered [Q*RB, D] tile dies before the next one is built —
+            # XLA stack-allocates the gather output in VMEM, and one
+            # monolithic [Q*R, D] tile blows that budget at R >= ~500.
             q, r = cand.shape
-            flat = cand.reshape(-1)
-            g = gather_rows_pallas(self.codes, flat).reshape(q, r, -1)
-            goff = jnp.take(self.voffsets, flat).reshape(q, r)
-            return sq_ops._score_gathered(
-                equery.codes,
-                equery.offsets,
-                g,
-                goff,
-                self._mult_dev,
-                distance_type=self.params.distance_type,
-            )
+            rb = max(1, _GATHER_ROWS_BUDGET // max(q, 1))
+            if r <= rb:
+                return self._score_candidates_gathered(equery, cand)
+            parts = [
+                self._score_candidates_gathered(equery, cand[:, r0 : r0 + rb])
+                for r0 in range(0, r, rb)
+            ]
+            return jnp.concatenate(parts, axis=1)
         return sq_ops.score_candidates_xla(
             equery.codes,
             equery.offsets,
             self.codes,
             self.voffsets,
             cand,
+            self._mult_dev,
+            distance_type=self.params.distance_type,
+        )
+
+    def _score_candidates_gathered(self, equery, cand) -> jax.Array:
+        from ..ops.pallas.gather import gather_rows_pallas
+
+        q, r = cand.shape
+        flat = cand.reshape(-1)
+        g = gather_rows_pallas(self.codes, flat).reshape(q, r, -1)
+        goff = jnp.take(self.voffsets, flat).reshape(q, r)
+        return sq_ops._score_gathered(
+            equery.codes,
+            equery.offsets,
+            g,
+            goff,
             self._mult_dev,
             distance_type=self.params.distance_type,
         )

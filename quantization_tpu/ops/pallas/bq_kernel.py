@@ -226,7 +226,9 @@ def bq_search_mxu(
     flat lax.top_k on real hardware (Mosaic argmax tie order) — the same
     freedom the reference's per-point heap has (ann_benchmark_data.rs:151).
     """
-    assert k <= SLOT
+    assert k <= SLOT or mode == "approx", (
+        f"exact fused search caps k at {SLOT}, got {k}"
+    )
     if interpret is None:
         interpret = interpret_mode()
     q = qplanes.shape[0]

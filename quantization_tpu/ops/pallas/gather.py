@@ -30,6 +30,8 @@ ROWS_PER_STEP = 512
 _GRP = 8  # sublane-aligned DMA group
 _INFLIGHT = 256  # semaphore window (sflag memory caps at ~512 flags; 256
 # measured 1.6x over a 32-deep window at 1M x 768)
+_MAX_IDS = 131072  # ids per pallas_call: the prefetched scalar operand
+# lives in SMEM (~1MB); 128k ids = 512KB leaves headroom
 
 
 def _gather_kernel(ids_ref, sel_ref, src_ref, out_ref, scratch, sems):
@@ -84,6 +86,27 @@ def gather_rows_pallas(
     (r,) = ids.shape
     n, d = src.shape
     assert n % _GRP == 0, f"N={n} must be a multiple of {_GRP}"
+    if r > _MAX_IDS:
+        # The prefetched scalar operand (the id array) lives in SMEM
+        # (~1MB): chunk large gathers — e.g. a wide two-stage candidate
+        # pool at Q=256, R=1280 is 1.3MB of ids in one call.
+        parts = [
+            gather_rows_pallas(
+                src, jax.lax.dynamic_slice_in_dim(ids, s, _MAX_IDS, 0),
+                interpret=interpret,
+            )
+            for s in range(0, r - r % _MAX_IDS, _MAX_IDS)
+        ]
+        tail = r % _MAX_IDS
+        if tail:
+            parts.append(
+                gather_rows_pallas(
+                    src,
+                    jax.lax.dynamic_slice_in_dim(ids, r - tail, tail, 0),
+                    interpret=interpret,
+                )
+            )
+        return jnp.concatenate(parts, axis=0)
     rb = min(ROWS_PER_STEP, round_up(r, 8))
     rp = round_up(r, rb)
     ids_p = jnp.pad(ids.astype(jnp.int32), (0, rp - r))

@@ -32,6 +32,15 @@ SLOT = 128
 # break-even, k=40 4x slower). Model top_k_device falls back above it.
 FUSED_K_MAX = 16
 
+# Approx mode has no per-tile k rounds — each tile span always emits SLOT
+# strided maxima and the merge selects top-k over ALL of them (nt/SPAN *
+# SLOT candidates, ~156k at 10M points), so k is bounded by the merge
+# width, not the tile. This cap keeps the coarse stage of two-stage
+# retrieval fused at large oversampling (a score-matrix fallback at 10M
+# would materialize 10GB). Recall decays gracefully as k approaches the
+# candidate pool size.
+APPROX_K_MAX = 4096
+
 
 def extract_topk_tile(scores, k: int, base_index):
     """scores f32[TQ, TN] -> (vals f32[TQ, SLOT], idx i32[TQ, SLOT]).

@@ -284,7 +284,9 @@ def pq_search_pallas(
     [Q, N] score matrix. ``mode="approx"`` uses the one-pass strided
     segment-max extraction (any k <= SLOT). ``precision`` "int8" (default,
     2x MXU rate) or "bf16"."""
-    assert k <= SLOT
+    assert k <= SLOT or mode == "approx", (
+        f"exact fused search caps k at {SLOT}, got {k}"
+    )
     if interpret is None:
         interpret = interpret_mode()
     if precision is None:

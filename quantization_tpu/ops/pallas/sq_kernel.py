@@ -140,7 +140,9 @@ def sq_search_pallas(
     extraction for a one-pass strided segment-max (cost independent of k,
     any k <= SLOT; approx_max_k-grade recall)."""
     assert distance_type != DistanceType.L1
-    assert k <= SLOT
+    assert k <= SLOT or mode == "approx", (
+        f"exact fused search caps k at {SLOT}, got {k}"
+    )
     if interpret is None:
         interpret = interpret_mode()
     q, d = qcodes.shape

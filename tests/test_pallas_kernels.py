@@ -312,3 +312,19 @@ def test_pq_kernel_matches_xla(rng, m, q):
     # accumulated magnitude.
     scale = np.abs(lut).sum(axis=(1, 2)).max()
     np.testing.assert_allclose(got, want, atol=scale * 4e-3)
+
+
+def test_gather_rows_chunked_beyond_smem(rng, monkeypatch):
+    """Gathers wider than the SMEM id budget are chunked transparently."""
+    import jax.numpy as jnp
+
+    import quantization_tpu.ops.pallas.gather as gather_mod
+
+    n, d = 64, 128
+    src = jnp.asarray(rng.integers(0, 127, (n, d), dtype=np.int8))
+    ids = rng.integers(0, n, 50).astype(np.int32)
+    monkeypatch.setattr(gather_mod, "_MAX_IDS", 16)
+    got = np.asarray(
+        gather_mod.gather_rows_pallas(src, jnp.asarray(ids), interpret=True)
+    )
+    np.testing.assert_array_equal(got, np.asarray(src)[ids])

@@ -110,3 +110,31 @@ def test_model_fused_topk_routing(rng, force_pallas, monkeypatch, method):
                     set(map(int, gi[r])) & set(map(int, np.asarray(wi)[r]))
                 ) / k
                 assert overlap >= 0.6, (name, method, overlap)
+
+
+def test_approx_topk_beyond_slot(rng):
+    """Approx mode accepts k > SLOT(128): the merge selects over all
+    ~(nt/SPAN)*SLOT strided-max candidates, so large coarse-stage
+    candidate pools stay fused (no [Q, N] score-matrix fallback)."""
+    import numpy as np
+
+    from quantization_tpu import (
+        DistanceType,
+        ScalarQuantizerU8,
+        VectorParameters,
+    )
+
+    n, dim, q, k = 4000, 32, 3, 300
+    data = rng.random((n, dim), dtype=np.float32)
+    queries = rng.random((q, dim), dtype=np.float32)
+    params = VectorParameters(dim, n, DistanceType.DOT, False)
+    enc = ScalarQuantizerU8.encode(data, params)
+    eq = enc.encode_query(queries)
+    s, i = enc.top_k(eq, k, method="approx")
+    assert s.shape == (q, k) and i.shape == (q, k)
+    assert i.max() < n
+    # the approx candidate pool must cover most of the exact top-k
+    s_ref, i_ref = enc.top_k(eq, k, method="exact")
+    for r in range(q):
+        overlap = len(set(i[r].tolist()) & set(i_ref[r].tolist())) / k
+        assert overlap >= 0.8, overlap

@@ -246,7 +246,9 @@ def main():
     # Oversampling sweep: on noise-dominated clustered data the BQ coarse
     # stage needs a wide candidate pool before rescoring recovers recall
     # (each cluster holds ~N/clusters points the sign bits cannot rank).
-    for ov in (8.0, 32.0, 128.0, 512.0):
+    # ov=512 (R=5120) would gather 1.3M rows and score a [Q, R, D] f32
+    # intermediate (~4GB) next to the resident codes — out of budget.
+    for ov in (8.0, 32.0, 128.0):
         two = qt.TwoStageIndex(bq, sq, oversampling=ov)
         eq2 = (eq_bq, eq_sq)
         report(f"two-stage ov={ov:g}", lambda: two.top_k_device(eq2, K), gt)
