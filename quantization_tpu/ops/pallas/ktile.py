@@ -27,10 +27,13 @@ NEG = -3.4e38
 # hold NEG/-1.
 SLOT = 128
 
-# Extraction costs k rounds of max/argmax/mask per tile, so the fused path
-# loses to score-matrix + lax.top_k beyond this k (measured on v5e: k=10
-# break-even, k=40 4x slower). Model top_k_device falls back above it.
-FUSED_K_MAX = 16
+# Extraction costs k rounds of max/argmax/mask per tile; with honest
+# chained-dispatch timing the fused path beats score-matrix + lax.top_k at
+# every measured k (k=16: 1.16 vs 1.84 ms, k=32: 1.99 vs 3.15, k=64:
+# 3.80 vs 5.70 at 256x100k x 1024 — round-1's k=16 break-even was a
+# dispatch-floor artifact). Capped at the highest measured k; beyond it
+# the model falls back to score-then-select.
+FUSED_K_MAX = 64
 
 # Approx mode has no per-tile k rounds — each tile span always emits SLOT
 # strided maxima and the merge selects top-k over ALL of them (nt/SPAN *

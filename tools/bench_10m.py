@@ -222,7 +222,34 @@ def main():
     report("BQ fused exact", lambda: bq.top_k_device(eq_bq, K), gt)
     report("BQ fused approx", lambda: bq.top_k_device(eq_bq, K, method="approx"), gt)
     report("PQ fused exact", lambda: pq.top_k_device(eq_pq, K), gt)
+    report("PQ fused approx", lambda: pq.top_k_device(eq_pq, K, method="approx"), gt)
     del pq, eq_pq  # free ~2GB before the SQ pass
+
+    # --- 4-bit PQ at EQUAL code bytes: 2x chunks of half the width, 16
+    # centroids each — 12x fewer one-hot MACs than 8-bit (Quick-ADC) ---
+    cs4 = max(1, args.chunk_size // 2)
+    division4 = pq_ops.get_vector_division(D, cs4)
+    m4 = len(division4)
+    sample_chunks4 = jnp.asarray(pq_ops.chunk_tensor(sample, division4))
+    cent4 = kmeans_batched(sample_chunks4, pq_ops.CENTROIDS_COUNT4)
+    centroids4 = pq_ops.chunks_to_centroids(np.asarray(cent4), division4, D)
+    cents4_dev = jnp.asarray(pq_ops.centroids_to_chunks(centroids4, division4))
+
+    def encode_pq4(xb):
+        xc = jnp.transpose(xb.reshape(-1, m4, cs4), (1, 0, 2))
+        return pq_ops.encode_batch(xc, cents4_dev).astype(jnp.uint8)
+
+    pq4_codes = DeviceAppender((npad, m4), jnp.uint8)
+    pq4_enc = jax.jit(lambda kk: encode_pq4(gen_dev(kk)))
+    for i in range(nb):
+        pq4_codes.append(pq4_enc(keys[i]))
+    pq4 = qt.ProductQuantizer(
+        pq4_codes.finish(),
+        PQMetadata(centroids4, division4, params_dot, bits=4),
+    )
+    eq_pq4 = pq4.encode_query(queries)
+    report("PQ4 fused exact", lambda: pq4.top_k_device(eq_pq4, K), gt)
+    del pq4, eq_pq4
 
     # --- pass B: SQ codes (7.9GB) ---
     sq_codes = DeviceAppender((npad, lane), jnp.int8)
