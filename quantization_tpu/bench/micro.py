@@ -10,6 +10,12 @@ The reference also distinguishes linear vs random access order — a CPU
 cache effect with no TPU analogue (batch scoring reads the whole code
 matrix either way), so each config here is one number.
 
+Caveat on tunneled dev TPUs: per-call dispatch is serialized at ~0.9 ms
+(PERF_NOTES "dispatch floor"), so sub-2ms configs here read high by up
+to that amount. These numbers are for config-to-config comparison;
+bench.py (which chains independent batches per dispatch) is the
+engine-limited headline.
+
 Run: python -m quantization_tpu.bench.micro [--n N] [--d D] [--q Q]
 Prints one JSON line per config.
 """

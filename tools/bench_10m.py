@@ -249,6 +249,10 @@ def main():
     )
     eq_pq4 = pq4.encode_query(queries)
     report("PQ4 fused exact", lambda: pq4.top_k_device(eq_pq4, K), gt)
+    report(
+        "PQ4 fused approx",
+        lambda: pq4.top_k_device(eq_pq4, K, method="approx"), gt,
+    )
     del pq4, eq_pq4
 
     # --- pass B: SQ codes (7.9GB) ---
