@@ -122,6 +122,30 @@ def main():
     t_quant = timeit(quant_search, eq.codes, eq.offsets, enc.codes, enc.voffsets)
     t_f32 = timeit(f32_search, queries_dev, data_dev)
 
+    if pallas:
+        # Secondary (stderr-only): the approx-selection serving path.
+        @jax.jit
+        def quant_search_approx(qc, qo, c, vo):
+            outs = []
+            for b in range(CHAIN):
+                qcb = jax.lax.dynamic_slice_in_dim(qc, b * Q, Q, 0)
+                qob = jax.lax.dynamic_slice_in_dim(qo, b * Q, Q, 0)
+                outs.append(sq_search_pallas(
+                    qcb, qob, c, vo, mult,
+                    distance_type=DistanceType.DOT, n_valid=N, k=K,
+                    mode="approx", interpret=False,
+                ))
+            return outs
+
+        t_approx = timeit(
+            quant_search_approx, eq.codes, eq.offsets, enc.codes, enc.voffsets
+        )
+        print(
+            f"quantized approx-selection: {t_approx * 1e3:.3f} ms/batch "
+            f"({Q / t_approx:,.0f} qps)",
+            file=sys.stderr,
+        )
+
     qps = Q / t_quant
     qps_f32 = Q / t_f32
     print(

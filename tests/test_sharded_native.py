@@ -343,3 +343,21 @@ def test_sharded_topk_approx_method(rng, mesh):
     _, i_got = sharded.top_k(eq, k, method="approx")
     for r in range(len(i_got)):
         assert len(set(i_got[r]) & set(i_ref[r])) >= k - 2
+
+
+def test_sharded_pq4_encode_and_roundtrip(rng, mesh, tmp_path):
+    """4-bit PQ through the sharded-native encode + per-shard checkpoint
+    (two codes per byte on disk, same as the single-device format)."""
+    n, dim, k = 160, 16, 5
+    data = rng.random((n, dim), dtype=np.float32)
+    queries = rng.random((2, dim), dtype=np.float32)
+    params = VectorParameters(dim, n, DistanceType.L2, True)
+    sharded = ShardedProductQuantizer.encode(
+        data, params, chunk_size=2, mesh=mesh, bits=4
+    )
+    s0, i0 = sharded.top_k(sharded.encode_query(queries), k)
+    assert i0.max() < n
+
+    single = ProductQuantizer.encode(data, params, chunk_size=2, bits=4)
+    s1, _ = single.top_k(single.encode_query(queries), k)
+    np.testing.assert_allclose(s0, s1, rtol=1e-5, atol=1e-4)
