@@ -49,23 +49,24 @@ def extract_topk_tile(scores, k: int, base_index):
     """scores f32[TQ, TN] -> (vals f32[TQ, SLOT], idx i32[TQ, SLOT]).
 
     k rounds of max/argmax/mask; idx entries are base_index + lane position
-    (global corpus ids). Rows beyond k are NEG / -1 filler.
+    (global corpus ids). Slots beyond k are NEG / -1 filler. Results are
+    accumulated into fixed [TQ, SLOT] registers with per-round lane
+    selects rather than concatenated from [TQ, 1] pieces — a k+1-way
+    lane-granular concatenate costs Mosaic a relayout per piece.
     """
     tq, tn = scores.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (tq, tn), 1)
-    vals = []
-    idxs = []
+    slot_lane = jax.lax.broadcasted_iota(jnp.int32, (tq, SLOT), 1)
+    vals_out = jnp.full((tq, SLOT), NEG, jnp.float32)
+    idxs_out = jnp.full((tq, SLOT), -1, jnp.int32)
     x = scores
-    for _ in range(k):
+    for r in range(k):
         m = jnp.max(x, axis=1, keepdims=True)  # [TQ, 1]
         am = jnp.argmax(x, axis=1)[:, None].astype(jnp.int32)  # [TQ, 1]
-        vals.append(m)
-        idxs.append(am + base_index)
+        vals_out = jnp.where(slot_lane == r, m, vals_out)
+        idxs_out = jnp.where(slot_lane == r, am + base_index, idxs_out)
         x = jnp.where(lane == am, NEG, x)
-    pad = SLOT - k
-    vals.append(jnp.full((tq, pad), NEG, jnp.float32))
-    idxs.append(jnp.full((tq, pad), -1, jnp.int32))
-    return jnp.concatenate(vals, axis=1), jnp.concatenate(idxs, axis=1)
+    return vals_out, idxs_out
 
 
 def extract_approx_tile(scores, base_index):
