@@ -1,4 +1,6 @@
-"""SQ matmul-pipeline variants: isolate why the fused kernel runs ~6x off
+"""SUPERSEDED: these measurements were polluted by large-output drains (~13 MB/s tunnel readback) — see exp_sq4.py for the corrected run.
+
+SQ matmul-pipeline variants: isolate why the fused kernel runs ~6x off
 roofline (8us/tile vs 1.4us MXU + 2.4us DMA at [128,1024]x[1024,2048] int8).
 
 Variants (all emit tiny outputs; k=0 'extraction' = per-tile segment max):

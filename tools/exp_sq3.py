@@ -1,4 +1,6 @@
-"""Bisect: why do standalone kernel variants run 5-10x slower than the
+"""SUPERSEDED: V1-V4 numbers include ~10 ms/call of [Q, nt*128] readback pollution; the bisect CONCLUSION (control is clean, variants were drain-bound) is what mattered — see exp_sq4.py.
+
+Bisect: why do standalone kernel variants run 5-10x slower than the
 production sq_search_pallas at identical tiling?"""
 
 import sys

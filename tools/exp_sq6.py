@@ -1,4 +1,6 @@
-"""Chained-dispatch timing (the only reliable measure on the tunnel; see
+"""ABANDONED: the __wrapped__ bypass forced uncached mega-compiles (>15 min); superseded by exp_sq7.py (one cached variant per process).
+
+Chained-dispatch timing (the only reliable measure on the tunnel; see
 exp_sq5: per-call dispatch floor ~0.9ms) of TILE_Q=256 vs 128 for the
 production fused kernel."""
 
