@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--chunk-size", type=int, default=8)
     ap.add_argument("--clusters", type=int, default=1024)
+    ap.add_argument("--sigma", type=float, default=0.5,
+                    help="within-cluster noise scale; 0.5 is the "
+                    "adversarial regime (noise ~ signal), 0.25 is "
+                    "closer to real embedding manifolds")
     ap.add_argument("--normalize", action="store_true",
                     help="L2-normalize vectors (cosine regime — the "
                     "ann-benchmarks angular datasets; BQ sign bits are "
@@ -68,7 +72,7 @@ def main():
     def gen_dev(key):
         k1, k2 = jax.random.split(key)
         assign = jax.random.randint(k1, (B,), 0, args.clusters)
-        noise = jax.random.normal(k2, (B, D), jnp.float32) * 0.5
+        noise = jax.random.normal(k2, (B, D), jnp.float32) * args.sigma
         x = jnp.take(centers, assign, axis=0) + noise
         if args.normalize:
             x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
@@ -114,7 +118,7 @@ def main():
     pow2 = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
 
     queries = np.asarray(
-        jax.random.normal(jax.random.key(3), (Q, D), jnp.float32) * 0.5
+        jax.random.normal(jax.random.key(3), (Q, D), jnp.float32) * args.sigma
         + jnp.take(
             centers,
             jax.random.randint(jax.random.key(2), (Q,), 0, args.clusters),
