@@ -240,6 +240,25 @@ class BinaryQuantizer(EncodedVectors):
                 k=k,
                 mode=method,
             )
+        from ..ops.topk import BLOCK_ROWS, blocked_topk
+
+        if self.count > BLOCK_ROWS:
+            # Exact at any k with [Q, block] peak memory — never a silent
+            # [Q, N] score-matrix allocation at 10M scale.
+            from ..utils.fallback import warn_unfused
+
+            warn_unfused("BQ", self.count, k, method)
+
+            def score_block(b0, b1):
+                return bq_ops.score_batch_xla(
+                    equery.planes,
+                    jax.lax.slice_in_dim(self.planes, b0, b1, axis=1),
+                    distance_type=self.params.distance_type,
+                    invert=self.params.invert,
+                    dim=self.params.dim,
+                )
+
+            return blocked_topk(score_block, self.count, k, method)
         return super().top_k_device(equery, k, method=method)
 
     def score_points(self, equery: EncodedQueryBin, ids) -> jax.Array:

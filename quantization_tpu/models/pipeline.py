@@ -54,9 +54,12 @@ class ExactRescorer:
 
     def score_points(self, equery, ids) -> jax.Array:
         if self._host:
-            sub = jnp.asarray(
-                self._data[np.asarray(ids, np.int64)], jnp.float32
+            # Clip like the device path's jnp.take does: a -1 padding id
+            # must not wrap to the last row via numpy negative indexing.
+            idx = np.clip(
+                np.asarray(ids, np.int64), 0, self._data.shape[0] - 1
             )
+            sub = jnp.asarray(self._data[idx], jnp.float32)
         else:
             sub = jnp.take(self._data, jnp.asarray(ids, jnp.int32), axis=0)
         return self._pairwise_score(equery, sub, self._dt, self._invert)
@@ -66,8 +69,11 @@ class ExactRescorer:
 
         if self._host:
             # Host gather (numpy fancy-index works on memmaps too), then a
-            # single [Q, R, D] upload — HBM never holds the corpus.
-            idx = np.asarray(cand, np.int64)
+            # single [Q, R, D] upload — HBM never holds the corpus. Clip to
+            # match the device path's jnp.take semantics on padding ids.
+            idx = np.clip(
+                np.asarray(cand, np.int64), 0, self._data.shape[0] - 1
+            )
             g = jnp.asarray(
                 self._data[idx.reshape(-1)], jnp.float32
             ).reshape(idx.shape + (self._data.shape[1],))

@@ -239,10 +239,11 @@ class ProductQuantizer(EncodedVectors):
     # ------------------------------------------------------------------ score
     def score_batch(self, equery: EncodedQueryPQ) -> jax.Array:
         if dispatch.use_pallas() and self.count:
-            from ..ops.pallas.pq_kernel import pq_scores_pallas
+            from ..ops.pallas.pq_kernel import _lut_precision, pq_scores_pallas
 
             return pq_scores_pallas(
-                equery.lut, self.codes_t, n_valid=self.count
+                equery.lut, self.codes_t, n_valid=self.count,
+                precision=_lut_precision(),
             )
         return pq_ops.score_lut_xla(
             equery.lut, self.codes[: self.count, : self.num_chunks]
@@ -250,7 +251,15 @@ class ProductQuantizer(EncodedVectors):
 
     def top_k_device(self, equery: EncodedQueryPQ, k: int, method: str = "exact"):
         """Fused PQ search on TPU: one-hot MXU accumulation in VMEM scratch
-        + in-tile top-k — no [Q, N] score matrix."""
+        + in-tile top-k — no [Q, N] score matrix.
+
+        ``method="exact"`` means exact *selection*; the scores selected over
+        are the fused kernel's LUT scores, which by default ride the int8
+        MXU path (QTPU_PQ_LUT=int8) and so differ from the f32 XLA fallback
+        by one LUT quantization step (~dim*0.001, far inside the reference's
+        dim*0.05 bound). Set QTPU_PQ_LUT=bf16 for near-f32 LUT scores; the
+        precision is resolved HERE (static jit arg), so flipping the env var
+        takes effect on the next call."""
         from ..ops.pallas.ktile import APPROX_K_MAX, FUSED_K_MAX
 
         fused_ok = (
@@ -258,7 +267,7 @@ class ProductQuantizer(EncodedVectors):
             else (k <= APPROX_K_MAX)
         )
         if dispatch.use_pallas() and self.count and fused_ok:
-            from ..ops.pallas.pq_kernel import pq_search_pallas
+            from ..ops.pallas.pq_kernel import _lut_precision, pq_search_pallas
 
             return pq_search_pallas(
                 equery.lut,
@@ -266,7 +275,24 @@ class ProductQuantizer(EncodedVectors):
                 n_valid=self.count,
                 k=k,
                 mode=method,
+                precision=_lut_precision(),
             )
+        from ..ops.topk import BLOCK_ROWS, blocked_topk
+
+        if self.count > BLOCK_ROWS:
+            # Exact at any k with [Q, block] peak memory — never a silent
+            # [Q, N] score-matrix allocation at 10M scale.
+            from ..utils.fallback import warn_unfused
+
+            warn_unfused("PQ", self.count, k, method)
+            sub = self.codes[:, : self.num_chunks]
+
+            def score_block(b0, b1):
+                return pq_ops.score_lut_xla(
+                    equery.lut, jax.lax.slice_in_dim(sub, b0, b1, axis=0)
+                )
+
+            return blocked_topk(score_block, self.count, k, method)
         return super().top_k_device(equery, k, method=method)
 
     def score_points(self, equery: EncodedQueryPQ, ids) -> jax.Array:

@@ -379,43 +379,31 @@ class ScalarQuantizerU8(EncodedVectors):
                 k=k,
                 mode=method,
             )
-        if (
-            self.params.distance_type == DistanceType.L1
-            and self.count > L1_BLOCK_ROWS
-        ):
-            return self._l1_blocked_topk(equery, k, method)
-        return super().top_k_device(equery, k, method=method)
+        if self.count > L1_BLOCK_ROWS:
+            # Any non-fused search at large N reroutes through the blocked
+            # scan: exact at any k with [Q, block] peak memory instead of a
+            # silent [Q, N] allocation (10.2 GB at 10M x 256 queries).
+            from ..ops.topk import blocked_topk
+            from ..utils.fallback import warn_unfused
 
-    def _l1_blocked_topk(self, equery: EncodedQueryU8, k: int, method: str):
-        """Corpus-blocked L1 search: per-block score + top-k, merged at the
-        end — a [Q, N] L1 score matrix at 10M x 256 queries would be 10GB
-        of HBM; blocks cap it at [Q, L1_BLOCK_ROWS]. All blocks are
-        enqueued before any host sync (two compiled shapes: body + tail)."""
-        from ..ops.topk import top_k as _topk
+            if self.params.distance_type != DistanceType.L1:
+                # L1 has no fused kernel — blocked is its first-class path.
+                warn_unfused("SQ", self.count, k, method)
 
-        parts_s, parts_i = [], []
-        for b0 in range(0, self.count, L1_BLOCK_ROWS):
-            b1 = min(b0 + L1_BLOCK_ROWS, self.count)
-            scores = sq_ops.score_batch_xla(
-                equery.codes,
-                equery.offsets,
-                jax.lax.slice_in_dim(self.codes, b0, b1, axis=0),
-                jax.lax.slice_in_dim(self.voffsets, b0, b1, axis=0),
-                self._mult_dev,
-                distance_type=DistanceType.L1,
+            def score_block(b0, b1):
+                return sq_ops.score_batch_xla(
+                    equery.codes,
+                    equery.offsets,
+                    jax.lax.slice_in_dim(self.codes, b0, b1, axis=0),
+                    jax.lax.slice_in_dim(self.voffsets, b0, b1, axis=0),
+                    self._mult_dev,
+                    distance_type=self.params.distance_type,
+                )
+
+            return blocked_topk(
+                score_block, self.count, k, method, block_rows=L1_BLOCK_ROWS
             )
-            s, i = _topk(scores, min(k, b1 - b0), method=method)
-            parts_s.append(s)
-            parts_i.append(i + b0)
-        s = jnp.concatenate(parts_s, axis=1)
-        i = jnp.concatenate(parts_i, axis=1)
-        kk = min(k, s.shape[1])
-        ss, pos = jax.lax.top_k(s, kk)
-        ii = jnp.take_along_axis(i, pos, axis=1)
-        if kk < k:
-            ss = jnp.pad(ss, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
-            ii = jnp.pad(ii, ((0, 0), (0, k - kk)), constant_values=-1)
-        return ss, ii
+        return super().top_k_device(equery, k, method=method)
 
     def score_points(self, equery: EncodedQueryU8, ids) -> jax.Array:
         ids = jnp.asarray(ids, jnp.int32)

@@ -62,3 +62,37 @@ def top_k(
     if method == "approx":
         return topk_approx(scores, k, **kw)
     raise ValueError(f"unknown top-k method {method!r}")
+
+
+# Corpus rows per block in blocked_topk: [256 queries, 1M rows] f32 scores
+# is 1 GB of transient HBM — bounded regardless of corpus size.
+BLOCK_ROWS = 1 << 20
+
+
+def blocked_topk(
+    score_block,
+    count: int,
+    k: int,
+    method: str = "exact",
+    block_rows: int = BLOCK_ROWS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact-at-any-k selection with O(Q * block_rows) peak memory.
+
+    ``score_block(b0, b1) -> f32[Q, b1-b0]`` scores one corpus slice.
+    Blocks are scored + selected independently and merged with one final
+    top-k — the device-resident analogue of the reference's per-point
+    bounded heap (ann_benchmark_data.rs:151-166), which is exact at any k
+    with bounded memory. All blocks are enqueued before any host sync (at
+    most two compiled shapes: body + tail)."""
+    parts_s, parts_i = [], []
+    for b0 in range(0, count, block_rows):
+        b1 = min(b0 + block_rows, count)
+        s, i = top_k(score_block(b0, b1), min(k, b1 - b0), method=method)
+        parts_s.append(s)
+        parts_i.append(i + b0)
+    s = jnp.concatenate(parts_s, axis=1)
+    i = jnp.concatenate(parts_i, axis=1)
+    kk = min(k, s.shape[1])
+    ss, pos = jax.lax.top_k(s, kk)
+    ii = jnp.take_along_axis(i, pos, axis=1)
+    return _pad_k(ss, ii, k, count)

