@@ -26,13 +26,16 @@ from ...core.types import DistanceType
 from ...utils.padding import pad_dim_to, round_up
 from ..dispatch import interpret_mode
 from .ktile import (
+    FUSED_K_MAX,
     NEG,
     SLOT,
     SPAN,
     combine_slots,
+    combine_stream_topr,
+    exact_stream_params,
     extract_approx_tile,
-    extract_topk_tile,
-    merge_tile_topk,
+    extract_stream_topr_tile,
+    merge_exact_verified,
     merge_tile_topk_all,
 )
 
@@ -108,7 +111,7 @@ def _unpack_bits(p_ref):
     ).astype(jnp.int8)
 
 
-def _make_mxu_topk_kernel(k: int, n_valid: int, tile_n: int, approx: bool):
+def _make_mxu_topk_kernel(n_valid: int, tile_n: int):
     """Approx kernel: queries-outer grid (i, j) — the SPAN-merged slot
     block needs consecutive corpus tiles; runs a 256-row query tile so the
     bit unpack happens once per corpus tile at Q<=256."""
@@ -126,34 +129,26 @@ def _make_mxu_topk_kernel(k: int, n_valid: int, tile_n: int, approx: bool):
         base = j * tile_n
         gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(gid < n_valid, scores, NEG)
-        if approx:
-            vals, idx = extract_approx_tile(scores, base)
-            combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
-        else:
-            vals, idx = extract_topk_tile(scores, k, base)
-            outv_ref[:] = vals
-            outi_ref[:] = idx
+        vals, idx = extract_approx_tile(scores, base)
+        combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
 
     return kernel
 
 
-def _make_mxu_topk_kernel_outer(k: int, n_valid: int, tile_n: int):
-    """Exact kernel: corpus-OUTER grid (j, i) with the unpacked bit tile
-    cached in a VMEM scratch — the VPU unpack (~4 ops per unpacked int8,
-    the dominant cost after extraction at 10M) runs once per corpus tile
-    instead of once per (corpus tile, query tile)."""
+def _make_mxu_stream_kernel(n_valid: int, tile_n: int, r: int, span: int):
+    """Exact kernel: queries-outer with the streaming top-r-per-class
+    extraction (cost independent of k; see ktile) — at Q<=256 there is a
+    single query tile, so unpack AND corpus streaming happen once."""
 
-    def kernel(mult_ref, qs_ref, p_ref, qb_ref, outv_ref, outi_ref, bits_ref):
-        j = pl.program_id(0)
-        i = pl.program_id(1)
-
-        @pl.when(i == 0)
-        def _unpack():
-            bits_ref[:] = _unpack_bits(p_ref)
-
+    def kernel(
+        mult_ref, qs_ref, p_ref, qb_ref,
+        outv_ref, outi_ref, spill_out_ref, spill_ref,
+    ):
+        j = pl.program_id(1)
+        bits = _unpack_bits(p_ref)
         acc = jax.lax.dot_general(
             qs_ref[:],
-            bits_ref[:],
+            bits,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
@@ -161,9 +156,15 @@ def _make_mxu_topk_kernel_outer(k: int, n_valid: int, tile_n: int):
         base = j * tile_n
         gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(gid < n_valid, scores, NEG)
-        vals, idx = extract_topk_tile(scores, k, base)
-        outv_ref[:] = vals
-        outi_ref[:] = idx
+        vs, idxs, spill = extract_stream_topr_tile(scores, base, r)
+        combine_stream_topr(
+            outv_ref, outi_ref, vs, idxs, spill, spill_ref, r,
+            j % span == 0, j == 0,
+        )
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _emit_spill():
+            spill_out_ref[:] = spill_ref[:]
 
     return kernel
 
@@ -225,9 +226,12 @@ def bq_search_mxu(
     integers); among tied scores the returned indices may differ from a
     flat lax.top_k on real hardware (Mosaic argmax tie order) — the same
     freedom the reference's per-point heap has (ann_benchmark_data.rs:151).
+    Exact mode is value-exact: the spill-verified merge proves no dropped
+    score strictly exceeds the k-th (ties make the proof EASIER — dropped
+    ties at the k-th value are a legal answer swap).
     """
-    assert k <= SLOT or mode == "approx", (
-        f"exact fused search caps k at {SLOT}, got {k}"
+    assert k <= FUSED_K_MAX or mode == "approx", (
+        f"exact fused search caps k at {FUSED_K_MAX}, got {k}"
     )
     if interpret is None:
         interpret = interpret_mode()
@@ -241,54 +245,106 @@ def bq_search_mxu(
     mult, qb = _metric_affine(distance_type, invert, dim, pq)
 
     approx = mode == "approx"
-    # Approx extraction temporaries are small -> a 256-row query tile is
-    # safe and halves the per-corpus-tile unpack at Q=256. Exact keeps 128
-    # (k-round temporaries) and caches the unpack in scratch instead.
-    tq = min(256 if approx else MXU_TILE_Q, round_up(q, 32))
+    # 256-row query tiles in both modes (streaming extraction temporaries
+    # are small): at Q<=256 the per-corpus-tile unpack happens once.
+    tq = min(256, round_up(q, 32))
     qp = round_up(q, tq)
-    qs = pad_dim_to(qs, 0, qp)
-    qb = pad_dim_to(qb, 0, qp)
+    qs_p = pad_dim_to(qs, 0, qp)
+    qb_p = pad_dim_to(qb, 0, qp)
     nt = n // tn
     qt = qp // tq
-    nt_out = -(-nt // SPAN) if approx else nt
-    scratch = []
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # mult (1,)
+        pl.BlockSpec((tq, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((w8, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tq, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    ]
     if approx:
-        grid = (qt, nt)
-        out_idx = lambda i, j: (i, j // SPAN)  # noqa: E731
-        q_idx = lambda i, j: (i, 0)  # noqa: E731
-        p_idx = lambda i, j: (0, j)  # noqa: E731
-        qb_idx = lambda i, j: (i, 0)  # noqa: E731
-        kernel = _make_mxu_topk_kernel(k, n_valid, tn, approx)
-    else:
-        grid = (nt, qt)
-        out_idx = lambda j, i: (i, j)  # noqa: E731
-        q_idx = lambda j, i: (i, 0)  # noqa: E731
-        p_idx = lambda j, i: (0, j)  # noqa: E731
-        qb_idx = lambda j, i: (i, 0)  # noqa: E731
-        kernel = _make_mxu_topk_kernel_outer(k, n_valid, tn)
-        scratch = [pltpu.VMEM((dp, tn), jnp.int8)]
-    vals, idxs = pl.pallas_call(
+        nt_out = -(-nt // SPAN)
+        kernel = _make_mxu_topk_kernel(n_valid, tn)
+        vals, idxs = pl.pallas_call(
+            kernel,
+            grid=(qt, nt),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec(
+                    (tq, SLOT),
+                    lambda i, j: (i, j // SPAN),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (tq, SLOT),
+                    lambda i, j: (i, j // SPAN),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
+                jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
+            ],
+            interpret=interpret,
+        )(mult, qs_p, planes, qb_p)
+        return merge_tile_topk_all(vals[:q], idxs[:q], k)
+
+    # ------------------------------------------------------------- exact
+    qs0, qb0 = qs[:q], qb[:q]
+
+    def fallback():
+        from ..topk import blocked_topk
+
+        def score_block(b0, b1):
+            blk = jax.lax.slice_in_dim(planes, b0, b1, axis=1)
+            rep = jnp.repeat(blk.astype(jnp.int32), 32, axis=0)
+            shifts = (jnp.arange(dp, dtype=jnp.int32) % 32)[:, None]
+            bits = jnp.bitwise_and(
+                jax.lax.shift_right_logical(rep, shifts), 1
+            ).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                qs0,
+                bits,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return mult[0] * acc.astype(jnp.float32) + qb0
+
+        # Smaller blocks than the generic default: the jnp unpack
+        # materializes a [dp, block] int32 transient.
+        return blocked_topk(score_block, n_valid, k, block_rows=1 << 17)
+
+    r, span = exact_stream_params(nt, k)
+    nt_out = -(-nt // span)
+    width = nt_out * r * SLOT
+    if k > width:
+        return fallback()
+    kernel = _make_mxu_stream_kernel(n_valid, tn, r, span)
+    vals, idxs, spill = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # mult (1,)
-            pl.BlockSpec((tq, dp), q_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((w8, tn), p_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, 1), qb_idx, memory_space=pltpu.VMEM),
-        ],
+        grid=(qt, nt),
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((tq, SLOT), out_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, SLOT), out_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tq, r * SLOT),
+                lambda i, j: (i, j // span),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tq, r * SLOT),
+                lambda i, j: (i, j // span),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tq, SLOT), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
-            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
+            jax.ShapeDtypeStruct((qp, width), jnp.float32),
+            jax.ShapeDtypeStruct((qp, width), jnp.int32),
+            jax.ShapeDtypeStruct((qp, SLOT), jnp.float32),
         ],
-        scratch_shapes=scratch,
+        scratch_shapes=[pltpu.VMEM((tq, SLOT), jnp.float32)],
         interpret=interpret,
-    )(mult, qs, planes, qb)
-    merge = merge_tile_topk_all if mode == "approx" else merge_tile_topk
-    return merge(vals[:q], idxs[:q], k)
+    )(mult, qs_p, planes, qb_p)
+    return merge_exact_verified(vals[:q], idxs[:q], spill[:q], k, fallback)
 
 
 @partial(

@@ -3,13 +3,20 @@
 The memory wall of "matmul then lax.top_k" is the [Q, N] f32 score matrix:
 at N=10M that is 10GB of HBM writes + reads per query batch. The fused
 kernels never materialize it — each (query-tile, corpus-tile) grid step
-reduces its [TQ, TN] score tile to the tile's top-k (k rounds of
-max/argmax/mask on the VPU, ~k*TQ*TN ops, negligible next to the tile's
-matmul), and only [Q, n_tiles, 128] candidate slots reach HBM. A final
-cheap ``lax.top_k`` over the ~n_tiles*k survivors merges tiles.
+reduces its [TQ, TN] score tile to per-stride-class candidates, and only
+[Q, blocks, r*128] candidate slots reach HBM. A final cheap ``lax.top_k``
+over the survivors merges tiles.
+
+Exact mode (round 3): a STREAMING top-r-per-class extraction whose cost is
+independent of k (~5r+2 VPU ops/element vs the old ~5k ops/element k-round
+loop), made exact by a spill bound: each class also tracks the max of
+everything it dropped, and the merge proves `max(spill) <= k-th score` —
+on the (construction-probability ~1e-4/batch) failure a corpus-blocked
+exact scan reruns inside the same program via lax.cond. This removed the
+k<=64 exact cliff and the k-round extraction cost in one move.
 
 This replaces the reference caller's per-point bounded heap
-(ann_benchmark_data.rs:151-166) with a device-resident two-stage selection.
+(ann_benchmark_data.rs:151-166) with a device-resident verified selection.
 """
 
 from __future__ import annotations
@@ -27,13 +34,12 @@ NEG = -3.4e38
 # hold NEG/-1.
 SLOT = 128
 
-# Extraction costs k rounds of max/argmax/mask per tile; with honest
-# chained-dispatch timing the fused path beats score-matrix + lax.top_k at
-# every measured k (k=16: 1.16 vs 1.84 ms, k=32: 1.99 vs 3.15, k=64:
-# 3.80 vs 5.70 at 256x100k x 1024 — round-1's k=16 break-even was a
-# dispatch-floor artifact). Capped at the highest measured k; beyond it
-# the model falls back to score-then-select.
-FUSED_K_MAX = 64
+# Exact fused search cap. The streaming top-r extraction's cost does not
+# scale with k, so the cap is set by the verified-merge width and the
+# verification-failure rate, not the extraction (the round-2 k-round
+# extraction capped this at 64; its per-k measurements live in
+# tools/experiments/exp_kmax.py).
+FUSED_K_MAX = 1024
 
 # Approx mode has no per-tile k rounds — each tile span always emits SLOT
 # strided maxima and the merge selects top-k over ALL of them (nt/SPAN *
@@ -45,28 +51,135 @@ FUSED_K_MAX = 64
 APPROX_K_MAX = 4096
 
 
-def extract_topk_tile(scores, k: int, base_index):
-    """scores f32[TQ, TN] -> (vals f32[TQ, SLOT], idx i32[TQ, SLOT]).
+def _insert_stream(vs, idxs, spill, seg, sid):
+    """Insert one [TQ, SLOT] batch of per-class values into the running
+    per-class descending top-R lists (vs[j], idxs[j]) and fold whatever
+    falls off the end into ``spill`` (the running upper bound on every
+    value NOT retained). Pure elementwise compare/select — ~(5R+2)
+    VPU ops per element."""
+    r = len(vs)
+    gts = [seg > v for v in vs]
+    # If seg beats the last slot, the old last value drops; otherwise seg
+    # itself drops. Either way the dropped value bounds what's lost.
+    dropped = jnp.where(gts[r - 1], vs[r - 1], seg)
+    spill = jnp.maximum(spill, dropped)
+    new_vs, new_is = [], []
+    for j in range(r):
+        if j == 0:
+            nv = jnp.where(gts[0], seg, vs[0])
+            ni = jnp.where(gts[0], sid, idxs[0])
+        else:
+            nv = jnp.where(gts[j - 1], vs[j - 1], jnp.where(gts[j], seg, vs[j]))
+            ni = jnp.where(
+                gts[j - 1], idxs[j - 1], jnp.where(gts[j], sid, idxs[j])
+            )
+        new_vs.append(nv)
+        new_is.append(ni)
+    return new_vs, new_is, spill
 
-    k rounds of max/argmax/mask; idx entries are base_index + lane position
-    (global corpus ids). Slots beyond k are NEG / -1 filler. Results are
-    accumulated into fixed [TQ, SLOT] registers with per-round lane
-    selects rather than concatenated from [TQ, 1] pieces — a k+1-way
-    lane-granular concatenate costs Mosaic a relayout per piece.
-    """
+
+def extract_stream_topr_tile(scores, base_index, r: int):
+    """Streaming EXACT-per-class extraction: scores f32[TQ, TN] ->
+    (vs list of r [TQ, SLOT], idxs list of r [TQ, SLOT], spill [TQ, SLOT]).
+
+    Class l = the strided lane set {l, l+SLOT, l+2*SLOT, ...} of the tile
+    (the approx extraction's stride classes). Each class keeps its true
+    top-r values/ids via an online sorted-insert — cost ~(5r+2) ops/element
+    INDEPENDENT of k, vs the old k-round extraction's ~5k ops/element.
+    ``spill`` upper-bounds every value not retained; the merge uses it to
+    PROVE the final top-k exact (see merge_exact_verified) and falls back
+    on the (probabilistically negligible) failure."""
     tq, tn = scores.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, tn), 1)
-    slot_lane = jax.lax.broadcasted_iota(jnp.int32, (tq, SLOT), 1)
-    vals_out = jnp.full((tq, SLOT), NEG, jnp.float32)
-    idxs_out = jnp.full((tq, SLOT), -1, jnp.int32)
-    x = scores
-    for r in range(k):
-        m = jnp.max(x, axis=1, keepdims=True)  # [TQ, 1]
-        am = jnp.argmax(x, axis=1)[:, None].astype(jnp.int32)  # [TQ, 1]
-        vals_out = jnp.where(slot_lane == r, m, vals_out)
-        idxs_out = jnp.where(slot_lane == r, am + base_index, idxs_out)
-        x = jnp.where(lane == am, NEG, x)
-    return vals_out, idxs_out
+    ns = tn // SLOT
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, SLOT), 1)
+    vs = [jnp.full((tq, SLOT), NEG, jnp.float32) for _ in range(r)]
+    idxs = [jnp.full((tq, SLOT), -1, jnp.int32) for _ in range(r)]
+    spill = jnp.full((tq, SLOT), NEG, jnp.float32)
+    for s in range(ns):
+        seg = scores[:, s * SLOT : (s + 1) * SLOT]
+        sid = base_index + s * SLOT + lane
+        vs, idxs, spill = _insert_stream(vs, idxs, spill, seg, sid)
+    return vs, idxs, spill
+
+
+def combine_stream_topr(
+    outv_ref, outi_ref, vs, idxs, spill, spill_ref, r: int, is_first,
+    is_tile_first,
+):
+    """Merge a tile's per-class top-r into the revisited [TQ, r*SLOT]
+    output block (slot j's values live in lanes [j*SLOT, (j+1)*SLOT)), and
+    fold drops into the running spill scratch.
+
+    ``is_first``: first corpus tile of this block (init the block).
+    ``is_tile_first``: first corpus tile of the whole query-tile sweep
+    (init the spill scratch)."""
+    @pl.when(is_tile_first)
+    def _init_spill():
+        spill_ref[:] = jnp.full_like(spill_ref, NEG)
+
+    spill_ref[:] = jnp.maximum(spill_ref[:], spill)
+
+    @pl.when(is_first)
+    def _init():
+        for j in range(r):
+            outv_ref[:, j * SLOT : (j + 1) * SLOT] = vs[j]
+            outi_ref[:, j * SLOT : (j + 1) * SLOT] = idxs[j]
+
+    @pl.when(jnp.logical_not(is_first))
+    def _merge():
+        run_v = [outv_ref[:, j * SLOT : (j + 1) * SLOT] for j in range(r)]
+        run_i = [outi_ref[:, j * SLOT : (j + 1) * SLOT] for j in range(r)]
+        sp = jnp.full_like(spill_ref[:], NEG)
+        for j in range(r):
+            run_v, run_i, sp = _insert_stream(run_v, run_i, sp, vs[j], idxs[j])
+        spill_ref[:] = jnp.maximum(spill_ref[:], sp)
+        for j in range(r):
+            outv_ref[:, j * SLOT : (j + 1) * SLOT] = run_v[j]
+            outi_ref[:, j * SLOT : (j + 1) * SLOT] = run_i[j]
+
+
+# Exact-mode extraction width R by requested k: R=2 keeps the per-element
+# cost minimal for serving k; R=4 bounds the verification-failure rate for
+# k up to FUSED_K_MAX (a class must hide >R entries above the k-th score
+# to force the fallback).
+def _stream_r(k: int) -> int:
+    return 2 if k <= 64 else 4
+
+
+def exact_stream_params(nt: int, k: int):
+    """(r, span) for the exact streaming extraction over ``nt`` corpus
+    tiles. ``span`` corpus tiles max-merge into one candidate block; the
+    number of stride classes C = ceil(nt/span) * SLOT controls the
+    verification-failure probability: a fallback triggers only when one
+    class holds > r entries strictly above the k-th score, so with
+    candidates ~uniform over classes P ~ C(k, r+1)/C^r per query. c_min
+    targets <=1% per 256-query batch; span also caps the final merge width
+    (blocks * r * SLOT candidates per query)."""
+    r = _stream_r(k)
+    if r == 2:
+        c_min = int(64.5 * k**1.5) + 1
+    else:
+        c_min = int(3.8 * k**1.25) + 1
+    span = max(1, min(32, (nt * SLOT) // max(c_min, SLOT)))
+    return r, span
+
+
+def merge_exact_verified(vals, idxs, spill, k: int, fallback):
+    """Exact merge of the streaming extraction's candidates with proof.
+
+    vals/idxs [Q, B*r*SLOT], spill [Q, SLOT] (running max of every value
+    any class dropped). tau = k-th merged score; if max(spill) <= tau then
+    every non-candidate value is <= tau and the merged top-k is VALUE-exact
+    (among tied scores at tau the returned ids may differ from lax.top_k's
+    tie order — the same freedom the reference's heap has,
+    ann_benchmark_data.rs:151-166). Otherwise runs ``fallback()`` (a
+    corpus-blocked exact scan) via lax.cond — compiled once, executed only
+    on the rare violation."""
+    s, gi = _merge(vals, idxs, k, live=SLOT)
+    kk = min(k, vals.shape[1])
+    tau = s[:, kk - 1 : kk]
+    viol = jnp.any(jnp.max(spill, axis=1, keepdims=True) > tau)
+    return jax.lax.cond(viol, fallback, lambda: (s, gi))
 
 
 def extract_approx_tile(scores, base_index):
@@ -115,15 +228,6 @@ def combine_slots(outv_ref, outi_ref, vals, idx, is_first):
         outi_ref[:] = jnp.where(upd, idx, outi_ref[:])
 
 
-def merge_tile_topk(vals, idxs, k: int):
-    """Merge per-tile candidates: vals f32[Q, NT*SLOT], idxs i32[Q, NT*SLOT]
-    (as produced by a fused kernel's two outputs) -> ([Q, k], [Q, k]).
-
-    ``live``: slots per tile that hold real candidates — k for the exact
-    extraction, SLOT for the approximate one."""
-    return _merge(vals, idxs, k, live=min(k, SLOT))
-
-
 def merge_tile_topk_all(vals, idxs, k: int):
     """Merge variant for the approx extraction: every slot is live, and the
     final selection uses the TPU partial-reduce top-k (approx_max_k) — at
@@ -161,8 +265,14 @@ def _merge(vals, idxs, k: int, live: int, approx_select: bool = False):
         v = jnp.concatenate(parts_v, axis=1)
         i = jnp.concatenate(parts_i, axis=1)
     kk = min(k, v.shape[1])
+    # approx_max_k whenever the pool is meaningfully wider than k: measured
+    # on v5e the TopK custom call costs ~0.6 ms at [256, 1664] in a chain
+    # while the partial reduce is ~free (round-3 regression check), and at
+    # 10M widths the gap is 13.7 ms vs <1 ms. recall_target=0.99 keeps the
+    # merge's own loss small next to the strided extraction's (the r2
+    # advisor note about stacking approximations).
     if approx_select and v.shape[1] >= 4 * kk:
-        s, pos = jax.lax.approx_max_k(v, kk)
+        s, pos = jax.lax.approx_max_k(v, kk, recall_target=0.99)
         pos = pos.astype(jnp.int32)
     else:
         s, pos = jax.lax.top_k(v, kk)

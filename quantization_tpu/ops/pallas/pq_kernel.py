@@ -48,13 +48,16 @@ from jax.experimental.pallas import tpu as pltpu
 from ...utils.padding import pad_dim_to, round_up
 from ..dispatch import interpret_mode
 from .ktile import (
+    FUSED_K_MAX,
     NEG,
     SLOT,
     SPAN,
     combine_slots,
+    combine_stream_topr,
+    exact_stream_params,
     extract_approx_tile,
-    extract_topk_tile,
-    merge_tile_topk,
+    extract_stream_topr_tile,
+    merge_exact_verified,
     merge_tile_topk_all,
 )
 
@@ -226,9 +229,10 @@ def _accumulate_block4(codes_ref, lut_ref, acc):
 
 
 def _make_pq_topk_kernel(
-    k: int, n_valid: int, tile_n: int, approx: bool, kc: int = K,
-    int8_lut: bool = False,
+    n_valid: int, tile_n: int, kc: int = K, int8_lut: bool = False,
 ):
+    """Approx kernel: grid (q-tiles, corpus tiles, m-blocks), m innermost;
+    SPAN-merged slot extraction on the last m step."""
     if int8_lut:
         accumulate = _accumulate_block_i8 if kc == K else _accumulate_block4_i8
     else:
@@ -262,13 +266,63 @@ def _make_pq_topk_kernel(
                 scores = acc_ref[:]
             gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             scores = jnp.where(gid < n_valid, scores, NEG)
-            if approx:
-                vals, idx = extract_approx_tile(scores, base)
-                combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
+            vals, idx = extract_approx_tile(scores, base)
+            combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
+
+    return kernel
+
+
+def _make_pq_stream_kernel(
+    n_valid: int, tile_n: int, r: int, span: int, kc: int = K,
+    int8_lut: bool = False,
+):
+    """Exact kernel: streaming top-r-per-class extraction on the last
+    m step (cost independent of k; see ktile). With 256-row query tiles
+    the one-hot build is paid ONCE per corpus tile at Q<=256 — exact mode
+    no longer pays it per 128-row query tile twice."""
+    if int8_lut:
+        accumulate = _accumulate_block_i8 if kc == K else _accumulate_block4_i8
+    else:
+        accumulate = _accumulate_block if kc == K else _accumulate_block4
+
+    def kernel(codes_ref, lut_ref, *rest):
+        if int8_lut:
+            (scale_ref, bias_ref, outv_ref, outi_ref, spill_out_ref,
+             acc_ref, spill_ref) = rest
+        else:
+            outv_ref, outi_ref, spill_out_ref, acc_ref, spill_ref = rest
+        mi = pl.program_id(2)
+        j = pl.program_id(1)
+        base = j * tile_n  # hoisted out of pl.when (interpret-mode rule)
+        last_m = mi == pl.num_programs(2) - 1
+        last_tile = j == pl.num_programs(1) - 1
+
+        @pl.when(mi == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] = accumulate(codes_ref, lut_ref, acc_ref[:])
+
+        @pl.when(last_m)
+        def _():
+            if int8_lut:
+                scores = (
+                    scale_ref[:] * acc_ref[:].astype(jnp.float32)
+                    + bias_ref[:]
+                )
             else:
-                vals, idx = extract_topk_tile(scores, k, base)
-                outv_ref[:] = vals
-                outi_ref[:] = idx
+                scores = acc_ref[:]
+            gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(gid < n_valid, scores, NEG)
+            vs, idxs, spill = extract_stream_topr_tile(scores, base, r)
+            combine_stream_topr(
+                outv_ref, outi_ref, vs, idxs, spill, spill_ref, r,
+                j % span == 0, j == 0,
+            )
+
+        @pl.when(jnp.logical_and(last_m, last_tile))
+        def _emit_spill():
+            spill_out_ref[:] = spill_ref[:]
 
     return kernel
 
@@ -289,10 +343,13 @@ def pq_search_pallas(
     """Fused PQ search: one-hot MXU accumulation into a VMEM scratch tile +
     in-tile top-k — (scores f32[Q, k], indices i32[Q, k]) without the
     [Q, N] score matrix. ``mode="approx"`` uses the one-pass strided
-    segment-max extraction (any k <= SLOT). ``precision`` "int8" (default,
+    segment-max extraction (any k <= APPROX_K_MAX); ``mode="exact"`` the
+    streaming spill-verified extraction (value-exact over the kernel's LUT
+    scores at any k <= FUSED_K_MAX; the rare verification failure reruns
+    through a corpus-blocked f32-LUT scan). ``precision`` "int8" (default,
     2x MXU rate) or "bf16"."""
-    assert k <= SLOT or mode == "approx", (
-        f"exact fused search caps k at {SLOT}, got {k}"
+    assert k <= FUSED_K_MAX or mode == "approx", (
+        f"exact fused search caps k at {FUSED_K_MAX}, got {k}"
     )
     if interpret is None:
         interpret = interpret_mode()
@@ -304,20 +361,15 @@ def pq_search_pallas(
     mpad, n = codes_t.shape
     assert n % TILE_N == 0, f"N={n} must be padded to {TILE_N}"
     assert mpad % M_BLK == 0
-    # The one-hot build (VPU) is per (query tile, corpus tile, chunk):
-    # a 256-row query tile halves it at Q=256. Exact mode keeps 128 rows —
-    # its k-round extraction temporaries stack on the scoped-VMEM limit.
-    tile_q = min(256 if mode == "approx" else TILE_Q, round_up(q, 8))
+    # 256-row query tiles in BOTH modes: the one-hot build (VPU, per
+    # (query tile, corpus tile, chunk)) is the dominant non-MXU cost and is
+    # paid once per corpus tile at Q<=256 — round 2's exact mode paid it
+    # twice over 128-row tiles.
+    tile_q = min(256, round_up(q, 8))
     qp = round_up(q, tile_q)
     nt = n // TILE_N
     approx = mode == "approx"
-    nt_out = -(-nt // SPAN) if approx else nt
-    out_idx = (
-        (lambda i, j, l: (i, j // SPAN)) if approx
-        else (lambda i, j, l: (i, j))
-    )
 
-    kernel = _make_pq_topk_kernel(k, n_valid, TILE_N, approx, kc, int8_lut)
     in_specs = [
         pl.BlockSpec(
             (M_BLK, TILE_N), lambda i, j, l: (l, j), memory_space=pltpu.VMEM
@@ -348,23 +400,69 @@ def pq_search_pallas(
         )
         operands = (codes_t.astype(jnp.int8), lut_flat)
         scratch = [pltpu.VMEM((tile_q, TILE_N), jnp.float32)]
-    vals, idxs = pl.pallas_call(
+
+    if approx:
+        nt_out = -(-nt // SPAN)
+        out_idx = lambda i, j, l: (i, j // SPAN)  # noqa: E731
+        kernel = _make_pq_topk_kernel(n_valid, TILE_N, kc, int8_lut)
+        vals, idxs = pl.pallas_call(
+            kernel,
+            grid=(qp // tile_q, nt, mpad // M_BLK),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
+                jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*operands)
+        return merge_tile_topk_all(vals[:q], idxs[:q], k)
+
+    # ------------------------------------------------------------- exact
+    def fallback():
+        from ..pq import score_lut_xla
+        from ..topk import blocked_topk
+
+        codes_nm = codes_t.T  # [Npad, Mpad]
+
+        def score_block(b0, b1):
+            return score_lut_xla(
+                lut, jax.lax.slice_in_dim(codes_nm, b0, b1, axis=0)[:, :m]
+            )
+
+        return blocked_topk(score_block, n_valid, k)
+
+    r, span = exact_stream_params(nt, k)
+    nt_out = -(-nt // span)
+    width = nt_out * r * SLOT
+    if k > width:
+        return fallback()
+    out_idx = lambda i, j, l: (i, j // span)  # noqa: E731
+    kernel = _make_pq_stream_kernel(n_valid, TILE_N, r, span, kc, int8_lut)
+    vals, idxs, spill = pl.pallas_call(
         kernel,
         grid=(qp // tile_q, nt, mpad // M_BLK),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, r * SLOT), out_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, r * SLOT), out_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_q, SLOT), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
-            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
+            jax.ShapeDtypeStruct((qp, width), jnp.float32),
+            jax.ShapeDtypeStruct((qp, width), jnp.int32),
+            jax.ShapeDtypeStruct((qp, SLOT), jnp.float32),
         ],
-        scratch_shapes=scratch,
+        scratch_shapes=scratch + [pltpu.VMEM((tile_q, SLOT), jnp.float32)],
         interpret=interpret,
     )(*operands)
-    merge = merge_tile_topk_all if mode == "approx" else merge_tile_topk
-    return merge(vals[:q], idxs[:q], k)
+    return merge_exact_verified(vals[:q], idxs[:q], spill[:q], k, fallback)
 
 
 @partial(jax.jit, static_argnames=("n_valid", "interpret", "precision"))

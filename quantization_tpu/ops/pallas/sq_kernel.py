@@ -25,13 +25,16 @@ from ...core.types import DistanceType
 from ...utils.padding import pad_dim_to, round_up
 from ..dispatch import interpret_mode
 from .ktile import (
+    FUSED_K_MAX,
     NEG,
     SLOT,
     SPAN,
     combine_slots,
+    combine_stream_topr,
+    exact_stream_params,
     extract_approx_tile,
-    extract_topk_tile,
-    merge_tile_topk,
+    extract_stream_topr_tile,
+    merge_exact_verified,
     merge_tile_topk_all,
 )
 
@@ -81,18 +84,12 @@ def _l1_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
         out_ref[:] = mult_ref[0] * out_ref[:] + qoff_ref[:] + voff_ref[:]
 
 
-def _make_dot_topk_kernel(
-    k: int, n_valid: int, tile_n: int, approx: bool, j_axis: int = 1
-):
-    """``j_axis`` names the grid axis that walks corpus tiles: 1 for the
-    approx kernel (queries outer, so the revisited slot block sees
-    consecutive corpus tiles), 0 for the exact kernel (corpus OUTER — each
-    corpus tile is fetched once and reused across every query tile, so the
-    corpus streams from HBM exactly once regardless of Q; measured on v5e
-    the fused search is streaming-bound, see PERF_NOTES)."""
+def _make_dot_topk_kernel(n_valid: int, tile_n: int):
+    """Approx kernel: queries outer, so the revisited slot block sees
+    consecutive corpus tiles (SPAN max-merging)."""
 
     def kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, outv_ref, outi_ref):
-        j = pl.program_id(j_axis)
+        j = pl.program_id(1)
         acc = jax.lax.dot_general(
             q_ref[:],
             c_ref[:],
@@ -105,13 +102,44 @@ def _make_dot_topk_kernel(
         base = j * tile_n
         gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(gid < n_valid, scores, NEG)
-        if approx:
-            vals, idx = extract_approx_tile(scores, base)
-            combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
-        else:
-            vals, idx = extract_topk_tile(scores, k, base)
-            outv_ref[:] = vals
-            outi_ref[:] = idx
+        vals, idx = extract_approx_tile(scores, base)
+        combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
+
+    return kernel
+
+
+def _make_dot_stream_kernel(n_valid: int, tile_n: int, r: int, span: int):
+    """Exact kernel: queries outer with the streaming top-r-per-class
+    extraction (cost independent of k) and SPAN-style candidate-block
+    merging; the per-class spill bound accumulates in scratch across the
+    whole corpus sweep and lands in its own output on the last tile."""
+
+    def kernel(
+        mult_ref, q_ref, c_ref, qoff_ref, voff_ref,
+        outv_ref, outi_ref, spill_out_ref, spill_ref,
+    ):
+        j = pl.program_id(1)
+        acc = jax.lax.dot_general(
+            q_ref[:],
+            c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = (
+            mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
+        )
+        base = j * tile_n
+        gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(gid < n_valid, scores, NEG)
+        vs, idxs, spill = extract_stream_topr_tile(scores, base, r)
+        combine_stream_topr(
+            outv_ref, outi_ref, vs, idxs, spill, spill_ref, r,
+            j % span == 0, j == 0,
+        )
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _emit_spill():
+            spill_out_ref[:] = spill_ref[:]
 
     return kernel
 
@@ -136,93 +164,166 @@ def sq_search_pallas(
     """Fused SQ search: int8 MXU scoring + in-tile top-k, never
     materializing the [Q, N] score matrix (SURVEY.md §7 hard part 2).
     Returns (scores f32[Q, k], indices i32[Q, k]). DOT/L2 only (L1 scores
-    ride the XLA path). ``mode="approx"`` swaps the exact k-round
-    extraction for a one-pass strided segment-max (cost independent of k,
-    any k <= SLOT; approx_max_k-grade recall)."""
+    ride the XLA path).
+
+    ``mode="exact"``: streaming top-r-per-stride-class extraction (cost
+    independent of k) + a spill-verified merge — value-exact at any
+    k <= FUSED_K_MAX; the rare verification failure (one stride class
+    hiding > r entries above the k-th score) reruns through a
+    corpus-blocked exact scan inside the same program (lax.cond).
+    ``mode="approx"``: one-pass strided segment-max (approx_max_k-grade
+    recall, any k <= APPROX_K_MAX)."""
     assert distance_type != DistanceType.L1
-    assert k <= SLOT or mode == "approx", (
-        f"exact fused search caps k at {SLOT}, got {k}"
+    assert k <= FUSED_K_MAX or mode == "approx", (
+        f"exact fused search caps k at {FUSED_K_MAX}, got {k}"
     )
     if interpret is None:
         interpret = interpret_mode()
     q, d = qcodes.shape
     n = codes.shape[0]
     # Wider corpus tile than the score-matrix kernel: each tile emits only
-    # 128 candidate slots, so doubling tile_n halves candidate traffic and
-    # the final merge width. n is padded to TILE_N=512 by the quantizer;
-    # use the largest multiple that still divides n.
+    # r*128 candidate slots, so doubling tile_n halves candidate traffic
+    # and the final merge width. n is padded to TILE_N=512 by the
+    # quantizer; use the largest multiple that still divides n.
     tile_n = TILE_N
     while tile_n * 2 <= 2048 and n % (tile_n * 2) == 0:
         tile_n *= 2
-    # Approx mode runs a 256-row query tile: its extraction temporaries are
-    # small (one compare/select sweep), and the wider tile halves corpus
-    # streaming at Q=256 (approx keeps queries-outer for slot revisiting).
-    # Exact mode stays at 128: its k-round unrolled temporaries are
-    # [tile_q, tile_n]-sized and stack on the 16MB scoped-VMEM limit.
-    tq_cap = 256 if mode == "approx" else TILE_Q
-    tile_q = min(tq_cap, round_up(q, 32))
+    # Both modes run a 256-row query tile with queries OUTER: the
+    # extraction temporaries are small (streaming compare/selects, no
+    # k-round unroll), and at Q<=256 there is a single query tile, so the
+    # corpus streams from HBM exactly once.
+    tile_q = min(256, round_up(q, 32))
     assert n % tile_n == 0, f"N={n} must be padded to {tile_n}"
     qp = round_up(q, tile_q)
-    qcodes = pad_dim_to(qcodes, 0, qp)
+    qcodes_p = pad_dim_to(qcodes, 0, qp)
     qoff2 = pad_dim_to(qoff.reshape(-1, 1), 0, qp)
     voff2 = voff.reshape(1, -1)
     nt = n // tile_n
     approx = mode == "approx"
-    # Approx mode max-merges SPAN consecutive tiles into one revisited slot
-    # block: SPAN-fold less candidate traffic and final-merge width. That
-    # revisiting requires the corpus axis INNERMOST (queries outer); exact
-    # mode has no revisiting, so it runs corpus-OUTER instead — the fused
-    # search is HBM-streaming-bound, and corpus-outer fetches each corpus
-    # tile once total instead of once per query tile.
-    nt_out = -(-nt // SPAN) if approx else nt
     qt = qp // tile_q
-    scratch = []
-    if approx:
-        grid = (qt, nt)
-        out_idx = lambda i, j: (i, j // SPAN)  # noqa: E731
-        q_idx = lambda i, j: (i, 0)  # noqa: E731
-        c_idx = lambda i, j: (j, 0)  # noqa: E731
-        qo_idx = lambda i, j: (i, 0)  # noqa: E731
-        vo_idx = lambda i, j: (0, j)  # noqa: E731
-        kernel = _make_dot_topk_kernel(k, n_valid, tile_n, approx, 1)
-    else:
-        grid = (nt, qt)
-        out_idx = lambda j, i: (i, j)  # noqa: E731
-        q_idx = lambda j, i: (i, 0)  # noqa: E731
-        c_idx = lambda j, i: (j, 0)  # noqa: E731
-        qo_idx = lambda j, i: (i, 0)  # noqa: E731
-        vo_idx = lambda j, i: (0, j)  # noqa: E731
-        kernel = _make_dot_topk_kernel(k, n_valid, tile_n, approx, 0)
+    mult_op = multiplier.reshape(1).astype(jnp.float32)
 
-    vals, idxs = pl.pallas_call(
+    if approx:
+        nt_out = -(-nt // SPAN)
+        kernel = _make_dot_topk_kernel(n_valid, tile_n)
+        vals, idxs = pl.pallas_call(
+            kernel,
+            grid=(qt, nt),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # multiplier (1,)
+                pl.BlockSpec(
+                    (tile_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (tile_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (tile_q, SLOT),
+                    lambda i, j: (i, j // SPAN),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (tile_q, SLOT),
+                    lambda i, j: (i, j // SPAN),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
+                jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
+            ],
+            interpret=interpret,
+        )(
+            mult_op,
+            qcodes_p,
+            codes,
+            qoff2.astype(jnp.float32),
+            voff2.astype(jnp.float32),
+        )
+        return merge_tile_topk_all(vals[:q], idxs[:q], k)
+
+    # ------------------------------------------------------------- exact
+    def fallback():
+        from ..topk import blocked_topk
+
+        def score_block(b0, b1):
+            acc = jax.lax.dot_general(
+                qcodes,
+                jax.lax.slice_in_dim(codes, b0, b1, axis=0),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (
+                multiplier.astype(jnp.float32) * acc.astype(jnp.float32)
+                + qoff.reshape(-1, 1)
+                + jax.lax.slice_in_dim(voff, b0, b1, axis=0)[None, :]
+            )
+
+        return blocked_topk(score_block, n_valid, k)
+
+    r, span = exact_stream_params(nt, k)
+    nt_out = -(-nt // span)
+    width = nt_out * r * SLOT
+    if k > width:
+        # Tiny corpus relative to k: the candidate pool can't cover k.
+        return fallback()
+    kernel = _make_dot_stream_kernel(n_valid, tile_n, r, span)
+    vals, idxs, spill = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(qt, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # multiplier (1,)
-            pl.BlockSpec((tile_q, d), q_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), c_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, 1), qo_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), vo_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[
-            pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_q, r * SLOT),
+                lambda i, j: (i, j // span),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_q, r * SLOT),
+                lambda i, j: (i, j // span),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_q, SLOT), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
-            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
+            jax.ShapeDtypeStruct((qp, width), jnp.float32),
+            jax.ShapeDtypeStruct((qp, width), jnp.int32),
+            jax.ShapeDtypeStruct((qp, SLOT), jnp.float32),
         ],
-        scratch_shapes=scratch,
+        scratch_shapes=[pltpu.VMEM((tile_q, SLOT), jnp.float32)],
         interpret=interpret,
     )(
-        multiplier.reshape(1).astype(jnp.float32),
-        qcodes,
+        mult_op,
+        qcodes_p,
         codes,
         qoff2.astype(jnp.float32),
         voff2.astype(jnp.float32),
     )
-    merge = merge_tile_topk_all if mode == "approx" else merge_tile_topk
-    return merge(vals[:q], idxs[:q], k)
+    return merge_exact_verified(vals[:q], idxs[:q], spill[:q], k, fallback)
 
 
 @partial(

@@ -130,6 +130,23 @@ def _pad_rows(arr: np.ndarray, target: int, fill=0) -> np.ndarray:
     return np.pad(arr, pad, constant_values=fill)
 
 
+def _owned_rows_psum(arr_shard, local_ids, owned, axis, rows_axis):
+    """Materialize arr[ids] replicated on every shard: the owning shard
+    contributes each requested row (zeros elsewhere), one psum completes
+    the distributed gather. ids must be pre-clipped to [0, count) so each
+    is owned by exactly one shard. Used by the sharded score_internal
+    implementations (the rows are [P, D]-small, so the all-reduce is cheap
+    next to any scan)."""
+    n_local = arr_shard.shape[rows_axis]
+    safe = jnp.clip(local_ids, 0, n_local - 1)
+    rows = jnp.take(arr_shard, safe, axis=rows_axis)
+    shape = [1, 1]
+    shape[rows_axis] = local_ids.shape[0]
+    mask = owned.reshape(shape)
+    rows = jnp.where(mask, rows, jnp.zeros_like(rows))
+    return jax.lax.psum(rows, axis)
+
+
 def _owned_scores_psum(scores, owned, axis):
     """Merge per-shard owned-candidate scores across shards. A candidate id
     owned by NO shard (negative / >= count padding ids, which coarse approx
@@ -163,6 +180,14 @@ class _ShardedBase:
     def top_k(self, equery, k: int, method: str = "exact"):
         s, i = self.top_k_device(equery, k, method=method)
         return np.asarray(s), np.asarray(i)
+
+    def score_internal(self, i: int, j: int) -> float:
+        """Scalar parity shim over score_internal_batch (the trait method
+        of encoded_vectors.rs:34)."""
+        out = np.asarray(
+            self.score_internal_batch(np.asarray([i]), np.asarray([j]))
+        )
+        return float(out.reshape(-1)[0])
 
     def _shard_dim(self, n: int, tile: int = 1) -> int:
         """Pad the corpus axis so every shard is a multiple of ``tile``
@@ -364,6 +389,27 @@ class ShardedScalarQuantizer(_ShardedBase):
             distance_type=self.params.distance_type,
         )
 
+    def score_internal_batch(self, ids_a, ids_b) -> jax.Array:
+        """[P] stored-vs-stored scores (encoded_vectors.rs:34 /
+        encoded_vectors_u8.rs:386-453) with the corpus sharded: each pair's
+        rows are gathered from their owning shards with one psum, then
+        scored replicated."""
+        m = self.metadata
+        diff = m.actual_dim * m.offset * m.offset
+        diff = -diff if self.params.invert else diff
+        hi = max(self.count - 1, 0)
+        return _sq_sharded_score_internal(
+            jnp.clip(jnp.asarray(ids_a, jnp.int32), 0, hi),
+            jnp.clip(jnp.asarray(ids_b, jnp.int32), 0, hi),
+            self.codes,
+            self.voffsets,
+            self._mult_dev,
+            jnp.float32(diff),
+            mesh=self.mesh,
+            axis=self.axis,
+            distance_type=self.params.distance_type,
+        )
+
     # ----------------------------------------------------------- checkpoint
     def save(self, data_path, meta_path) -> None:
         """Reference two-file format (encoded_vectors_u8.rs:263-271), blob
@@ -557,6 +603,44 @@ def _sq_sharded_score_candidates(
 # --------------------------------------------------------------------- BQ
 
 
+@partial(
+    jax.jit, static_argnames=("mesh", "axis", "distance_type")
+)
+def _sq_sharded_score_internal(
+    ia, ib, codes, voff, mult, diff, *, mesh, axis, distance_type
+):
+    def local(ia_r, ib_r, codes_shard, voff_shard, mlt, dff):
+        n_local = codes_shard.shape[0]
+        shard_idx = jax.lax.axis_index(axis)
+
+        def full_rows(ids):
+            lid = ids - shard_idx * n_local
+            owned = (lid >= 0) & (lid < n_local)
+            # int8 codes ride the psum as f32 (each element has exactly
+            # one non-zero contributor, so the sum is exact).
+            rows = _owned_rows_psum(
+                codes_shard.astype(jnp.float32), lid, owned, axis, 0
+            )
+            safe = jnp.clip(lid, 0, n_local - 1)
+            v = jnp.where(owned, jnp.take(voff_shard, safe), 0.0)
+            return rows, jax.lax.psum(v, axis)
+
+        ca, va = full_rows(ia_r)
+        cb, vb = full_rows(ib_r)
+        return sq_ops.score_internal_batch_xla(
+            ca, va, cb, vb, mlt, dff, distance_type=distance_type
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None), P(None), P(axis, None), P(axis), P(), P()),
+        out_specs=P(None),
+        check_vma=False,
+    )
+    return fn(ia, ib, codes, voff, mult, diff)
+
+
 class ShardedBinaryQuantizer(_ShardedBase):
     """BQ bit-planes sharded over the corpus axis: uint32[W, N/s] per chip."""
 
@@ -679,6 +763,21 @@ class ShardedBinaryQuantizer(_ShardedBase):
             invert=p.invert,
             dim=p.dim,
             method=method,
+        )
+
+    def score_internal_batch(self, ids_a, ids_b) -> jax.Array:
+        """[P] Hamming-metric scores between stored rows, gathered from
+        their owning shards with one psum (encoded_vectors_binary.rs:302)."""
+        hi = max(self.count - 1, 0)
+        return _bq_sharded_score_internal(
+            jnp.clip(jnp.asarray(ids_a, jnp.int32), 0, hi),
+            jnp.clip(jnp.asarray(ids_b, jnp.int32), 0, hi),
+            self.planes,
+            mesh=self.mesh,
+            axis=self.axis,
+            distance_type=self.params.distance_type,
+            invert=self.params.invert,
+            dim=self.params.dim,
         )
 
     def score_candidates(self, equery: EncodedQueryBin, cand) -> jax.Array:

@@ -236,10 +236,20 @@ def test_bq_fused_search_matches_score_then_topk(rng, dt, invert):
         distance_type=dt, invert=invert, dim=dim,
         n_valid=n_valid, k=k, interpret=True,
     )
-    # BQ scores are small integers with heavy ties: scores must match
-    # exactly; tie order follows ascending index in both selectors.
+    # BQ scores are small integers with heavy ties: the top-k score
+    # multiset must match EXACTLY (value-exact selection); among tied
+    # scores the returned ids may differ from lax.top_k's tie order (the
+    # same freedom the reference's heap has), so assert that every
+    # returned id really has the score claimed for its slot.
     np.testing.assert_array_equal(np.asarray(gs), np.asarray(ws))
-    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    gi_np = np.asarray(gi)
+    scores_np = np.asarray(scores)
+    for r in range(q):
+        assert len(set(gi_np[r])) == k, "duplicate ids in top-k"
+        assert gi_np[r].max() < n_valid and gi_np[r].min() >= 0
+        np.testing.assert_array_equal(
+            scores_np[r, gi_np[r]], np.asarray(ws)[r]
+        )
 
 
 @pytest.mark.parametrize("shape", [(800, 256), (1024, 96)])
@@ -328,3 +338,143 @@ def test_gather_rows_chunked_beyond_smem(rng, monkeypatch):
         gather_mod.gather_rows_pallas(src, jnp.asarray(ids), interpret=True)
     )
     np.testing.assert_array_equal(got, np.asarray(src)[ids])
+
+
+# -------------------------------------------- streaming exact extraction
+
+
+def _sq_fused_setup(rng, n_valid, d, q, scale=None):
+    npad = round_up(n_valid, SQ_TILE)
+    codes = np.zeros((npad, d), np.int8)
+    codes[:n_valid] = rng.integers(0, 128, (n_valid, d), dtype=np.int8)
+    voff = np.zeros((npad,), np.float32)
+    if scale is None:
+        voff[:n_valid] = rng.random(n_valid, dtype=np.float32)
+    else:
+        voff[:n_valid] = scale  # caller-controlled score shaping
+    qcodes = rng.integers(0, 128, (q, d), dtype=np.int8)
+    qoff = rng.random(q, dtype=np.float32)
+    return codes, voff, qcodes, qoff
+
+
+@pytest.mark.parametrize("k", [100, 256])
+def test_sq_fused_search_exact_beyond_old_cap(rng, k):
+    """The streaming extraction is exact at k well beyond the old k-round
+    cap of 64 (VERDICT r2 item 1: no more k>64 cliff)."""
+    from quantization_tpu.ops.pallas.sq_kernel import sq_search_pallas
+    from quantization_tpu.ops.topk import topk_exact
+
+    n_valid, d, q = 2000, 256, 3
+    codes, voff, qcodes, qoff = _sq_fused_setup(rng, n_valid, d, q)
+    mult = jnp.float32(0.37)
+    scores = sq_ops.score_batch_xla(
+        jnp.asarray(qcodes), jnp.asarray(qoff), jnp.asarray(codes[:n_valid]),
+        jnp.asarray(voff[:n_valid]), mult, distance_type=DistanceType.DOT,
+    )
+    ws, wi = topk_exact(scores, k)
+    gs, gi = sq_search_pallas(
+        jnp.asarray(qcodes), jnp.asarray(qoff), jnp.asarray(codes),
+        jnp.asarray(voff), mult, distance_type=DistanceType.DOT,
+        n_valid=n_valid, k=k, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gs), np.asarray(ws), rtol=1e-6, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+
+
+def test_sq_fused_search_adversarial_class_collision(rng):
+    """All top entries packed into ONE stride class (global ids spaced by
+    SLOT=128): more than r entries per class forces the spill check to
+    fail and the in-program blocked fallback to produce the exact answer."""
+    from quantization_tpu.ops.pallas.ktile import SLOT
+    from quantization_tpu.ops.pallas.sq_kernel import sq_search_pallas
+    from quantization_tpu.ops.topk import topk_exact
+
+    n_valid, d, q, k = 3000, 256, 2, 10
+    # Scores dominated by voff; put the 10 best all in stride class 0 of
+    # the first candidate block: ids 0, 128, 256, ... 1152.
+    voff_scale = rng.random(n_valid, dtype=np.float32)
+    top_ids = np.arange(10) * SLOT
+    voff_scale[top_ids] = 1000.0 + np.arange(10)
+    codes, voff, qcodes, qoff = _sq_fused_setup(
+        rng, n_valid, d, q, scale=voff_scale
+    )
+    # Zero code contribution so voff fully controls ordering.
+    codes[:] = 0
+    qcodes[:] = 0
+    mult = jnp.float32(1.0)
+    scores = sq_ops.score_batch_xla(
+        jnp.asarray(qcodes), jnp.asarray(qoff), jnp.asarray(codes[:n_valid]),
+        jnp.asarray(voff[:n_valid]), mult, distance_type=DistanceType.DOT,
+    )
+    ws, wi = topk_exact(scores, k)
+    gs, gi = sq_search_pallas(
+        jnp.asarray(qcodes), jnp.asarray(qoff), jnp.asarray(codes),
+        jnp.asarray(voff), mult, distance_type=DistanceType.DOT,
+        n_valid=n_valid, k=k, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    np.testing.assert_allclose(
+        np.asarray(gs), np.asarray(ws), rtol=1e-6, atol=1e-4
+    )
+
+
+def test_sq_fused_search_k_exceeds_candidate_width(rng):
+    """Tiny corpus + huge k: the wrapper must route to the blocked scan
+    (the candidate pool cannot cover k) and stay exact, padding past
+    count with -inf/-1."""
+    from quantization_tpu.ops.pallas.sq_kernel import sq_search_pallas
+    from quantization_tpu.ops.topk import topk_exact
+
+    n_valid, d, q, k = 600, 256, 2, 600
+    codes, voff, qcodes, qoff = _sq_fused_setup(rng, n_valid, d, q)
+    mult = jnp.float32(0.5)
+    scores = sq_ops.score_batch_xla(
+        jnp.asarray(qcodes), jnp.asarray(qoff), jnp.asarray(codes[:n_valid]),
+        jnp.asarray(voff[:n_valid]), mult, distance_type=DistanceType.DOT,
+    )
+    ws, wi = topk_exact(scores, k)
+    gs, gi = sq_search_pallas(
+        jnp.asarray(qcodes), jnp.asarray(qoff), jnp.asarray(codes),
+        jnp.asarray(voff), mult, distance_type=DistanceType.DOT,
+        n_valid=n_valid, k=k, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+
+
+@pytest.mark.parametrize("k", [10, 96])
+def test_pq_fused_search_exact_stream(rng, k):
+    """PQ exact fused search (streaming extraction) matches flat top-k of
+    the kernel-equivalent scores at k below AND above the old 64 cap."""
+    from quantization_tpu.ops.pallas.pq_kernel import (
+        pq_scores_pallas, pq_search_pallas,
+    )
+    from quantization_tpu.ops.topk import topk_exact
+
+    n_valid, m, q = 2100, 8, 3
+    npad = round_up(n_valid, PQ_TILE)
+    mpad = round_up(m, M_BLK)
+    codes_t = np.zeros((mpad, npad), np.uint8)
+    codes_t[:m, :n_valid] = rng.integers(0, 256, (m, n_valid), dtype=np.uint8)
+    lut = rng.random((q, m, 256), dtype=np.float32)
+    # Oracle: the same int8-LUT scores the fused kernel selects over.
+    scores = pq_scores_pallas(
+        jnp.asarray(lut), jnp.asarray(codes_t), n_valid=n_valid,
+        interpret=True, precision="int8",
+    )
+    ws, wi = topk_exact(scores, k)
+    gs, gi = pq_search_pallas(
+        jnp.asarray(lut), jnp.asarray(codes_t), n_valid=n_valid, k=k,
+        interpret=True, precision="int8",
+    )
+    np.testing.assert_allclose(
+        np.asarray(gs), np.asarray(ws), rtol=1e-6, atol=1e-5
+    )
+    # int8 LUT quantization can tie distinct entries; verify per-slot
+    # scores rather than tie order.
+    sc = np.asarray(scores)
+    for r in range(q):
+        np.testing.assert_allclose(
+            sc[r, np.asarray(gi)[r]], np.asarray(ws)[r], rtol=1e-6, atol=1e-5
+        )

@@ -40,6 +40,21 @@ def main():
                     help="L2-normalize vectors (cosine regime — the "
                     "ann-benchmarks angular datasets; BQ sign bits are "
                     "only informative on normalized/centered data)")
+    ap.add_argument("--dist", choices=("clustered", "realistic"),
+                    default="clustered",
+                    help="corpus distribution. 'clustered': isotropic "
+                    "gaussian clusters (the adversarial regime for "
+                    "sub-byte codes — every direction carries equal "
+                    "within-cluster signal). 'realistic': mimics "
+                    "SIFT/GloVe-style embedding statistics — power-law "
+                    "covariance spectrum ((1+j)^-0.7 per latent dim, so "
+                    "variance concentrates in a low effective rank), "
+                    "anisotropic clusters drawn in the same spectrum, "
+                    "lognormal radial scale (heavy-tailed norms), and a "
+                    "fixed dense rotation so no coordinate is axis-"
+                    "aligned. Recall numbers on it anchor the engine "
+                    "against the adversarial synthetic (VERDICT r2 "
+                    "missing #1).")
     args = ap.parse_args()
 
     import jax
@@ -64,19 +79,54 @@ def main():
     m = D // args.chunk_size
     nb = -(-N // B)
 
-    centers = jnp.asarray(
-        np.random.default_rng(7).random((args.clusters, D), np.float32) * 2 - 1
-    )
+    host_rng = np.random.default_rng(7)
+    if args.dist == "realistic":
+        # Latent spectrum + fixed rotation (host: D x D is tiny). QR gives
+        # an exact orthogonal basis so the spectrum is preserved in the
+        # ambient space.
+        spectrum = jnp.asarray(
+            ((1.0 + np.arange(D)) ** -0.7).astype(np.float32)
+        )
+        rot = jnp.asarray(
+            np.linalg.qr(host_rng.standard_normal((D, D)))[0].astype(
+                np.float32
+            )
+        )
+        centers = jnp.asarray(
+            host_rng.standard_normal((args.clusters, D)).astype(np.float32)
+        ) * spectrum[None, :]
 
-    @jax.jit
-    def gen_dev(key):
-        k1, k2 = jax.random.split(key)
-        assign = jax.random.randint(k1, (B,), 0, args.clusters)
-        noise = jax.random.normal(k2, (B, D), jnp.float32) * args.sigma
-        x = jnp.take(centers, assign, axis=0) + noise
-        if args.normalize:
-            x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
-        return x
+        def gen_any(key, count):
+            k1, k2, k3 = jax.random.split(key, 3)
+            assign = jax.random.randint(k1, (count,), 0, args.clusters)
+            noise = (
+                jax.random.normal(k2, (count, D), jnp.float32)
+                * args.sigma
+                * spectrum[None, :]
+            )
+            lat = jnp.take(centers, assign, axis=0) + noise
+            radial = jnp.exp(
+                0.25 * jax.random.normal(k3, (count, 1), jnp.float32)
+            )
+            x = (lat * radial) @ rot
+            if args.normalize:
+                x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+            return x
+    else:
+        centers = jnp.asarray(
+            host_rng.random((args.clusters, D), np.float32) * 2 - 1
+        )
+
+        def gen_any(key, count):
+            k1, k2 = jax.random.split(key)
+            assign = jax.random.randint(k1, (count,), 0, args.clusters)
+            noise = jax.random.normal(k2, (count, D), jnp.float32) * args.sigma
+            x = jnp.take(centers, assign, axis=0) + noise
+            if args.normalize:
+                x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+            return x
+
+    gen_dev = jax.jit(lambda key: gen_any(key, B))
 
     keys = jax.random.split(jax.random.key(42), nb)
 
@@ -117,16 +167,8 @@ def main():
 
     pow2 = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
 
-    queries = np.asarray(
-        jax.random.normal(jax.random.key(3), (Q, D), jnp.float32) * args.sigma
-        + jnp.take(
-            centers,
-            jax.random.randint(jax.random.key(2), (Q,), 0, args.clusters),
-            axis=0,
-        )
-    ).astype(np.float32)
-    if args.normalize:
-        queries = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    # Queries follow the SAME generative process as the corpus (disjoint key).
+    queries = np.asarray(gen_any(jax.random.key(3), Q)).astype(np.float32)
     queries_dev = jnp.asarray(queries)
 
     cents_dev = jnp.asarray(pq_ops.centroids_to_chunks(centroids, division))
