@@ -28,15 +28,17 @@ from ..dispatch import interpret_mode
 from .ktile import (
     FUSED_K_MAX,
     NEG,
+    PACK_BITS,
+    PACK_MIN,
     SLOT,
     SPAN,
+    combine_class_top3_packed,
     combine_slots,
-    combine_stream_topr,
-    exact_stream_params,
     extract_approx_tile,
-    extract_stream_topr_tile,
-    merge_exact_verified,
+    extract_class_top3_packed,
+    merge_packed_verified,
     merge_tile_topk_all,
+    packed_span,
 )
 
 TILE_N = 2048
@@ -135,15 +137,16 @@ def _make_mxu_topk_kernel(n_valid: int, tile_n: int):
     return kernel
 
 
-def _make_mxu_stream_kernel(n_valid: int, tile_n: int, r: int, span: int):
-    """Exact kernel: queries-outer with the streaming top-r-per-class
-    extraction (cost independent of k; see ktile) — at Q<=256 there is a
-    single query tile, so unpack AND corpus streaming happen once."""
+def _make_mxu_packed_kernel(
+    n_valid: int, tile_n: int, span: int, sign: int
+):
+    """Exact kernel: integer BQ scores pack (sign*acc << PACK_BITS |
+    member) so the per-class top-3 rides pure int max/min chains with ids
+    FREE (ktile packed extraction; score ties — BQ's everyday case — cost
+    nothing because packed keys are distinct)."""
+    ns = tile_n // SLOT
 
-    def kernel(
-        mult_ref, qs_ref, p_ref, qb_ref,
-        outv_ref, outi_ref, spill_out_ref, spill_ref,
-    ):
+    def kernel(mult_ref, qs_ref, p_ref, qb_ref, p1_ref, p2_ref, p3_ref):
         j = pl.program_id(1)
         bits = _unpack_bits(p_ref)
         acc = jax.lax.dot_general(
@@ -152,19 +155,14 @@ def _make_mxu_stream_kernel(n_valid: int, tile_n: int, r: int, span: int):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        scores = mult_ref[0] * acc.astype(jnp.float32) + qb_ref[:]
+        key = (sign * acc) << PACK_BITS
         base = j * tile_n
-        gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(gid < n_valid, scores, NEG)
-        vs, idxs, spill = extract_stream_topr_tile(scores, base, r)
-        combine_stream_topr(
-            outv_ref, outi_ref, vs, idxs, spill, spill_ref, r,
-            j % span == 0, j == 0,
+        gid = base + jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+        key = jnp.where(gid < n_valid, key, PACK_MIN)
+        p1, p2, p3 = extract_class_top3_packed(key, (j % span) * ns)
+        combine_class_top3_packed(
+            (p1_ref, p2_ref, p3_ref), p1, p2, p3, j % span == 0
         )
-
-        @pl.when(j == pl.num_programs(1) - 1)
-        def _emit_spill():
-            spill_out_ref[:] = spill_ref[:]
 
     return kernel
 
@@ -226,9 +224,11 @@ def bq_search_mxu(
     integers); among tied scores the returned indices may differ from a
     flat lax.top_k on real hardware (Mosaic argmax tie order) — the same
     freedom the reference's per-point heap has (ann_benchmark_data.rs:151).
-    Exact mode is value-exact: the spill-verified merge proves no dropped
-    score strictly exceeds the k-th (ties make the proof EASIER — dropped
-    ties at the k-th value are a legal answer swap).
+    Exact mode is value-exact: packed (score, member) int32 keys make
+    per-class top-3 selection tie-free, and the third-place value bounds
+    everything dropped — a class hiding a 4th entry above the k-th score
+    (probability ~C(k,3)/C^2 per query) triggers the corpus-blocked
+    fallback via lax.cond.
     """
     assert k <= FUSED_K_MAX or mode == "approx", (
         f"exact fused search caps k at {FUSED_K_MAX}, got {k}"
@@ -245,7 +245,7 @@ def bq_search_mxu(
     mult, qb = _metric_affine(distance_type, invert, dim, pq)
 
     approx = mode == "approx"
-    # 256-row query tiles in both modes (streaming extraction temporaries
+    # 256-row query tiles in both modes (extraction temporaries
     # are small): at Q<=256 the per-corpus-tile unpack happens once.
     tq = min(256, round_up(q, 32))
     qp = round_up(q, tq)
@@ -311,40 +311,39 @@ def bq_search_mxu(
         # materializes a [dp, block] int32 transient.
         return blocked_topk(score_block, n_valid, k, block_rows=1 << 17)
 
-    r, span = exact_stream_params(nt, k)
+    span = packed_span(nt)
     nt_out = -(-nt // span)
-    width = nt_out * r * SLOT
-    if k > width:
-        return fallback()
-    kernel = _make_mxu_stream_kernel(n_valid, tn, r, span)
-    vals, idxs, spill = pl.pallas_call(
+    width = nt_out * SLOT
+    if k > 2 * width or (dim << PACK_BITS) >= (1 << 30):
+        return fallback()  # pool too narrow for k / packed key overflow
+    sign = 1 if (distance_type == DistanceType.DOT) != invert else -1
+    kernel = _make_mxu_packed_kernel(n_valid, tn, span, sign)
+    block = lambda i, j: (i, j // span)  # noqa: E731
+    p1, p2, p3 = pl.pallas_call(
         kernel,
         grid=(qt, nt),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec(
-                (tq, r * SLOT),
-                lambda i, j: (i, j // span),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tq, r * SLOT),
-                lambda i, j: (i, j // span),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tq, SLOT), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((tq, SLOT), block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, SLOT), block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, SLOT), block, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qp, width), jnp.float32),
             jax.ShapeDtypeStruct((qp, width), jnp.int32),
-            jax.ShapeDtypeStruct((qp, SLOT), jnp.float32),
+            jax.ShapeDtypeStruct((qp, width), jnp.int32),
+            jax.ShapeDtypeStruct((qp, width), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((tq, SLOT), jnp.float32)],
         interpret=interpret,
     )(mult, qs_p, planes, qb_p)
-    return merge_exact_verified(vals[:q], idxs[:q], spill[:q], k, fallback)
+
+    def key_to_score(key):  # score = mult*acc + qb = 2*key + qb
+        return 2.0 * key.astype(jnp.float32) + qb0
+
+    return merge_packed_verified(
+        p1[:q], p2[:q], p3[:q], k,
+        span=span, tile_n=tn, n_valid=n_valid,
+        key_to_score=key_to_score, fallback=fallback,
+    )
 
 
 @partial(

@@ -107,7 +107,12 @@ def gather_rows_pallas(
                 )
             )
         return jnp.concatenate(parts, axis=0)
-    rb = min(ROWS_PER_STEP, round_up(r, 8))
+    # Per-step scoped-VMEM footprint scales with d (group scratch 8*d +
+    # the 8-way select temporaries + double-buffered blocks — measured
+    # ~34 bytes/row/dim on v5e): cap the step so it stays inside the 16MB
+    # stack. d=768 keeps the measured-optimal 512; d=1024 drops to 384.
+    fit = (13 * 2**20) // (34 * d) // 8 * 8
+    rb = min(ROWS_PER_STEP, max(64, fit), round_up(r, 8))
     rp = round_up(r, rb)
     ids_p = jnp.pad(ids.astype(jnp.int32), (0, rp - r))
     sel = (ids_p % _GRP).astype(jnp.int32).reshape(rp, 1)

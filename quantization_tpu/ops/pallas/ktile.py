@@ -7,13 +7,14 @@ reduces its [TQ, TN] score tile to per-stride-class candidates, and only
 [Q, blocks, r*128] candidate slots reach HBM. A final cheap ``lax.top_k``
 over the survivors merges tiles.
 
-Exact mode (round 3): a STREAMING top-r-per-class extraction whose cost is
-independent of k (~5r+2 VPU ops/element vs the old ~5k ops/element k-round
-loop), made exact by a spill bound: each class also tracks the max of
-everything it dropped, and the merge proves `max(spill) <= k-th score` —
-on the (construction-probability ~1e-4/batch) failure a corpus-blocked
-exact scan reruns inside the same program via lax.cond. This removed the
-k<=64 exact cliff and the k-round extraction cost in one move.
+Exact mode (round 3): per-class top-2-with-ids extraction on max/min
+chains with eq-reused selects (~10 VPU ops/element, cost independent of
+k — the old sorted-insert's select chains measured 3-4x costlier per op,
+tools/experiments/exp_stream2.py), plus a value-only third place whose
+merge-time check proves exactness; the rare violation falls back to a
+corpus-blocked scan via lax.cond. Integer-scored quantizers (BQ, PQ
+int8-LUT) instead pack (score, member) into one int32 so per-class top-3
+WITH ids rides pure max/min chains (~7 ops/element, tie-free).
 
 This replaces the reference caller's per-point bounded heap
 (ann_benchmark_data.rs:151-166) with a device-resident verified selection.
@@ -34,10 +35,9 @@ NEG = -3.4e38
 # hold NEG/-1.
 SLOT = 128
 
-# Exact fused search cap. The streaming top-r extraction's cost does not
-# scale with k, so the cap is set by the verified-merge width and the
-# verification-failure rate, not the extraction (the round-2 k-round
-# extraction capped this at 64; its per-k measurements live in
+# Exact fused search cap. The class-top2 / packed extractions' cost does
+# not scale with k; the cap is set by the merge-pool width alone (the
+# round-2 k-round extraction capped this at 64; per-k measurements:
 # tools/experiments/exp_kmax.py).
 FUSED_K_MAX = 1024
 
@@ -51,134 +51,221 @@ FUSED_K_MAX = 1024
 APPROX_K_MAX = 4096
 
 
-def _insert_stream(vs, idxs, spill, seg, sid):
-    """Insert one [TQ, SLOT] batch of per-class values into the running
-    per-class descending top-R lists (vs[j], idxs[j]) and fold whatever
-    falls off the end into ``spill`` (the running upper bound on every
-    value NOT retained). Pure elementwise compare/select — ~(5R+2)
-    VPU ops per element."""
-    r = len(vs)
-    gts = [seg > v for v in vs]
-    # If seg beats the last slot, the old last value drops; otherwise seg
-    # itself drops. Either way the dropped value bounds what's lost.
-    dropped = jnp.where(gts[r - 1], vs[r - 1], seg)
-    spill = jnp.maximum(spill, dropped)
-    new_vs, new_is = [], []
-    for j in range(r):
-        if j == 0:
-            nv = jnp.where(gts[0], seg, vs[0])
-            ni = jnp.where(gts[0], sid, idxs[0])
-        else:
-            nv = jnp.where(gts[j - 1], vs[j - 1], jnp.where(gts[j], seg, vs[j]))
-            ni = jnp.where(
-                gts[j - 1], idxs[j - 1], jnp.where(gts[j], sid, idxs[j])
-            )
-        new_vs.append(nv)
-        new_is.append(ni)
-    return new_vs, new_is, spill
+# ------------------------------------------- class-top2-with-ids + spill
+#
+# Round-3 exact selection for f32-scored quantizers (SQ; PQ f32-LUT).
+# Per stride class (lane l of a span block) the kernel keeps (m1, i1,
+# m2, i2, m3): the top-2 values WITH ids plus a value-only third place —
+# max/min chains with eq-reused selects, ~10 VPU ops/element, cost
+# independent of k. (A cheaper rescue design that dropped i2 and
+# re-scored flagged classes outside the kernel was built and measured
+# first: the DMA row gather it needs is ~0.3us/row latency-bound, 6.6 ms
+# at 100k/k=10 — structurally too slow at every scale.) The merge pools
+# top-1 and top-2 (both ids known) and proves exactness with the spill
+# bound: no class third place strictly above the k-th pooled score; the
+# rare violation (a class hiding >= 3 of the top-k, P ~ C(k,3)/C^2 per
+# query) reruns through the corpus-blocked scan via lax.cond. Ids of
+# tied values may differ from lax.top_k order — the reference heap's own
+# freedom (ann_benchmark_data.rs:151-166).
 
 
-def extract_stream_topr_tile(scores, base_index, r: int):
-    """Streaming EXACT-per-class extraction: scores f32[TQ, TN] ->
-    (vs list of r [TQ, SLOT], idxs list of r [TQ, SLOT], spill [TQ, SLOT]).
+def extract_class_top2_ids(scores, base_index):
+    """scores f32[TQ, TN] -> (m1, i1, m2, i2, m3), each [TQ, SLOT].
 
-    Class l = the strided lane set {l, l+SLOT, l+2*SLOT, ...} of the tile
-    (the approx extraction's stride classes). Each class keeps its true
-    top-r values/ids via an online sorted-insert — cost ~(5r+2) ops/element
-    INDEPENDENT of k, vs the old k-round extraction's ~5k ops/element.
-    ``spill`` upper-bounds every value not retained; the merge uses it to
-    PROVE the final top-k exact (see merge_exact_verified) and falls back
-    on the (probabilistically negligible) failure."""
+    Class l = strided lane set {l, l+SLOT, ...} of the tile; top-2 values
+    with global ids, plus the value-only third place (the spill bound)."""
     tq, tn = scores.shape
     ns = tn // SLOT
     lane = jax.lax.broadcasted_iota(jnp.int32, (tq, SLOT), 1)
-    vs = [jnp.full((tq, SLOT), NEG, jnp.float32) for _ in range(r)]
-    idxs = [jnp.full((tq, SLOT), -1, jnp.int32) for _ in range(r)]
-    spill = jnp.full((tq, SLOT), NEG, jnp.float32)
+    m1 = jnp.full((tq, SLOT), NEG, jnp.float32)
+    m2 = jnp.full((tq, SLOT), NEG, jnp.float32)
+    m3 = jnp.full((tq, SLOT), NEG, jnp.float32)
+    i1 = jnp.full((tq, SLOT), -1, jnp.int32)
+    i2 = jnp.full((tq, SLOT), -1, jnp.int32)
     for s in range(ns):
         seg = scores[:, s * SLOT : (s + 1) * SLOT]
         sid = base_index + s * SLOT + lane
-        vs, idxs, spill = _insert_stream(vs, idxs, spill, seg, sid)
-    return vs, idxs, spill
+        m1n = jnp.maximum(m1, seg)
+        took = seg == m1n          # on ties the newer element takes slot 1
+        t = jnp.minimum(m1, seg)   # the loser falls to the slot-2 contest
+        ti = jnp.where(took, i1, sid)
+        m2n = jnp.maximum(m2, t)
+        m3 = jnp.maximum(m3, jnp.minimum(m2, t))
+        i2 = jnp.where(t == m2n, ti, i2)
+        i1 = jnp.where(took, sid, i1)
+        m1, m2 = m1n, m2n
+    return m1, i1, m2, i2, m3
 
 
-def combine_stream_topr(
-    outv_ref, outi_ref, vs, idxs, spill, spill_ref, r: int, is_first,
-    is_tile_first,
-):
-    """Merge a tile's per-class top-r into the revisited [TQ, r*SLOT]
-    output block (slot j's values live in lanes [j*SLOT, (j+1)*SLOT)), and
-    fold drops into the running spill scratch.
-
-    ``is_first``: first corpus tile of this block (init the block).
-    ``is_tile_first``: first corpus tile of the whole query-tile sweep
-    (init the spill scratch)."""
-    @pl.when(is_tile_first)
-    def _init_spill():
-        spill_ref[:] = jnp.full_like(spill_ref, NEG)
-
-    spill_ref[:] = jnp.maximum(spill_ref[:], spill)
+def combine_class_top2_ids(refs, m1, i1, m2, i2, m3, is_first):
+    """Merge a tile's (m1, i1, m2, i2, m3) into the revisited block
+    outputs (refs = 5 refs in the same order)."""
+    r1, ri1, r2, ri2, r3 = refs
 
     @pl.when(is_first)
     def _init():
-        for j in range(r):
-            outv_ref[:, j * SLOT : (j + 1) * SLOT] = vs[j]
-            outi_ref[:, j * SLOT : (j + 1) * SLOT] = idxs[j]
+        r1[:] = m1
+        ri1[:] = i1
+        r2[:] = m2
+        ri2[:] = i2
+        r3[:] = m3
 
     @pl.when(jnp.logical_not(is_first))
     def _merge():
-        run_v = [outv_ref[:, j * SLOT : (j + 1) * SLOT] for j in range(r)]
-        run_i = [outi_ref[:, j * SLOT : (j + 1) * SLOT] for j in range(r)]
-        sp = jnp.full_like(spill_ref[:], NEG)
-        for j in range(r):
-            run_v, run_i, sp = _insert_stream(run_v, run_i, sp, vs[j], idxs[j])
-        spill_ref[:] = jnp.maximum(spill_ref[:], sp)
-        for j in range(r):
-            outv_ref[:, j * SLOT : (j + 1) * SLOT] = run_v[j]
-            outi_ref[:, j * SLOT : (j + 1) * SLOT] = run_i[j]
+        a1, ai1, a2, ai2, a3 = r1[:], ri1[:], r2[:], ri2[:], r3[:]
+        h1 = jnp.maximum(a1, m1)
+        wins = m1 == h1
+        l1 = jnp.minimum(a1, m1)
+        li1 = jnp.where(wins, ai1, i1)
+        h2 = jnp.maximum(a2, m2)
+        hi2 = jnp.where(m2 == h2, i2, ai2)
+        m2n = jnp.maximum(l1, h2)
+        # 3rd of the union: the loser of (l1, h2), the loser of the 2nds,
+        # or either 3rd place.
+        r3[:] = jnp.maximum(
+            jnp.minimum(l1, h2),
+            jnp.maximum(jnp.minimum(a2, m2), jnp.maximum(a3, m3)),
+        )
+        r1[:] = h1
+        ri1[:] = jnp.where(wins, i1, ai1)
+        r2[:] = m2n
+        ri2[:] = jnp.where(h2 == m2n, hi2, li1)
 
 
-# Exact-mode extraction width R by requested k: R=2 keeps the per-element
-# cost minimal for serving k; R=4 bounds the verification-failure rate for
-# k up to FUSED_K_MAX (a class must hide >R entries above the k-th score
-# to force the fallback).
-def _stream_r(k: int) -> int:
-    return 2 if k <= 64 else 4
+def class_span(nt: int) -> int:
+    """Span (corpus tiles per candidate block) for the class extractions:
+    as wide as possible — candidate width is the only cost the span
+    controls now (no out-of-kernel rescue)."""
+    return max(1, min(32, nt))
 
 
-def exact_stream_params(nt: int, k: int):
-    """(r, span) for the exact streaming extraction over ``nt`` corpus
-    tiles. ``span`` corpus tiles max-merge into one candidate block; the
-    number of stride classes C = ceil(nt/span) * SLOT controls the
-    verification-failure probability: a fallback triggers only when one
-    class holds > r entries strictly above the k-th score, so with
-    candidates ~uniform over classes P ~ C(k, r+1)/C^r per query. c_min
-    targets <=1% per 256-query batch; span also caps the final merge width
-    (blocks * r * SLOT candidates per query)."""
-    r = _stream_r(k)
-    if r == 2:
-        c_min = int(64.5 * k**1.5) + 1
-    else:
-        c_min = int(3.8 * k**1.25) + 1
-    span = max(1, min(32, (nt * SLOT) // max(c_min, SLOT)))
-    return r, span
+def merge_classes_verified(m1, i1, m2, i2, m3, k: int, fallback):
+    """Exact merge of the class-top2-with-ids candidates: pool top-1 and
+    top-2 per class, select exactly, and prove no class hid a third entry
+    at or above the k-th score (strictly above -> missing value; the tie
+    case is a legal id swap). Violation -> ``fallback()`` via lax.cond."""
+    pool_v = jnp.concatenate([m1, m2], axis=1)
+    pool_i = jnp.concatenate([i1, i2], axis=1)
+    kk = min(k, pool_v.shape[1])
+    s, pos = jax.lax.top_k(pool_v, kk)
+    gi = jnp.take_along_axis(pool_i, pos, axis=1)
+    if kk < k:
+        s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=NEG)
+        gi = jnp.pad(gi, ((0, 0), (0, k - kk)), constant_values=-1)
+    viol = jnp.any(jnp.max(m3, axis=1) > s[:, kk - 1])
+    return jax.lax.cond(viol, fallback, lambda: (s, gi))
 
 
-def merge_exact_verified(vals, idxs, spill, k: int, fallback):
-    """Exact merge of the streaming extraction's candidates with proof.
+# ----------------------------------------------------- packed extraction
+#
+# Integer-scored quantizers (BQ Hamming metrics; PQ with the int8 LUT)
+# fit (score, member) into ONE int32: score * 2^PACK_BITS + member, with
+# member the element's index within its stride class. Ids then ride the
+# max/min value chains for FREE — per-class top-3 costs ~7 int ops per
+# element, exact ids included, and heavy score ties (BQ's everyday case)
+# cost nothing because packed keys are distinct. The merge pools the
+# top-2 (with recovered ids); the top-3 value is the spill bound proving
+# exactness (a class hiding a 4th... entry above the k-th score triggers
+# the corpus-blocked fallback — probability ~C(k,3)/C^2 per query).
 
-    vals/idxs [Q, B*r*SLOT], spill [Q, SLOT] (running max of every value
-    any class dropped). tau = k-th merged score; if max(spill) <= tau then
-    every non-candidate value is <= tau and the merged top-k is VALUE-exact
-    (among tied scores at tau the returned ids may differ from lax.top_k's
-    tie order — the same freedom the reference's heap has,
-    ann_benchmark_data.rs:151-166). Otherwise runs ``fallback()`` (a
-    corpus-blocked exact scan) via lax.cond — compiled once, executed only
-    on the rare violation."""
-    s, gi = _merge(vals, idxs, k, live=SLOT)
-    kk = min(k, vals.shape[1])
-    tau = s[:, kk - 1 : kk]
-    viol = jnp.any(jnp.max(spill, axis=1, keepdims=True) > tau)
+PACK_BITS = 9  # member bits: up to 512 class members per block
+PACK_MEMBERS = 1 << PACK_BITS
+PACK_MIN = -(1 << 30)
+
+
+def extract_class_top3_packed(keys, member_base: int):
+    """keys i32[TQ, TN] (score already shifted left PACK_BITS; invalid
+    lanes PACK_MIN) -> (p1, p2, p3) [TQ, SLOT] packed per-class top-3.
+
+    ``member_base``: member index of this tile's first segment within its
+    span block (the kernel passes (j % span) * ns)."""
+    tq, tn = keys.shape
+    ns = tn // SLOT
+    p1 = jnp.full((tq, SLOT), PACK_MIN, jnp.int32)
+    p2 = jnp.full((tq, SLOT), PACK_MIN, jnp.int32)
+    p3 = jnp.full((tq, SLOT), PACK_MIN, jnp.int32)
+    for s in range(ns):
+        pk = keys[:, s * SLOT : (s + 1) * SLOT] + (member_base + s)
+        t1 = jnp.minimum(p1, pk)
+        p1 = jnp.maximum(p1, pk)
+        t2 = jnp.minimum(p2, t1)
+        p2 = jnp.maximum(p2, t1)
+        p3 = jnp.maximum(p3, t2)
+    return p1, p2, p3
+
+
+def combine_class_top3_packed(refs, p1, p2, p3, is_first):
+    """Merge a tile's packed top-3 into the revisited block outputs
+    (refs = (p1_ref, p2_ref, p3_ref)). Exact: merging two sorted triples'
+    top-3 needs only the pairwise min/max ladder below."""
+    r1, r2, r3 = refs
+
+    @pl.when(is_first)
+    def _init():
+        r1[:] = p1
+        r2[:] = p2
+        r3[:] = p3
+
+    @pl.when(jnp.logical_not(is_first))
+    def _merge():
+        a1, a2, a3 = r1[:], r2[:], r3[:]
+        h1 = jnp.maximum(a1, p1)
+        l1 = jnp.minimum(a1, p1)
+        h2 = jnp.maximum(a2, p2)
+        # 2nd of the union = max(loser of the tops, both 2nds); 3rd =
+        # max(what 2nd displaced, loser of the 2nds, both 3rds).
+        r1[:] = h1
+        r2[:] = jnp.maximum(l1, h2)
+        r3[:] = jnp.maximum(
+            jnp.minimum(l1, h2),
+            jnp.maximum(jnp.minimum(a2, p2), jnp.maximum(a3, p3)),
+        )
+
+
+def unpack_class(p, span: int, tile_n: int, shift_bits: int = PACK_BITS):
+    """Packed block outputs [Q, W] -> (score_key i32 [Q, W], global id
+    i32 [Q, W]). Class c of column c: block b = c // SLOT, lane =
+    c % SLOT; member m decodes to corpus id b*span*tile_n +
+    (m // ns)*tile_n + (m % ns)*SLOT + lane."""
+    q, w = p.shape
+    ns = tile_n // SLOT
+    key = p >> shift_bits  # arithmetic: exact for negative scores
+    member = p & (PACK_MEMBERS - 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (q, w), 1)
+    b = c // SLOT
+    lane = c % SLOT
+    gid = b * (span * tile_n) + (member // ns) * tile_n + (member % ns) * SLOT + lane
+    return key, gid
+
+
+def packed_span(nt: int) -> int:
+    """Widest span whose block member count fits PACK_BITS."""
+    return max(1, min(32, nt))
+
+
+def merge_packed_verified(p1, p2, p3, k: int, *, span, tile_n, n_valid,
+                          key_to_score, fallback):
+    """Exact merge of the packed top-3 extraction: pool = top-1 and top-2
+    per class (ids decoded from the pack), spill bound = top-3 value.
+    ``key_to_score(key i32) -> f32`` applies the quantizer's affine
+    Hamming/LUT map per query. viol = any 3rd-place SCORE (member bits
+    stripped -> no false positives from id tiebreaks) strictly above the
+    k-th pooled score -> corpus-blocked ``fallback()`` via lax.cond."""
+    k1, i1 = unpack_class(p1, span, tile_n)
+    k2, i2 = unpack_class(p2, span, tile_n)
+    k3 = p3 >> PACK_BITS
+    s1 = jnp.where(i1 < n_valid, key_to_score(k1), NEG)
+    s2 = jnp.where((i2 < n_valid) & (p2 > PACK_MIN), key_to_score(k2), NEG)
+    s3 = jnp.where(p3 > PACK_MIN, key_to_score(k3), NEG)
+    pool_v = jnp.concatenate([s1, s2], axis=1)
+    pool_i = jnp.concatenate([i1, i2], axis=1)
+    kk = min(k, pool_v.shape[1])
+    s, pos = jax.lax.top_k(pool_v, kk)
+    gi = jnp.take_along_axis(pool_i, pos, axis=1)
+    if kk < k:
+        s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=NEG)
+        gi = jnp.pad(gi, ((0, 0), (0, k - kk)), constant_values=-1)
+    viol = jnp.any(jnp.max(s3, axis=1) > s[:, kk - 1])
     return jax.lax.cond(viol, fallback, lambda: (s, gi))
 
 

@@ -50,15 +50,21 @@ from ..dispatch import interpret_mode
 from .ktile import (
     FUSED_K_MAX,
     NEG,
+    PACK_BITS,
+    PACK_MIN,
     SLOT,
     SPAN,
+    class_span,
+    combine_class_top2_ids,
+    combine_class_top3_packed,
     combine_slots,
-    combine_stream_topr,
-    exact_stream_params,
     extract_approx_tile,
-    extract_stream_topr_tile,
-    merge_exact_verified,
+    extract_class_top2_ids,
+    extract_class_top3_packed,
+    merge_classes_verified,
+    merge_packed_verified,
     merge_tile_topk_all,
+    packed_span,
 )
 
 TILE_N = 1024
@@ -272,30 +278,31 @@ def _make_pq_topk_kernel(
     return kernel
 
 
-def _make_pq_stream_kernel(
-    n_valid: int, tile_n: int, r: int, span: int, kc: int = K,
+def _make_pq_class_kernel(
+    n_valid: int, tile_n: int, span: int, kc: int = K,
     int8_lut: bool = False,
 ):
-    """Exact kernel: streaming top-r-per-class extraction on the last
-    m step (cost independent of k; see ktile). With 256-row query tiles
-    the one-hot build is paid ONCE per corpus tile at Q<=256 — exact mode
-    no longer pays it per 128-row query tile twice."""
+    """Exact kernel, extraction on the last m step. int8 LUT: the int32
+    accumulator orders identically to the final score (scale > 0), so the
+    packed per-class top-3 applies — ids ride the int chains for free.
+    f32 LUT: class-top2 + bounded rescue (ktile). With 256-row query
+    tiles the one-hot build is paid ONCE per corpus tile at Q<=256."""
     if int8_lut:
         accumulate = _accumulate_block_i8 if kc == K else _accumulate_block4_i8
     else:
         accumulate = _accumulate_block if kc == K else _accumulate_block4
+    ns = tile_n // SLOT
 
     def kernel(codes_ref, lut_ref, *rest):
         if int8_lut:
-            (scale_ref, bias_ref, outv_ref, outi_ref, spill_out_ref,
-             acc_ref, spill_ref) = rest
+            scale_ref, bias_ref = rest[:2]
+            out_refs, acc_ref = rest[2:-1], rest[-1]
         else:
-            outv_ref, outi_ref, spill_out_ref, acc_ref, spill_ref = rest
+            out_refs, acc_ref = rest[:-1], rest[-1]
         mi = pl.program_id(2)
         j = pl.program_id(1)
         base = j * tile_n  # hoisted out of pl.when (interpret-mode rule)
         last_m = mi == pl.num_programs(2) - 1
-        last_tile = j == pl.num_programs(1) - 1
 
         @pl.when(mi == 0)
         def _():
@@ -305,24 +312,19 @@ def _make_pq_stream_kernel(
 
         @pl.when(last_m)
         def _():
-            if int8_lut:
-                scores = (
-                    scale_ref[:] * acc_ref[:].astype(jnp.float32)
-                    + bias_ref[:]
-                )
-            else:
-                scores = acc_ref[:]
-            gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(gid < n_valid, scores, NEG)
-            vs, idxs, spill = extract_stream_topr_tile(scores, base, r)
-            combine_stream_topr(
-                outv_ref, outi_ref, vs, idxs, spill, spill_ref, r,
-                j % span == 0, j == 0,
+            gid = base + jax.lax.broadcasted_iota(
+                jnp.int32, acc_ref.shape, 1
             )
-
-        @pl.when(jnp.logical_and(last_m, last_tile))
-        def _emit_spill():
-            spill_out_ref[:] = spill_ref[:]
+            if int8_lut:
+                key = jnp.where(
+                    gid < n_valid, acc_ref[:] << PACK_BITS, PACK_MIN
+                )
+                p1, p2, p3 = extract_class_top3_packed(key, (j % span) * ns)
+                combine_class_top3_packed(out_refs, p1, p2, p3, j % span == 0)
+            else:
+                scores = jnp.where(gid < n_valid, acc_ref[:], NEG)
+                st = extract_class_top2_ids(scores, base)
+                combine_class_top2_ids(out_refs, *st, j % span == 0)
 
     return kernel
 
@@ -344,9 +346,10 @@ def pq_search_pallas(
     in-tile top-k — (scores f32[Q, k], indices i32[Q, k]) without the
     [Q, N] score matrix. ``mode="approx"`` uses the one-pass strided
     segment-max extraction (any k <= APPROX_K_MAX); ``mode="exact"`` the
-    streaming spill-verified extraction (value-exact over the kernel's LUT
-    scores at any k <= FUSED_K_MAX; the rare verification failure reruns
-    through a corpus-blocked f32-LUT scan). ``precision`` "int8" (default,
+    packed per-class top-3 (int8 LUT) or class-top2-with-ids (f32 LUT)
+    — value-exact over the kernel's own LUT scores at any
+    k <= FUSED_K_MAX, with a corpus-blocked scan (same LUT arithmetic) as
+    the verified fallback. ``precision`` "int8" (default,
     2x MXU rate) or "bf16"."""
     assert k <= FUSED_K_MAX or mode == "approx", (
         f"exact fused search caps k at {FUSED_K_MAX}, got {k}"
@@ -428,41 +431,71 @@ def pq_search_pallas(
         from ..topk import blocked_topk
 
         codes_nm = codes_t.T  # [Npad, Mpad]
+        if int8_lut:
+            # Score with the SAME quantized-LUT arithmetic as the fused
+            # kernel: acc = sum_m lutq (integer, exact in f32 well below
+            # 2^24), then scale*acc + bias — bit-identical to the kernel,
+            # because "exact" means exact selection over the int8-LUT
+            # scores and the fallback must agree value-for-value.
+            lut_eff = lut_flat[:q].reshape(q, mpad, kc)[:, :m].astype(
+                jnp.float32
+            )
+
+            def affine(raw):
+                return scale[:q] * raw + bias[:q]
+        else:
+            lut_eff = lut
+
+            def affine(raw):
+                return raw
 
         def score_block(b0, b1):
-            return score_lut_xla(
-                lut, jax.lax.slice_in_dim(codes_nm, b0, b1, axis=0)[:, :m]
-            )
+            return affine(score_lut_xla(
+                lut_eff, jax.lax.slice_in_dim(codes_nm, b0, b1, axis=0)[:, :m]
+            ))
 
         return blocked_topk(score_block, n_valid, k)
 
-    r, span = exact_stream_params(nt, k)
+    span = packed_span(nt) if int8_lut else class_span(nt)
     nt_out = -(-nt // span)
-    width = nt_out * r * SLOT
-    if k > width:
+    width = nt_out * SLOT
+    if k > 2 * width:
         return fallback()
     out_idx = lambda i, j, l: (i, j // span)  # noqa: E731
-    kernel = _make_pq_stream_kernel(n_valid, TILE_N, r, span, kc, int8_lut)
-    vals, idxs, spill = pl.pallas_call(
+    kernel = _make_pq_class_kernel(n_valid, TILE_N, span, kc, int8_lut)
+    if int8_lut:
+        dts = [jnp.int32] * 3
+    else:
+        dts = [jnp.float32, jnp.int32, jnp.float32, jnp.int32, jnp.float32]
+    outs = pl.pallas_call(
         kernel,
         grid=(qp // tile_q, nt, mpad // M_BLK),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((tile_q, r * SLOT), out_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, r * SLOT), out_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tile_q, SLOT), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM)
+            for _ in dts
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((qp, width), jnp.float32),
-            jax.ShapeDtypeStruct((qp, width), jnp.int32),
-            jax.ShapeDtypeStruct((qp, SLOT), jnp.float32),
-        ],
-        scratch_shapes=scratch + [pltpu.VMEM((tile_q, SLOT), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((qp, width), dt) for dt in dts],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
-    return merge_exact_verified(vals[:q], idxs[:q], spill[:q], k, fallback)
+
+    if int8_lut:
+        p1, p2, p3 = outs
+
+        def key_to_score(key):
+            return scale[:q] * key.astype(jnp.float32) + bias[:q]
+
+        return merge_packed_verified(
+            p1[:q], p2[:q], p3[:q], k,
+            span=span, tile_n=TILE_N, n_valid=n_valid,
+            key_to_score=key_to_score, fallback=fallback,
+        )
+
+    m1, i1, m2, i2, m3 = outs
+    return merge_classes_verified(
+        m1[:q], i1[:q], m2[:q], i2[:q], m3[:q], k, fallback
+    )
 
 
 @partial(jax.jit, static_argnames=("n_valid", "interpret", "precision"))

@@ -29,12 +29,12 @@ from .ktile import (
     NEG,
     SLOT,
     SPAN,
+    class_span,
+    combine_class_top2_ids,
     combine_slots,
-    combine_stream_topr,
-    exact_stream_params,
     extract_approx_tile,
-    extract_stream_topr_tile,
-    merge_exact_verified,
+    extract_class_top2_ids,
+    merge_classes_verified,
     merge_tile_topk_all,
 )
 
@@ -108,16 +108,11 @@ def _make_dot_topk_kernel(n_valid: int, tile_n: int):
     return kernel
 
 
-def _make_dot_stream_kernel(n_valid: int, tile_n: int, r: int, span: int):
-    """Exact kernel: queries outer with the streaming top-r-per-class
-    extraction (cost independent of k) and SPAN-style candidate-block
-    merging; the per-class spill bound accumulates in scratch across the
-    whole corpus sweep and lands in its own output on the last tile."""
+def _make_dot_class2_kernel(n_valid: int, tile_n: int, span: int):
+    """Exact kernel: queries outer with the class-top2-with-ids extraction
+    (max/min chains + eq-reused selects; see ktile)."""
 
-    def kernel(
-        mult_ref, q_ref, c_ref, qoff_ref, voff_ref,
-        outv_ref, outi_ref, spill_out_ref, spill_ref,
-    ):
+    def kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, *out_refs):
         j = pl.program_id(1)
         acc = jax.lax.dot_general(
             q_ref[:],
@@ -131,15 +126,8 @@ def _make_dot_stream_kernel(n_valid: int, tile_n: int, r: int, span: int):
         base = j * tile_n
         gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(gid < n_valid, scores, NEG)
-        vs, idxs, spill = extract_stream_topr_tile(scores, base, r)
-        combine_stream_topr(
-            outv_ref, outi_ref, vs, idxs, spill, spill_ref, r,
-            j % span == 0, j == 0,
-        )
-
-        @pl.when(j == pl.num_programs(1) - 1)
-        def _emit_spill():
-            spill_out_ref[:] = spill_ref[:]
+        m1, i1, m2, i2, m3 = extract_class_top2_ids(scores, base)
+        combine_class_top2_ids(out_refs, m1, i1, m2, i2, m3, j % span == 0)
 
     return kernel
 
@@ -166,11 +154,10 @@ def sq_search_pallas(
     Returns (scores f32[Q, k], indices i32[Q, k]). DOT/L2 only (L1 scores
     ride the XLA path).
 
-    ``mode="exact"``: streaming top-r-per-stride-class extraction (cost
-    independent of k) + a spill-verified merge — value-exact at any
-    k <= FUSED_K_MAX; the rare verification failure (one stride class
-    hiding > r entries above the k-th score) reruns through a
-    corpus-blocked exact scan inside the same program (lax.cond).
+    ``mode="exact"``: class-top2-with-ids extraction (max/min chains +
+    eq-reused selects, cost independent of k) — value-exact at any
+    k <= FUSED_K_MAX; the spill check reruns through a corpus-blocked
+    exact scan inside the same program (lax.cond) on the rare violation.
     ``mode="approx"``: one-pass strided segment-max (approx_max_k-grade
     recall, any k <= APPROX_K_MAX)."""
     assert distance_type != DistanceType.L1
@@ -189,7 +176,7 @@ def sq_search_pallas(
     while tile_n * 2 <= 2048 and n % (tile_n * 2) == 0:
         tile_n *= 2
     # Both modes run a 256-row query tile with queries OUTER: the
-    # extraction temporaries are small (streaming compare/selects, no
+    # extraction temporaries are small (max/min chains, no
     # k-round unroll), and at Q<=256 there is a single query tile, so the
     # corpus streams from HBM exactly once.
     tile_q = min(256, round_up(q, 32))
@@ -269,14 +256,16 @@ def sq_search_pallas(
 
         return blocked_topk(score_block, n_valid, k)
 
-    r, span = exact_stream_params(nt, k)
+    span = class_span(nt)
     nt_out = -(-nt // span)
-    width = nt_out * r * SLOT
-    if k > width:
+    width = nt_out * SLOT
+    if k > 2 * width:
         # Tiny corpus relative to k: the candidate pool can't cover k.
         return fallback()
-    kernel = _make_dot_stream_kernel(n_valid, tile_n, r, span)
-    vals, idxs, spill = pl.pallas_call(
+    kernel = _make_dot_class2_kernel(n_valid, tile_n, span)
+    block = lambda i, j: (i, j // span)  # noqa: E731
+    dts = [jnp.float32, jnp.int32, jnp.float32, jnp.int32, jnp.float32]
+    m1, i1, m2, i2, m3 = pl.pallas_call(
         kernel,
         grid=(qt, nt),
         in_specs=[
@@ -295,26 +284,12 @@ def sq_search_pallas(
             ),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (tile_q, r * SLOT),
-                lambda i, j: (i, j // span),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tile_q, r * SLOT),
-                lambda i, j: (i, j // span),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tile_q, SLOT), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((tile_q, SLOT), block, memory_space=pltpu.VMEM)
+            for _ in dts
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qp, width), jnp.float32),
-            jax.ShapeDtypeStruct((qp, width), jnp.int32),
-            jax.ShapeDtypeStruct((qp, SLOT), jnp.float32),
+            jax.ShapeDtypeStruct((qp, width), dt) for dt in dts
         ],
-        scratch_shapes=[pltpu.VMEM((tile_q, SLOT), jnp.float32)],
         interpret=interpret,
     )(
         mult_op,
@@ -323,7 +298,9 @@ def sq_search_pallas(
         qoff2.astype(jnp.float32),
         voff2.astype(jnp.float32),
     )
-    return merge_exact_verified(vals[:q], idxs[:q], spill[:q], k, fallback)
+    return merge_classes_verified(
+        m1[:q], i1[:q], m2[:q], i2[:q], m3[:q], k, fallback
+    )
 
 
 @partial(

@@ -641,6 +641,44 @@ def _sq_sharded_score_internal(
     return fn(ia, ib, codes, voff, mult, diff)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "distance_type", "invert", "dim"),
+)
+def _bq_sharded_score_internal(
+    ia, ib, planes, *, mesh, axis, distance_type, invert, dim
+):
+    def local(ia_r, ib_r, pl_shard):
+        n_local = pl_shard.shape[1]
+        shard_idx = jax.lax.axis_index(axis)
+
+        def cols(ids):
+            lid = ids - shard_idx * n_local
+            owned = (lid >= 0) & (lid < n_local)
+            # uint32 planes psum exactly: one non-zero contributor per
+            # element (each id owned by exactly one shard).
+            return _owned_rows_psum(pl_shard, lid, owned, axis, 1)  # [W, P]
+
+        xor = jnp.sum(
+            jax.lax.population_count(
+                jnp.bitwise_xor(cols(ia_r), cols(ib_r))
+            ).astype(jnp.int32),
+            axis=0,
+        )
+        return bq_ops.metric_from_xor(
+            xor, distance_type=distance_type, invert=invert, dim=dim
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None), P(None), P(None, axis)),
+        out_specs=P(None),
+        check_vma=False,
+    )
+    return fn(ia, ib, planes)
+
+
 class ShardedBinaryQuantizer(_ShardedBase):
     """BQ bit-planes sharded over the corpus axis: uint32[W, N/s] per chip."""
 
@@ -1106,6 +1144,31 @@ class ShardedProductQuantizer(_ShardedBase):
             num_chunks=self.num_chunks,
         )
 
+    def _centroid_distances(self) -> jax.Array:
+        if getattr(self, "_cdist", None) is None:
+            self._cdist = pq_ops.centroid_distance_table(
+                self._c_chunks,
+                distance_type=self.params.distance_type,
+                invert=self.params.invert,
+            )
+        return self._cdist
+
+    def score_internal_batch(self, ids_a, ids_b) -> jax.Array:
+        """[P] stored-vs-stored scores via the replicated centroid-distance
+        table (encoded_vectors.rs:34 / encoded_vectors_pq.rs semantics):
+        each pair's code columns are gathered from their owning shards with
+        one psum, then looked up replicated."""
+        hi = max(self.count - 1, 0)
+        return _pq_sharded_score_internal(
+            jnp.clip(jnp.asarray(ids_a, jnp.int32), 0, hi),
+            jnp.clip(jnp.asarray(ids_b, jnp.int32), 0, hi),
+            self.codes_t,
+            self._centroid_distances(),
+            mesh=self.mesh,
+            axis=self.axis,
+            num_chunks=self.num_chunks,
+        )
+
     # ----------------------------------------------------------- checkpoint
     def save(self, data_path, meta_path) -> None:
         import json
@@ -1268,6 +1331,36 @@ def _pq_sharded_score_candidates(
         check_vma=False,
     )
     return fn(lut, codes_t, cand)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "num_chunks"))
+def _pq_sharded_score_internal(
+    ia, ib, codes_t, cdist, *, mesh, axis, num_chunks
+):
+    def local(ia_r, ib_r, ct_shard, cd):
+        n_local = ct_shard.shape[1]
+        shard_idx = jax.lax.axis_index(axis)
+
+        def code_rows(ids):
+            lid = ids - shard_idx * n_local
+            owned = (lid >= 0) & (lid < n_local)
+            # u8 codes ride the psum as f32 (one non-zero contributor per
+            # element, and 0..255 is exact in f32), then back to int.
+            cols = _owned_rows_psum(
+                ct_shard.astype(jnp.float32), lid, owned, axis, 1
+            )  # [Mpad, P]
+            return cols.T[:, :num_chunks].astype(jnp.int32)
+
+        return pq_ops.score_internal_lut(cd, code_rows(ia_r), code_rows(ib_r))
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None), P(None), P(None, axis), P(None, None, None)),
+        out_specs=P(None),
+        check_vma=False,
+    )
+    return fn(ia, ib, codes_t, cdist)
 
 
 # ------------------------------------------------------------ f32 rescorer

@@ -340,7 +340,7 @@ def test_gather_rows_chunked_beyond_smem(rng, monkeypatch):
     np.testing.assert_array_equal(got, np.asarray(src)[ids])
 
 
-# -------------------------------------------- streaming exact extraction
+# ------------------------------------------ class-top2 exact extraction
 
 
 def _sq_fused_setup(rng, n_valid, d, q, scale=None):
@@ -359,7 +359,7 @@ def _sq_fused_setup(rng, n_valid, d, q, scale=None):
 
 @pytest.mark.parametrize("k", [100, 256])
 def test_sq_fused_search_exact_beyond_old_cap(rng, k):
-    """The streaming extraction is exact at k well beyond the old k-round
+    """The class-top2 extraction is exact at k well beyond the old k-round
     cap of 64 (VERDICT r2 item 1: no more k>64 cliff)."""
     from quantization_tpu.ops.pallas.sq_kernel import sq_search_pallas
     from quantization_tpu.ops.topk import topk_exact
@@ -385,8 +385,9 @@ def test_sq_fused_search_exact_beyond_old_cap(rng, k):
 
 def test_sq_fused_search_adversarial_class_collision(rng):
     """All top entries packed into ONE stride class (global ids spaced by
-    SLOT=128): more than r entries per class forces the spill check to
-    fail and the in-program blocked fallback to produce the exact answer."""
+    SLOT=128): a class hiding many top entries must be caught — by the
+    bounded rescue (class flagged via m2 and fully rescored) or the
+    in-program blocked fallback — and still produce the exact answer."""
     from quantization_tpu.ops.pallas.ktile import SLOT
     from quantization_tpu.ops.pallas.sq_kernel import sq_search_pallas
     from quantization_tpu.ops.topk import topk_exact

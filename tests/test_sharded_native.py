@@ -403,3 +403,56 @@ def test_sharded_score_candidates_invalid_ids_neg_inf(rng, mesh):
     assert np.all(np.isneginf(got[~valid]))
     want = np.asarray(enc.score_candidates(eq, np.clip(cand, 0, n - 1)))
     np.testing.assert_allclose(got[valid], want[valid], rtol=1e-5, atol=1e-4)
+
+
+# ------------------------------------------------- sharded score_internal
+
+
+@pytest.mark.parametrize("dt,invert", [
+    (DistanceType.DOT, False),
+    (DistanceType.L2, True),
+])
+def test_sharded_sq_score_internal_matches_single(rng, mesh, dt, invert):
+    """Sharded score_internal_batch == single-device values (the trait
+    method of encoded_vectors.rs:34, distributed via psum row gather)."""
+    n, dim, p = 8 * 30 + 3, 32, 17
+    data = rng.random((n, dim), dtype=np.float32)
+    params = VectorParameters(dim, n, dt, invert)
+    enc = ScalarQuantizerU8.encode(data, params)
+    sharded = ShardedScalarQuantizer(enc, mesh)
+    ia = rng.integers(0, n, p)
+    ib = rng.integers(0, n, p)
+    want = np.asarray(enc.score_internal_batch(ia, ib))
+    got = np.asarray(sharded.score_internal_batch(ia, ib))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    # scalar shim parity
+    assert abs(
+        sharded.score_internal(int(ia[0]), int(ib[0])) - want[0]
+    ) < 1e-3
+
+
+def test_sharded_bq_score_internal_matches_single(rng, mesh):
+    n, dim, p = 8 * 20 - 5, 64, 13
+    data = rng.random((n, dim), dtype=np.float32) - 0.5
+    params = VectorParameters(dim, n, DistanceType.DOT, False)
+    enc = BinaryQuantizer.encode(data, params)
+    sharded = ShardedBinaryQuantizer(enc, mesh)
+    ia = rng.integers(0, n, p)
+    ib = rng.integers(0, n, p)
+    want = np.asarray(enc.score_internal_batch(ia, ib))
+    got = np.asarray(sharded.score_internal_batch(ia, ib))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_sharded_pq_score_internal_matches_single(rng, mesh, bits):
+    n, dim, p = 8 * 25 + 1, 16, 11
+    data = rng.random((n, dim), dtype=np.float32)
+    params = VectorParameters(dim, n, DistanceType.DOT, False)
+    enc = ProductQuantizer.encode(data, params, chunk_size=4, bits=bits)
+    sharded = ShardedProductQuantizer(enc, mesh)
+    ia = rng.integers(0, n, p)
+    ib = rng.integers(0, n, p)
+    want = np.asarray(enc.score_internal_batch(ia, ib))
+    got = np.asarray(sharded.score_internal_batch(ia, ib))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)

@@ -55,6 +55,13 @@ def main():
                     "aligned. Recall numbers on it anchor the engine "
                     "against the adversarial synthetic (VERDICT r2 "
                     "missing #1).")
+    ap.add_argument("--only", choices=("all", "sq", "bq", "pq"),
+                    default="all",
+                    help="bench only one quantizer family (skips the other "
+                    "encode passes — for shard-size scaling curves)")
+    ap.add_argument("--k-sweep", action="store_true",
+                    help="additionally time SQ fused exact at k=64 and "
+                    "k=256 (the exact-selection k-scaling bar)")
     args = ap.parse_args()
 
     import jax
@@ -79,7 +86,20 @@ def main():
     m = D // args.chunk_size
     nb = -(-N // B)
 
+    # ---- corpus generation, addressable BY GLOBAL ROW ID ----
+    # Every row's randomness derives from fold_in(base, id) (counter-based
+    # threefry: per-row keys are exactly as cheap vmapped as batch draws),
+    # so ANY subset of f32 rows can be re-materialized later from ids
+    # alone. That is what makes the two-stage "rescore with ORIGINAL
+    # vectors" config (the reference/qdrant serving pattern) measurable at
+    # 10M: the 30GB f32 corpus never exists, but the [Q, R] coarse
+    # candidates' true rows are regenerated on device in microseconds.
+    # (In production the equivalent fetch is a host->device gather of the
+    # original vectors — ~126MB at R=160, pipelined over PCIe; this
+    # harness measures the device-side scoring cost and models the fetch
+    # as non-bottleneck, which a real v5e host's ~10+ GB/s PCIe supports.)
     host_rng = np.random.default_rng(7)
+    base_key = jax.random.key(42)
     if args.dist == "realistic":
         # Latent spectrum + fixed rotation (host: D x D is tiny). QR gives
         # an exact orthogonal basis so the spectrum is preserved in the
@@ -96,39 +116,47 @@ def main():
             host_rng.standard_normal((args.clusters, D)).astype(np.float32)
         ) * spectrum[None, :]
 
-        def gen_any(key, count):
-            k1, k2, k3 = jax.random.split(key, 3)
-            assign = jax.random.randint(k1, (count,), 0, args.clusters)
-            noise = (
-                jax.random.normal(k2, (count, D), jnp.float32)
-                * args.sigma
-                * spectrum[None, :]
-            )
-            lat = jnp.take(centers, assign, axis=0) + noise
-            radial = jnp.exp(
-                0.25 * jax.random.normal(k3, (count, 1), jnp.float32)
-            )
-            x = (lat * radial) @ rot
-            if args.normalize:
-                x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
-            return x
+        def _lat_rows(ids):
+            def row(i):
+                k1, k2, k3 = jax.random.split(
+                    jax.random.fold_in(base_key, i), 3
+                )
+                assign = jax.random.randint(k1, (), 0, args.clusters)
+                noise = (
+                    jax.random.normal(k2, (D,), jnp.float32)
+                    * args.sigma
+                    * spectrum
+                )
+                radial = jnp.exp(0.25 * jax.random.normal(k3, (), jnp.float32))
+                return (centers[assign] + noise) * radial
+
+            return jax.vmap(row)(ids) @ rot
     else:
         centers = jnp.asarray(
             host_rng.random((args.clusters, D), np.float32) * 2 - 1
         )
 
-        def gen_any(key, count):
-            k1, k2 = jax.random.split(key)
-            assign = jax.random.randint(k1, (count,), 0, args.clusters)
-            noise = jax.random.normal(k2, (count, D), jnp.float32) * args.sigma
-            x = jnp.take(centers, assign, axis=0) + noise
-            if args.normalize:
-                x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
-            return x
+        def _lat_rows(ids):
+            def row(i):
+                k1, k2 = jax.random.split(jax.random.fold_in(base_key, i))
+                assign = jax.random.randint(k1, (), 0, args.clusters)
+                noise = jax.random.normal(k2, (D,), jnp.float32) * args.sigma
+                return centers[assign] + noise
 
-    gen_dev = jax.jit(lambda key: gen_any(key, B))
+            return jax.vmap(row)(ids)
 
-    keys = jax.random.split(jax.random.key(42), nb)
+    def gen_rows(ids):
+        """f32 rows for arbitrary global ids (corpus: 0..N-1; queries use
+        ids >= N so they share the distribution, disjoint randomness)."""
+        x = _lat_rows(jnp.asarray(ids, jnp.int32))
+        if args.normalize:
+            x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        return x
+
+    gen_dev = jax.jit(
+        lambda b: gen_rows(b * B + jnp.arange(B, dtype=jnp.int32))
+    )
+    keys = jnp.arange(nb, dtype=jnp.int32)  # batch index IS the seed now
 
     # --- pass 0 (device): min/max calibration + PQ training sample ---
     # Running device-side accumulators, ONE host sync at the end: a
@@ -148,12 +176,17 @@ def main():
     sample = np.asarray(gen_dev(keys[0])[:10_000])  # train sample (one batch)
     print(f"pass0 (device calibration): {time.perf_counter()-t0:.0f}s", flush=True)
 
-    t0 = time.perf_counter()
     division = pq_ops.get_vector_division(D, args.chunk_size)
-    sample_chunks = jnp.asarray(pq_ops.chunk_tensor(sample, division))
-    cent_chunks = kmeans_batched(sample_chunks, pq_ops.CENTROIDS_COUNT)
-    centroids = pq_ops.chunks_to_centroids(np.asarray(cent_chunks), division, D)
-    print(f"PQ k-means ({m} chunks x 256): {time.perf_counter()-t0:.0f}s", flush=True)
+    centroids = None
+    if args.only in ("all", "pq"):
+        t0 = time.perf_counter()
+        sample_chunks = jnp.asarray(pq_ops.chunk_tensor(sample, division))
+        cent_chunks = kmeans_batched(sample_chunks, pq_ops.CENTROIDS_COUNT)
+        centroids = pq_ops.chunks_to_centroids(
+            np.asarray(cent_chunks), division, D
+        )
+        print(f"PQ k-means ({m} chunks x 256): {time.perf_counter()-t0:.0f}s",
+              flush=True)
 
     # --- pass 1 (device): encode SQ+BQ+PQ + running exact GT ---
     params_dot = qt.VectorParameters(D, N, qt.DistanceType.DOT, False)
@@ -167,11 +200,15 @@ def main():
 
     pow2 = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
 
-    # Queries follow the SAME generative process as the corpus (disjoint key).
-    queries = np.asarray(gen_any(jax.random.key(3), Q)).astype(np.float32)
+    # Queries follow the SAME generative process as the corpus (ids >= N:
+    # same distribution, randomness disjoint from every corpus row).
+    queries = np.asarray(gen_rows(N + np.arange(Q))).astype(np.float32)
     queries_dev = jnp.asarray(queries)
 
-    cents_dev = jnp.asarray(pq_ops.centroids_to_chunks(centroids, division))
+    cents_dev = (
+        jnp.asarray(pq_ops.centroids_to_chunks(centroids, division))
+        if centroids is not None else None
+    )
 
     # One encode pass per quantizer family, benched then FREED: holding
     # SQ codes (7.9GB) + BQ + PQ (+2GB) simultaneously pushes HBM to
@@ -241,65 +278,78 @@ def main():
             print(f"{name:18s}: FAILED {type(e).__name__}: {e}", flush=True)
 
     mult = sq_ops.multiplier_for(qt.DistanceType.DOT, False, alpha)
+    want_bq = args.only in ("all", "bq")
+    want_pq = args.only in ("all", "pq")
+    want_sq = args.only in ("all", "sq")
 
-    # --- pass A: GT + BQ + PQ (small codes) ---
-    bq_planes_t = DeviceAppender((npad, w8), jnp.uint32)
-    pq_codes = DeviceAppender((npad, m), jnp.uint8)
+    # --- pass A: GT (+ BQ + PQ small codes) ---
+    bq_planes_t = DeviceAppender((npad, w8), jnp.uint32) if want_bq else None
+    pq_codes = DeviceAppender((npad, m), jnp.uint8) if want_pq else None
     bq_enc = jax.jit(lambda k: pack_bq(gen_dev(k)))  # jit ONCE: a fresh
     pq_enc = jax.jit(lambda k: encode_pq(gen_dev(k)))  # jit per loop
     # iteration retraces every batch (~9s/batch through the tunnel)
     t0 = time.perf_counter()
     for i in range(nb):
         best_s, best_i = gt_update(keys[i], best_s, best_i, jnp.int32(i * B))
-        bq_planes_t.append(bq_enc(keys[i]))
-        pq_codes.append(pq_enc(keys[i]))
+        if want_bq:
+            bq_planes_t.append(bq_enc(keys[i]))
+        if want_pq:
+            pq_codes.append(pq_enc(keys[i]))
     jax.block_until_ready(best_s)
     print(f"pass A (GT + BQ + PQ encode): {time.perf_counter()-t0:.0f}s", flush=True)
     gt = np.asarray(best_i)
 
-    bq = qt.BinaryQuantizer(
-        jnp.transpose(bq_planes_t.finish()), BQMetadata(params_dot)
-    )
-    pq = qt.ProductQuantizer(
-        pq_codes.finish(), PQMetadata(centroids, division, params_dot)
-    )
-    eq_bq = bq.encode_query(queries)
-    eq_pq = pq.encode_query(queries)
-    report("BQ fused exact", lambda: bq.top_k_device(eq_bq, K), gt)
-    report("BQ fused approx", lambda: bq.top_k_device(eq_bq, K, method="approx"), gt)
-    report("PQ fused exact", lambda: pq.top_k_device(eq_pq, K), gt)
-    report("PQ fused approx", lambda: pq.top_k_device(eq_pq, K, method="approx"), gt)
-    del pq, eq_pq  # free ~2GB before the SQ pass
+    bq = eq_bq = None
+    if want_bq:
+        bq = qt.BinaryQuantizer(
+            jnp.transpose(bq_planes_t.finish()), BQMetadata(params_dot)
+        )
+        eq_bq = bq.encode_query(queries)
+        report("BQ fused exact", lambda: bq.top_k_device(eq_bq, K), gt)
+        report("BQ fused approx", lambda: bq.top_k_device(eq_bq, K, method="approx"), gt)
+    if want_pq:
+        pq = qt.ProductQuantizer(
+            pq_codes.finish(), PQMetadata(centroids, division, params_dot)
+        )
+        eq_pq = pq.encode_query(queries)
+        report("PQ fused exact", lambda: pq.top_k_device(eq_pq, K), gt)
+        report("PQ fused approx", lambda: pq.top_k_device(eq_pq, K, method="approx"), gt)
+        del pq, eq_pq  # free ~2GB before the SQ pass
 
-    # --- 4-bit PQ at EQUAL code bytes: 2x chunks of half the width, 16
-    # centroids each — 12x fewer one-hot MACs than 8-bit (Quick-ADC) ---
-    cs4 = max(1, args.chunk_size // 2)
-    division4 = pq_ops.get_vector_division(D, cs4)
-    m4 = len(division4)
-    sample_chunks4 = jnp.asarray(pq_ops.chunk_tensor(sample, division4))
-    cent4 = kmeans_batched(sample_chunks4, pq_ops.CENTROIDS_COUNT4)
-    centroids4 = pq_ops.chunks_to_centroids(np.asarray(cent4), division4, D)
-    cents4_dev = jnp.asarray(pq_ops.centroids_to_chunks(centroids4, division4))
+        # --- 4-bit PQ at EQUAL code bytes: 2x chunks of half the width, 16
+        # centroids each — 12x fewer one-hot MACs than 8-bit (Quick-ADC) ---
+        cs4 = max(1, args.chunk_size // 2)
+        division4 = pq_ops.get_vector_division(D, cs4)
+        m4 = len(division4)
+        sample_chunks4 = jnp.asarray(pq_ops.chunk_tensor(sample, division4))
+        cent4 = kmeans_batched(sample_chunks4, pq_ops.CENTROIDS_COUNT4)
+        centroids4 = pq_ops.chunks_to_centroids(np.asarray(cent4), division4, D)
+        cents4_dev = jnp.asarray(
+            pq_ops.centroids_to_chunks(centroids4, division4)
+        )
 
-    def encode_pq4(xb):
-        xc = jnp.transpose(xb.reshape(-1, m4, cs4), (1, 0, 2))
-        return pq_ops.encode_batch(xc, cents4_dev).astype(jnp.uint8)
+        def encode_pq4(xb):
+            xc = jnp.transpose(xb.reshape(-1, m4, cs4), (1, 0, 2))
+            return pq_ops.encode_batch(xc, cents4_dev).astype(jnp.uint8)
 
-    pq4_codes = DeviceAppender((npad, m4), jnp.uint8)
-    pq4_enc = jax.jit(lambda kk: encode_pq4(gen_dev(kk)))
-    for i in range(nb):
-        pq4_codes.append(pq4_enc(keys[i]))
-    pq4 = qt.ProductQuantizer(
-        pq4_codes.finish(),
-        PQMetadata(centroids4, division4, params_dot, bits=4),
-    )
-    eq_pq4 = pq4.encode_query(queries)
-    report("PQ4 fused exact", lambda: pq4.top_k_device(eq_pq4, K), gt)
-    report(
-        "PQ4 fused approx",
-        lambda: pq4.top_k_device(eq_pq4, K, method="approx"), gt,
-    )
-    del pq4, eq_pq4
+        pq4_codes = DeviceAppender((npad, m4), jnp.uint8)
+        pq4_enc = jax.jit(lambda kk: encode_pq4(gen_dev(kk)))
+        for i in range(nb):
+            pq4_codes.append(pq4_enc(keys[i]))
+        pq4 = qt.ProductQuantizer(
+            pq4_codes.finish(),
+            PQMetadata(centroids4, division4, params_dot, bits=4),
+        )
+        eq_pq4 = pq4.encode_query(queries)
+        report("PQ4 fused exact", lambda: pq4.top_k_device(eq_pq4, K), gt)
+        report(
+            "PQ4 fused approx",
+            lambda: pq4.top_k_device(eq_pq4, K, method="approx"), gt,
+        )
+        del pq4, eq_pq4
+
+    if not want_sq:
+        return
 
     # --- pass B: SQ codes (7.9GB) ---
     sq_codes = DeviceAppender((npad, lane), jnp.int8)
@@ -319,16 +369,59 @@ def main():
     eq_sq = sq.encode_query(queries)
     report("SQ fused exact", lambda: sq.top_k_device(eq_sq, K), gt)
     report("SQ fused approx", lambda: sq.top_k_device(eq_sq, K, method="approx"), gt)
+    if args.k_sweep:
+        # k-scaling of the streaming exact selection (extraction cost is
+        # k-independent; only the final merge width grows).
+        for kk in (64, 256):
+            report(
+                f"SQ fused exact k={kk}",
+                lambda kk=kk: sq.top_k_device(eq_sq, kk), gt,
+            )
+
+    # --- two-stage: SQ-approx coarse -> ORIGINAL-VECTOR (f32) rescore ---
+    # The reference/qdrant serving pattern: quantized coarse search, then
+    # rescore the R survivors with the original f32 vectors. The rows are
+    # re-materialized from ids (see gen_rows) — device-side cost is real,
+    # the production host->device fetch (~126MB at R=160) is modeled as
+    # non-bottleneck.
+    def sq_f32_two_stage(rr):
+        @jax.jit
+        def run():
+            _, ids = sq.top_k_device(eq_sq, rr, method="approx")
+            rows = gen_rows(ids.reshape(-1)).reshape(Q, rr, D)
+            fs = jnp.einsum("qd,qrd->qr", queries_dev, rows)
+            ts, tp = jax.lax.top_k(fs, K)
+            return ts, jnp.take_along_axis(ids, tp, axis=1)
+
+        return run
+
+    for ov in (4, 8, 16):
+        report(f"2s SQ->f32 ov={ov:g}", sq_f32_two_stage(ov * K), gt)
 
     # Oversampling sweep: on noise-dominated clustered data the BQ coarse
     # stage needs a wide candidate pool before rescoring recovers recall
     # (each cluster holds ~N/clusters points the sign bits cannot rank).
     # ov=512 (R=5120) would gather 1.3M rows and score a [Q, R, D] f32
     # intermediate (~4GB) next to the resident codes — out of budget.
-    for ov in (8.0, 32.0, 128.0):
-        two = qt.TwoStageIndex(bq, sq, oversampling=ov)
-        eq2 = (eq_bq, eq_sq)
-        report(f"two-stage ov={ov:g}", lambda: two.top_k_device(eq2, K), gt)
+    if want_bq:
+        for ov in (8.0, 32.0, 128.0):
+            two = qt.TwoStageIndex(bq, sq, oversampling=ov)
+            eq2 = (eq_bq, eq_sq)
+            report(f"two-stage ov={ov:g}", lambda: two.top_k_device(eq2, K), gt)
+        # BQ coarse -> f32 rescore: same rescorer, weaker coarse signal.
+        def bq_f32_two_stage(rr):
+            @jax.jit
+            def run():
+                _, ids = bq.top_k_device(eq_bq, rr, method="approx")
+                rows = gen_rows(ids.reshape(-1)).reshape(Q, rr, D)
+                fs = jnp.einsum("qd,qrd->qr", queries_dev, rows)
+                ts, tp = jax.lax.top_k(fs, K)
+                return ts, jnp.take_along_axis(ids, tp, axis=1)
+
+            return run
+
+        for ov in (16, 64):
+            report(f"2s BQ->f32 ov={ov:g}", bq_f32_two_stage(ov * K), gt)
 
 
 if __name__ == "__main__":
