@@ -29,16 +29,18 @@ from .ktile import (
     FUSED_K_MAX,
     NEG,
     PACK_BITS,
+    PACK_MEMBERS,
     PACK_MIN,
     SLOT,
     SPAN,
-    combine_class_top3_packed,
+    class_r,
+    class_span,
+    combine_class_topr_packed,
     combine_slots,
     extract_approx_tile,
-    extract_class_top3_packed,
+    extract_class_topr_packed,
     merge_packed_verified,
     merge_tile_topk_all,
-    packed_span,
 )
 
 TILE_N = 2048
@@ -138,15 +140,15 @@ def _make_mxu_topk_kernel(n_valid: int, tile_n: int):
 
 
 def _make_mxu_packed_kernel(
-    n_valid: int, tile_n: int, span: int, sign: int
+    n_valid: int, tile_n: int, span: int, sign: int, r: int
 ):
     """Exact kernel: integer BQ scores pack (sign*acc << PACK_BITS |
-    member) so the per-class top-3 rides pure int max/min chains with ids
+    member) so the per-class top-r rides pure int max/min chains with ids
     FREE (ktile packed extraction; score ties — BQ's everyday case — cost
     nothing because packed keys are distinct)."""
     ns = tile_n // SLOT
 
-    def kernel(mult_ref, qs_ref, p_ref, qb_ref, p1_ref, p2_ref, p3_ref):
+    def kernel(mult_ref, qs_ref, p_ref, qb_ref, *out_refs):
         j = pl.program_id(1)
         bits = _unpack_bits(p_ref)
         acc = jax.lax.dot_general(
@@ -159,10 +161,8 @@ def _make_mxu_packed_kernel(
         base = j * tile_n
         gid = base + jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
         key = jnp.where(gid < n_valid, key, PACK_MIN)
-        p1, p2, p3 = extract_class_top3_packed(key, (j % span) * ns)
-        combine_class_top3_packed(
-            (p1_ref, p2_ref, p3_ref), p1, p2, p3, j % span == 0
-        )
+        ps, spill = extract_class_topr_packed(key, (j % span) * ns, r)
+        combine_class_topr_packed(out_refs, ps, spill, r, j % span == 0)
 
     return kernel
 
@@ -225,10 +225,10 @@ def bq_search_mxu(
     flat lax.top_k on real hardware (Mosaic argmax tie order) — the same
     freedom the reference's per-point heap has (ann_benchmark_data.rs:151).
     Exact mode is value-exact: packed (score, member) int32 keys make
-    per-class top-3 selection tie-free, and the third-place value bounds
-    everything dropped — a class hiding a 4th entry above the k-th score
-    (probability ~C(k,3)/C^2 per query) triggers the corpus-blocked
-    fallback via lax.cond.
+    per-class top-r selection tie-free (r adapts to k via ktile.class_r),
+    and the (r+1)-th value bounds everything dropped — a class hiding
+    more than r entries above the k-th score (~C(k, r+1)/C^r per query)
+    triggers the corpus-blocked fallback via lax.cond.
     """
     assert k <= FUSED_K_MAX or mode == "approx", (
         f"exact fused search caps k at {FUSED_K_MAX}, got {k}"
@@ -311,27 +311,27 @@ def bq_search_mxu(
         # materializes a [dp, block] int32 transient.
         return blocked_topk(score_block, n_valid, k, block_rows=1 << 17)
 
-    span = packed_span(nt)
+    r = class_r(k)
+    ns = tn // SLOT
+    span = class_span(nt, k, r, span_cap=PACK_MEMBERS // ns)
     nt_out = -(-nt // span)
     width = nt_out * SLOT
-    if k > 2 * width or (dim << PACK_BITS) >= (1 << 30):
+    if k > r * width or (dim << PACK_BITS) >= (1 << 30):
         return fallback()  # pool too narrow for k / packed key overflow
     sign = 1 if (distance_type == DistanceType.DOT) != invert else -1
-    kernel = _make_mxu_packed_kernel(n_valid, tn, span, sign)
+    kernel = _make_mxu_packed_kernel(n_valid, tn, span, sign, r)
     block = lambda i, j: (i, j // span)  # noqa: E731
-    p1, p2, p3 = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(qt, nt),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((tq, SLOT), block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, SLOT), block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, SLOT), block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, SLOT), block, memory_space=pltpu.VMEM)
+            for _ in range(r + 1)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qp, width), jnp.int32),
-            jax.ShapeDtypeStruct((qp, width), jnp.int32),
-            jax.ShapeDtypeStruct((qp, width), jnp.int32),
+            jax.ShapeDtypeStruct((qp, width), jnp.int32)
+            for _ in range(r + 1)
         ],
         interpret=interpret,
     )(mult, qs_p, planes, qb_p)
@@ -340,7 +340,7 @@ def bq_search_mxu(
         return 2.0 * key.astype(jnp.float32) + qb0
 
     return merge_packed_verified(
-        p1[:q], p2[:q], p3[:q], k,
+        [o[:q] for o in outs[:r]], outs[r][:q], k,
         span=span, tile_n=tn, n_valid=n_valid,
         key_to_score=key_to_score, fallback=fallback,
     )

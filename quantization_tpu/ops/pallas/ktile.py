@@ -7,14 +7,14 @@ reduces its [TQ, TN] score tile to per-stride-class candidates, and only
 [Q, blocks, r*128] candidate slots reach HBM. A final cheap ``lax.top_k``
 over the survivors merges tiles.
 
-Exact mode (round 3): per-class top-2-with-ids extraction on max/min
-chains with eq-reused selects (~10 VPU ops/element, cost independent of
-k — the old sorted-insert's select chains measured 3-4x costlier per op,
-tools/experiments/exp_stream2.py), plus a value-only third place whose
-merge-time check proves exactness; the rare violation falls back to a
-corpus-blocked scan via lax.cond. Integer-scored quantizers (BQ, PQ
-int8-LUT) instead pack (score, member) into one int32 so per-class top-3
-WITH ids rides pure max/min chains (~7 ops/element, tie-free).
+Exact mode (round 3): per-class top-r-with-ids extraction (r adapts to k
+via ``class_r``) on max/min chains with eq-reused selects — specialized
+3-select formulation at r=2, insertion ladder for r >= 3 — plus a
+value-only (r+1)-th place whose merge-time check proves exactness; the
+rare violation falls back to a corpus-blocked scan via lax.cond.
+Integer-scored quantizers (BQ, PQ int8-LUT) instead pack (score, member)
+into one int32 so the per-class top-r WITH ids rides pure max/min chains
+(~2 int ops/slot/element, tie-free).
 
 This replaces the reference caller's per-point bounded heap
 (ann_benchmark_data.rs:151-166) with a device-resident verified selection.
@@ -51,108 +51,188 @@ FUSED_K_MAX = 1024
 APPROX_K_MAX = 4096
 
 
-# ------------------------------------------- class-top2-with-ids + spill
+# ------------------------------------------ class-top-r-with-ids + spill
 #
 # Round-3 exact selection for f32-scored quantizers (SQ; PQ f32-LUT).
-# Per stride class (lane l of a span block) the kernel keeps (m1, i1,
-# m2, i2, m3): the top-2 values WITH ids plus a value-only third place —
-# max/min chains with eq-reused selects, ~10 VPU ops/element, cost
-# independent of k. (A cheaper rescue design that dropped i2 and
-# re-scored flagged classes outside the kernel was built and measured
-# first: the DMA row gather it needs is ~0.3us/row latency-bound, 6.6 ms
-# at 100k/k=10 — structurally too slow at every scale.) The merge pools
-# top-1 and top-2 (both ids known) and proves exactness with the spill
-# bound: no class third place strictly above the k-th pooled score; the
-# rare violation (a class hiding >= 3 of the top-k, P ~ C(k,3)/C^2 per
-# query) reruns through the corpus-blocked scan via lax.cond. Ids of
-# tied values may differ from lax.top_k order — the reference heap's own
-# freedom (ann_benchmark_data.rs:151-166).
+# Per stride class (lane l of a span block) the kernel keeps the top-r
+# values WITH ids plus a value-only (r+1)-th place — an insertion ladder
+# of max/min chains with eq-reused selects (~5r ops/element, cost
+# independent of k; r adapts to k via class_r so a class hiding more
+# than r of the top-k stays ~1e-4/batch improbable). (A cheaper design
+# that dropped runner-up ids and re-scored flagged classes outside the
+# kernel was built and measured first: the DMA row gather it needs is
+# ~0.3us/row latency-bound, 6.6 ms at 100k/k=10 — structurally too slow
+# at every scale. And a fixed r=2 made k=256 at 10M fall back almost
+# every batch: 1985 ms measured.) The merge pools every id-carrying slot
+# and proves exactness with the spill bound; the rare violation reruns
+# through the corpus-blocked scan via lax.cond. Ids of tied values may
+# differ from lax.top_k order — the reference heap's own freedom
+# (ann_benchmark_data.rs:151-166).
 
 
-def extract_class_top2_ids(scores, base_index):
-    """scores f32[TQ, TN] -> (m1, i1, m2, i2, m3), each [TQ, SLOT].
+def class_r(k: int) -> int:
+    """Per-class retained depth r for the exact extractions: a class must
+    hide MORE than r of the top-k to force the blocked fallback, so with
+    C ~ 20k stride classes at 10M the per-batch failure probability
+    Q * C(k, r+1) / C^r stays ~1e-4 at each step of this table."""
+    if k <= 16:
+        return 2
+    if k <= 128:
+        return 3
+    if k <= 512:
+        return 4
+    return 5
 
-    Class l = strided lane set {l, l+SLOT, ...} of the tile; top-2 values
-    with global ids, plus the value-only third place (the spill bound)."""
+
+def ladder_insert(ms, is_, cur_v, cur_i):
+    """Streaming insertion ladder: push (cur_v, cur_i) [TQ, SLOT] through
+    the per-class sorted slots (ms[j], is_[j]); returns the demoted
+    element's value (the spill contribution). max/min chains with
+    eq-reused selects — ~5 ops per slot per element."""
+    for j in range(len(ms)):
+        vj = jnp.maximum(ms[j], cur_v)
+        took = cur_v == vj  # on ties the incoming/demoted element wins
+        nxt = jnp.minimum(ms[j], cur_v)
+        nxt_i = jnp.where(took, is_[j], cur_i)
+        is_[j] = jnp.where(took, cur_i, is_[j])
+        ms[j] = vj
+        cur_v, cur_i = nxt, nxt_i
+    return cur_v
+
+
+def extract_class_topr_ids(scores, base_index, r: int):
+    """scores f32[TQ, TN] -> (ms list of r values, is_ list of r ids,
+    spill), each [TQ, SLOT]: the true per-stride-class top-r WITH ids plus
+    the running max of everything dropped (= the class (r+1)-th best).
+
+    r == 2 (k <= 16, the headline-bench regime) takes a specialized
+    maxmin-with-eq-reuse formulation — 3 selects/element vs the ladder's
+    4; measured 0.63 vs 0.88 ms/tile-pass at 100k (selects are the 3-4x
+    op on the VPU, exp_stream2.py). The general ladder serves r >= 3."""
     tq, tn = scores.shape
     ns = tn // SLOT
     lane = jax.lax.broadcasted_iota(jnp.int32, (tq, SLOT), 1)
-    m1 = jnp.full((tq, SLOT), NEG, jnp.float32)
-    m2 = jnp.full((tq, SLOT), NEG, jnp.float32)
-    m3 = jnp.full((tq, SLOT), NEG, jnp.float32)
-    i1 = jnp.full((tq, SLOT), -1, jnp.int32)
-    i2 = jnp.full((tq, SLOT), -1, jnp.int32)
+    if r == 2:
+        m1 = jnp.full((tq, SLOT), NEG, jnp.float32)
+        m2 = jnp.full((tq, SLOT), NEG, jnp.float32)
+        m3 = jnp.full((tq, SLOT), NEG, jnp.float32)
+        i1 = jnp.full((tq, SLOT), -1, jnp.int32)
+        i2 = jnp.full((tq, SLOT), -1, jnp.int32)
+        for s in range(ns):
+            seg = scores[:, s * SLOT : (s + 1) * SLOT]
+            sid = base_index + s * SLOT + lane
+            m1n = jnp.maximum(m1, seg)
+            took = seg == m1n          # ties: the newer element takes slot 1
+            t = jnp.minimum(m1, seg)   # the loser falls to the slot-2 contest
+            ti = jnp.where(took, i1, sid)
+            m2n = jnp.maximum(m2, t)
+            m3 = jnp.maximum(m3, jnp.minimum(m2, t))
+            i2 = jnp.where(t == m2n, ti, i2)
+            i1 = jnp.where(took, sid, i1)
+            m1, m2 = m1n, m2n
+        return [m1, m2], [i1, i2], m3
+    ms = [jnp.full((tq, SLOT), NEG, jnp.float32) for _ in range(r)]
+    is_ = [jnp.full((tq, SLOT), -1, jnp.int32) for _ in range(r)]
+    spill = jnp.full((tq, SLOT), NEG, jnp.float32)
     for s in range(ns):
         seg = scores[:, s * SLOT : (s + 1) * SLOT]
         sid = base_index + s * SLOT + lane
-        m1n = jnp.maximum(m1, seg)
-        took = seg == m1n          # on ties the newer element takes slot 1
-        t = jnp.minimum(m1, seg)   # the loser falls to the slot-2 contest
-        ti = jnp.where(took, i1, sid)
-        m2n = jnp.maximum(m2, t)
-        m3 = jnp.maximum(m3, jnp.minimum(m2, t))
-        i2 = jnp.where(t == m2n, ti, i2)
-        i1 = jnp.where(took, sid, i1)
-        m1, m2 = m1n, m2n
-    return m1, i1, m2, i2, m3
+        spill = jnp.maximum(spill, ladder_insert(ms, is_, seg, sid))
+    return ms, is_, spill
 
 
-def combine_class_top2_ids(refs, m1, i1, m2, i2, m3, is_first):
-    """Merge a tile's (m1, i1, m2, i2, m3) into the revisited block
-    outputs (refs = 5 refs in the same order)."""
-    r1, ri1, r2, ri2, r3 = refs
+def combine_class_topr_ids(refs, ms, is_, spill, r: int, is_first):
+    """Merge a tile's ladder state into the revisited block outputs
+    (refs = r value refs + r id refs + spill ref, interleaved
+    [v0, i0, v1, i1, ..., spill])."""
+    vr = [refs[2 * j] for j in range(r)]
+    ir = [refs[2 * j + 1] for j in range(r)]
+    sp = refs[2 * r]
 
     @pl.when(is_first)
     def _init():
-        r1[:] = m1
-        ri1[:] = i1
-        r2[:] = m2
-        ri2[:] = i2
-        r3[:] = m3
+        for j in range(r):
+            vr[j][:] = ms[j]
+            ir[j][:] = is_[j]
+        sp[:] = spill
 
     @pl.when(jnp.logical_not(is_first))
     def _merge():
-        a1, ai1, a2, ai2, a3 = r1[:], ri1[:], r2[:], ri2[:], r3[:]
-        h1 = jnp.maximum(a1, m1)
-        wins = m1 == h1
-        l1 = jnp.minimum(a1, m1)
-        li1 = jnp.where(wins, ai1, i1)
-        h2 = jnp.maximum(a2, m2)
-        hi2 = jnp.where(m2 == h2, i2, ai2)
-        m2n = jnp.maximum(l1, h2)
-        # 3rd of the union: the loser of (l1, h2), the loser of the 2nds,
-        # or either 3rd place.
-        r3[:] = jnp.maximum(
-            jnp.minimum(l1, h2),
-            jnp.maximum(jnp.minimum(a2, m2), jnp.maximum(a3, m3)),
-        )
-        r1[:] = h1
-        ri1[:] = jnp.where(wins, i1, ai1)
-        r2[:] = m2n
-        ri2[:] = jnp.where(h2 == m2n, hi2, li1)
+        if r == 2:
+            # Specialized two-list top-2 union merge (matches the r==2
+            # extraction's eq-reuse formulation).
+            m1, m2 = ms
+            i1, i2 = is_
+            a1, ai1, a2, ai2 = vr[0][:], ir[0][:], vr[1][:], ir[1][:]
+            a3 = sp[:]
+            h1 = jnp.maximum(a1, m1)
+            wins = m1 == h1
+            l1 = jnp.minimum(a1, m1)
+            li1 = jnp.where(wins, ai1, i1)
+            h2 = jnp.maximum(a2, m2)
+            hi2 = jnp.where(m2 == h2, i2, ai2)
+            m2n = jnp.maximum(l1, h2)
+            # 3rd of the union: the loser of (l1, h2), the loser of the
+            # 2nds, or either 3rd place.
+            sp[:] = jnp.maximum(
+                jnp.minimum(l1, h2),
+                jnp.maximum(jnp.minimum(a2, m2), jnp.maximum(a3, spill)),
+            )
+            vr[0][:] = h1
+            ir[0][:] = jnp.where(wins, i1, ai1)
+            vr[1][:] = m2n
+            ir[1][:] = jnp.where(h2 == m2n, hi2, li1)
+            return
+        run_v = [vr[j][:] for j in range(r)]
+        run_i = [ir[j][:] for j in range(r)]
+        dropped = spill
+        for j in range(r):
+            dropped = jnp.maximum(
+                dropped, ladder_insert(run_v, run_i, ms[j], is_[j])
+            )
+        for j in range(r):
+            vr[j][:] = run_v[j]
+            ir[j][:] = run_i[j]
+        sp[:] = jnp.maximum(sp[:], dropped)
 
 
-def class_span(nt: int) -> int:
-    """Span (corpus tiles per candidate block) for the class extractions:
-    as wide as possible — candidate width is the only cost the span
-    controls now (no out-of-kernel rescue)."""
-    return max(1, min(32, nt))
+def class_span(nt: int, k: int, r: int, span_cap: int = None) -> int:
+    """Span (corpus tiles per candidate block) for the exact extractions.
+
+    Wider span -> fewer classes C = ceil(nt/span)*SLOT -> narrower merge
+    pool (flat lax.top_k cost scales with pool width: ~13 ms at 156k-wide
+    on v5e — the dominant exact-mode overhead at 10M before this
+    adapted), but higher fallback probability P ~ Q*C(k, r+1)/C^r per
+    batch. Picks the widest span keeping P <= ~5e-2 at Q=256 (the
+    empirically-fastest working point: at 100k/k=10 this reproduces the
+    span=32 config that measured 0.76 ms/batch, and the expected
+    fallback cost P * rescan stays ~1% of the batch); ``span_cap``
+    bounds the span so the packed extraction's member field (span*ns
+    members) fits PACK_BITS."""
+    import math
+
+    cmin = (256.0 * math.comb(k, r + 1) / 5e-2) ** (1.0 / r)
+    span = max(1, int(nt * SLOT // max(cmin, SLOT)))
+    if span_cap is not None:
+        span = min(span, max(1, span_cap))
+    return max(1, min(span, 512, nt))
 
 
-def merge_classes_verified(m1, i1, m2, i2, m3, k: int, fallback):
-    """Exact merge of the class-top2-with-ids candidates: pool top-1 and
-    top-2 per class, select exactly, and prove no class hid a third entry
-    at or above the k-th score (strictly above -> missing value; the tie
-    case is a legal id swap). Violation -> ``fallback()`` via lax.cond."""
-    pool_v = jnp.concatenate([m1, m2], axis=1)
-    pool_i = jnp.concatenate([i1, i2], axis=1)
+def merge_classes_verified(vals, idxs, spill, k: int, fallback):
+    """Exact merge of the class-top-r candidates: pool all id-carrying
+    slots (vals/idxs: lists of r [Q, W] arrays), select exactly, and
+    prove no class hid an (r+1)-th entry strictly above the k-th score
+    (a tie at the k-th is a legal id swap). Violation -> ``fallback()``
+    via lax.cond."""
+    pool_v = jnp.concatenate(vals, axis=1)
+    pool_i = jnp.concatenate(idxs, axis=1)
     kk = min(k, pool_v.shape[1])
     s, pos = jax.lax.top_k(pool_v, kk)
     gi = jnp.take_along_axis(pool_i, pos, axis=1)
     if kk < k:
         s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=NEG)
         gi = jnp.pad(gi, ((0, 0), (0, k - kk)), constant_values=-1)
-    viol = jnp.any(jnp.max(m3, axis=1) > s[:, kk - 1])
+    viol = jnp.any(jnp.max(spill, axis=1) > s[:, kk - 1])
     return jax.lax.cond(viol, fallback, lambda: (s, gi))
 
 
@@ -161,65 +241,65 @@ def merge_classes_verified(m1, i1, m2, i2, m3, k: int, fallback):
 # Integer-scored quantizers (BQ Hamming metrics; PQ with the int8 LUT)
 # fit (score, member) into ONE int32: score * 2^PACK_BITS + member, with
 # member the element's index within its stride class. Ids then ride the
-# max/min value chains for FREE — per-class top-3 costs ~7 int ops per
+# max/min value chains for FREE — per-class top-r costs ~2r+3 int ops per
 # element, exact ids included, and heavy score ties (BQ's everyday case)
-# cost nothing because packed keys are distinct. The merge pools the
-# top-2 (with recovered ids); the top-3 value is the spill bound proving
-# exactness (a class hiding a 4th... entry above the k-th score triggers
-# the corpus-blocked fallback — probability ~C(k,3)/C^2 per query).
+# cost nothing because packed keys are distinct. The merge pools every
+# slot (ids recovered from the pack); the (r+1)-th value is the spill
+# bound proving exactness (r adapts to k via class_r, keeping the
+# fallback probability ~Q * C(k, r+1)/C^r per batch ~1e-4).
 
-PACK_BITS = 9  # member bits: up to 512 class members per block
+PACK_BITS = 11  # member bits: up to 2048 class members per block
 PACK_MEMBERS = 1 << PACK_BITS
 PACK_MIN = -(1 << 30)
 
 
-def extract_class_top3_packed(keys, member_base: int):
+def packed_ladder(ps, cur):
+    """Push one packed [TQ, SLOT] batch through the per-class sorted
+    slots; returns the demoted key (spill contribution). ~2 int ops per
+    slot per element."""
+    for j in range(len(ps)):
+        t = jnp.minimum(ps[j], cur)
+        ps[j] = jnp.maximum(ps[j], cur)
+        cur = t
+    return cur
+
+
+def extract_class_topr_packed(keys, member_base: int, r: int):
     """keys i32[TQ, TN] (score already shifted left PACK_BITS; invalid
-    lanes PACK_MIN) -> (p1, p2, p3) [TQ, SLOT] packed per-class top-3.
+    lanes PACK_MIN) -> (ps list of r [TQ, SLOT] packed slots, spill).
 
     ``member_base``: member index of this tile's first segment within its
     span block (the kernel passes (j % span) * ns)."""
     tq, tn = keys.shape
     ns = tn // SLOT
-    p1 = jnp.full((tq, SLOT), PACK_MIN, jnp.int32)
-    p2 = jnp.full((tq, SLOT), PACK_MIN, jnp.int32)
-    p3 = jnp.full((tq, SLOT), PACK_MIN, jnp.int32)
+    ps = [jnp.full((tq, SLOT), PACK_MIN, jnp.int32) for _ in range(r)]
+    spill = jnp.full((tq, SLOT), PACK_MIN, jnp.int32)
     for s in range(ns):
         pk = keys[:, s * SLOT : (s + 1) * SLOT] + (member_base + s)
-        t1 = jnp.minimum(p1, pk)
-        p1 = jnp.maximum(p1, pk)
-        t2 = jnp.minimum(p2, t1)
-        p2 = jnp.maximum(p2, t1)
-        p3 = jnp.maximum(p3, t2)
-    return p1, p2, p3
+        spill = jnp.maximum(spill, packed_ladder(ps, pk))
+    return ps, spill
 
 
-def combine_class_top3_packed(refs, p1, p2, p3, is_first):
-    """Merge a tile's packed top-3 into the revisited block outputs
-    (refs = (p1_ref, p2_ref, p3_ref)). Exact: merging two sorted triples'
-    top-3 needs only the pairwise min/max ladder below."""
-    r1, r2, r3 = refs
+def combine_class_topr_packed(refs, ps, spill, r: int, is_first):
+    """Merge a tile's packed slots into the revisited block outputs
+    (refs = r slot refs + spill ref)."""
+    pr, sp = list(refs[:r]), refs[r]
 
     @pl.when(is_first)
     def _init():
-        r1[:] = p1
-        r2[:] = p2
-        r3[:] = p3
+        for j in range(r):
+            pr[j][:] = ps[j]
+        sp[:] = spill
 
     @pl.when(jnp.logical_not(is_first))
     def _merge():
-        a1, a2, a3 = r1[:], r2[:], r3[:]
-        h1 = jnp.maximum(a1, p1)
-        l1 = jnp.minimum(a1, p1)
-        h2 = jnp.maximum(a2, p2)
-        # 2nd of the union = max(loser of the tops, both 2nds); 3rd =
-        # max(what 2nd displaced, loser of the 2nds, both 3rds).
-        r1[:] = h1
-        r2[:] = jnp.maximum(l1, h2)
-        r3[:] = jnp.maximum(
-            jnp.minimum(l1, h2),
-            jnp.maximum(jnp.minimum(a2, p2), jnp.maximum(a3, p3)),
-        )
+        run = [pr[j][:] for j in range(r)]
+        dropped = spill
+        for j in range(r):
+            dropped = jnp.maximum(dropped, packed_ladder(run, ps[j]))
+        for j in range(r):
+            pr[j][:] = run[j]
+        sp[:] = jnp.maximum(sp[:], dropped)
 
 
 def unpack_class(p, span: int, tile_n: int, shift_bits: int = PACK_BITS):
@@ -238,27 +318,27 @@ def unpack_class(p, span: int, tile_n: int, shift_bits: int = PACK_BITS):
     return key, gid
 
 
-def packed_span(nt: int) -> int:
-    """Widest span whose block member count fits PACK_BITS."""
-    return max(1, min(32, nt))
-
-
-def merge_packed_verified(p1, p2, p3, k: int, *, span, tile_n, n_valid,
+def merge_packed_verified(ps, spill, k: int, *, span, tile_n, n_valid,
                           key_to_score, fallback):
-    """Exact merge of the packed top-3 extraction: pool = top-1 and top-2
-    per class (ids decoded from the pack), spill bound = top-3 value.
-    ``key_to_score(key i32) -> f32`` applies the quantizer's affine
-    Hamming/LUT map per query. viol = any 3rd-place SCORE (member bits
-    stripped -> no false positives from id tiebreaks) strictly above the
-    k-th pooled score -> corpus-blocked ``fallback()`` via lax.cond."""
-    k1, i1 = unpack_class(p1, span, tile_n)
-    k2, i2 = unpack_class(p2, span, tile_n)
-    k3 = p3 >> PACK_BITS
-    s1 = jnp.where(i1 < n_valid, key_to_score(k1), NEG)
-    s2 = jnp.where((i2 < n_valid) & (p2 > PACK_MIN), key_to_score(k2), NEG)
-    s3 = jnp.where(p3 > PACK_MIN, key_to_score(k3), NEG)
-    pool_v = jnp.concatenate([s1, s2], axis=1)
-    pool_i = jnp.concatenate([i1, i2], axis=1)
+    """Exact merge of the packed top-r extraction: pool every slot with
+    ids decoded from the pack; spill (the (r+1)-th packed key) bounds
+    everything dropped. ``key_to_score(key i32) -> f32`` applies the
+    quantizer's affine Hamming/LUT map per query. viol = any spill SCORE
+    (member bits stripped -> no false positives from id tiebreaks)
+    strictly above the k-th pooled score -> corpus-blocked ``fallback()``
+    via lax.cond."""
+    vs, gi_s = [], []
+    for p in ps:
+        kk_, gid = unpack_class(p, span, tile_n)
+        vs.append(jnp.where(
+            (gid < n_valid) & (p > PACK_MIN), key_to_score(kk_), NEG
+        ))
+        gi_s.append(gid)
+    s3 = jnp.where(
+        spill > PACK_MIN, key_to_score(spill >> PACK_BITS), NEG
+    )
+    pool_v = jnp.concatenate(vs, axis=1)
+    pool_i = jnp.concatenate(gi_s, axis=1)
     kk = min(k, pool_v.shape[1])
     s, pos = jax.lax.top_k(pool_v, kk)
     gi = jnp.take_along_axis(pool_i, pos, axis=1)
@@ -352,14 +432,16 @@ def _merge(vals, idxs, k: int, live: int, approx_select: bool = False):
         v = jnp.concatenate(parts_v, axis=1)
         i = jnp.concatenate(parts_i, axis=1)
     kk = min(k, v.shape[1])
-    # approx_max_k whenever the pool is meaningfully wider than k: measured
-    # on v5e the TopK custom call costs ~0.6 ms at [256, 1664] in a chain
-    # while the partial reduce is ~free (round-3 regression check), and at
-    # 10M widths the gap is 13.7 ms vs <1 ms. recall_target=0.99 keeps the
-    # merge's own loss small next to the strided extraction's (the r2
-    # advisor note about stacking approximations).
+    # approx_max_k whenever the pool is meaningfully wider than k.
+    # recall_target matters for SPEED, not just quality: at [256, 6272]
+    # (100k corpus, k=10) whole-search ms/batch measured 0.345 at 0.95 /
+    # 0.474 at 0.99 / 0.470 with exact lax.top_k — a 0.99 target forces a
+    # reduction as large as the exact sort. At 10M widths (~156k) the gap
+    # is 13.7 ms exact vs <1 ms. The stacked-approximation loss (r2
+    # advisor note) is bounded by the extraction's own strided-collision
+    # loss and covered by the recall tests (>=0.8 overlap at 100k).
     if approx_select and v.shape[1] >= 4 * kk:
-        s, pos = jax.lax.approx_max_k(v, kk, recall_target=0.99)
+        s, pos = jax.lax.approx_max_k(v, kk, recall_target=0.95)
         pos = pos.astype(jnp.int32)
     else:
         s, pos = jax.lax.top_k(v, kk)

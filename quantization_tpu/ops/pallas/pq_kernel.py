@@ -51,20 +51,21 @@ from .ktile import (
     FUSED_K_MAX,
     NEG,
     PACK_BITS,
+    PACK_MEMBERS,
     PACK_MIN,
     SLOT,
     SPAN,
+    class_r,
     class_span,
-    combine_class_top2_ids,
-    combine_class_top3_packed,
+    combine_class_topr_ids,
+    combine_class_topr_packed,
     combine_slots,
     extract_approx_tile,
-    extract_class_top2_ids,
-    extract_class_top3_packed,
+    extract_class_topr_ids,
+    extract_class_topr_packed,
     merge_classes_verified,
     merge_packed_verified,
     merge_tile_topk_all,
-    packed_span,
 )
 
 TILE_N = 1024
@@ -279,7 +280,7 @@ def _make_pq_topk_kernel(
 
 
 def _make_pq_class_kernel(
-    n_valid: int, tile_n: int, span: int, kc: int = K,
+    n_valid: int, tile_n: int, span: int, r: int, kc: int = K,
     int8_lut: bool = False,
 ):
     """Exact kernel, extraction on the last m step. int8 LUT: the int32
@@ -319,12 +320,16 @@ def _make_pq_class_kernel(
                 key = jnp.where(
                     gid < n_valid, acc_ref[:] << PACK_BITS, PACK_MIN
                 )
-                p1, p2, p3 = extract_class_top3_packed(key, (j % span) * ns)
-                combine_class_top3_packed(out_refs, p1, p2, p3, j % span == 0)
+                ps, spill = extract_class_topr_packed(
+                    key, (j % span) * ns, r
+                )
+                combine_class_topr_packed(out_refs, ps, spill, r,
+                                          j % span == 0)
             else:
                 scores = jnp.where(gid < n_valid, acc_ref[:], NEG)
-                st = extract_class_top2_ids(scores, base)
-                combine_class_top2_ids(out_refs, *st, j % span == 0)
+                ms, is_, spill = extract_class_topr_ids(scores, base, r)
+                combine_class_topr_ids(out_refs, ms, is_, spill, r,
+                                       j % span == 0)
 
     return kernel
 
@@ -456,17 +461,22 @@ def pq_search_pallas(
 
         return blocked_topk(score_block, n_valid, k)
 
-    span = packed_span(nt) if int8_lut else class_span(nt)
+    r = class_r(k)
+    ns_ = TILE_N // SLOT
+    span = class_span(
+        nt, k, r,
+        span_cap=(PACK_MEMBERS // ns_) if int8_lut else None,
+    )
     nt_out = -(-nt // span)
     width = nt_out * SLOT
-    if k > 2 * width:
+    if k > r * width:
         return fallback()
     out_idx = lambda i, j, l: (i, j // span)  # noqa: E731
-    kernel = _make_pq_class_kernel(n_valid, TILE_N, span, kc, int8_lut)
+    kernel = _make_pq_class_kernel(n_valid, TILE_N, span, r, kc, int8_lut)
     if int8_lut:
-        dts = [jnp.int32] * 3
+        dts = [jnp.int32] * (r + 1)
     else:
-        dts = [jnp.float32, jnp.int32, jnp.float32, jnp.int32, jnp.float32]
+        dts = [jnp.float32, jnp.int32] * r + [jnp.float32]
     outs = pl.pallas_call(
         kernel,
         grid=(qp // tile_q, nt, mpad // M_BLK),
@@ -481,20 +491,19 @@ def pq_search_pallas(
     )(*operands)
 
     if int8_lut:
-        p1, p2, p3 = outs
-
         def key_to_score(key):
             return scale[:q] * key.astype(jnp.float32) + bias[:q]
 
         return merge_packed_verified(
-            p1[:q], p2[:q], p3[:q], k,
+            [o[:q] for o in outs[:r]], outs[r][:q], k,
             span=span, tile_n=TILE_N, n_valid=n_valid,
             key_to_score=key_to_score, fallback=fallback,
         )
 
-    m1, i1, m2, i2, m3 = outs
     return merge_classes_verified(
-        m1[:q], i1[:q], m2[:q], i2[:q], m3[:q], k, fallback
+        [outs[2 * j][:q] for j in range(r)],
+        [outs[2 * j + 1][:q] for j in range(r)],
+        outs[2 * r][:q], k, fallback,
     )
 
 

@@ -29,11 +29,12 @@ from .ktile import (
     NEG,
     SLOT,
     SPAN,
+    class_r,
     class_span,
-    combine_class_top2_ids,
+    combine_class_topr_ids,
     combine_slots,
     extract_approx_tile,
-    extract_class_top2_ids,
+    extract_class_topr_ids,
     merge_classes_verified,
     merge_tile_topk_all,
 )
@@ -108,9 +109,9 @@ def _make_dot_topk_kernel(n_valid: int, tile_n: int):
     return kernel
 
 
-def _make_dot_class2_kernel(n_valid: int, tile_n: int, span: int):
-    """Exact kernel: queries outer with the class-top2-with-ids extraction
-    (max/min chains + eq-reused selects; see ktile)."""
+def _make_dot_class_kernel(n_valid: int, tile_n: int, span: int, r: int):
+    """Exact kernel: queries outer with the class-top-r-with-ids ladder
+    extraction (max/min chains + eq-reused selects; see ktile)."""
 
     def kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, *out_refs):
         j = pl.program_id(1)
@@ -126,8 +127,8 @@ def _make_dot_class2_kernel(n_valid: int, tile_n: int, span: int):
         base = j * tile_n
         gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(gid < n_valid, scores, NEG)
-        m1, i1, m2, i2, m3 = extract_class_top2_ids(scores, base)
-        combine_class_top2_ids(out_refs, m1, i1, m2, i2, m3, j % span == 0)
+        ms, is_, spill = extract_class_topr_ids(scores, base, r)
+        combine_class_topr_ids(out_refs, ms, is_, spill, r, j % span == 0)
 
     return kernel
 
@@ -154,10 +155,11 @@ def sq_search_pallas(
     Returns (scores f32[Q, k], indices i32[Q, k]). DOT/L2 only (L1 scores
     ride the XLA path).
 
-    ``mode="exact"``: class-top2-with-ids extraction (max/min chains +
-    eq-reused selects, cost independent of k) — value-exact at any
-    k <= FUSED_K_MAX; the spill check reruns through a corpus-blocked
-    exact scan inside the same program (lax.cond) on the rare violation.
+    ``mode="exact"``: class-top-r-with-ids ladder extraction (max/min
+    chains + eq-reused selects; r adapts to k via ktile.class_r) —
+    value-exact at any k <= FUSED_K_MAX; the spill check reruns through a
+    corpus-blocked exact scan in the same program (lax.cond) on the rare
+    violation.
     ``mode="approx"``: one-pass strided segment-max (approx_max_k-grade
     recall, any k <= APPROX_K_MAX)."""
     assert distance_type != DistanceType.L1
@@ -256,16 +258,17 @@ def sq_search_pallas(
 
         return blocked_topk(score_block, n_valid, k)
 
-    span = class_span(nt)
+    r = class_r(k)
+    span = class_span(nt, k, r)
     nt_out = -(-nt // span)
     width = nt_out * SLOT
-    if k > 2 * width:
+    if k > r * width:
         # Tiny corpus relative to k: the candidate pool can't cover k.
         return fallback()
-    kernel = _make_dot_class2_kernel(n_valid, tile_n, span)
+    kernel = _make_dot_class_kernel(n_valid, tile_n, span, r)
     block = lambda i, j: (i, j // span)  # noqa: E731
-    dts = [jnp.float32, jnp.int32, jnp.float32, jnp.int32, jnp.float32]
-    m1, i1, m2, i2, m3 = pl.pallas_call(
+    dts = [jnp.float32, jnp.int32] * r + [jnp.float32]
+    outs = pl.pallas_call(
         kernel,
         grid=(qt, nt),
         in_specs=[
@@ -299,7 +302,9 @@ def sq_search_pallas(
         voff2.astype(jnp.float32),
     )
     return merge_classes_verified(
-        m1[:q], i1[:q], m2[:q], i2[:q], m3[:q], k, fallback
+        [outs[2 * j][:q] for j in range(r)],
+        [outs[2 * j + 1][:q] for j in range(r)],
+        outs[2 * r][:q], k, fallback,
     )
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -383,17 +384,30 @@ def main():
     # rescore the R survivors with the original f32 vectors. The rows are
     # re-materialized from ids (see gen_rows) — device-side cost is real,
     # the production host->device fetch (~126MB at R=160) is modeled as
-    # non-bottleneck.
+    # non-bottleneck. The code arrays are ARGUMENTS of the jitted step:
+    # a closure would bake the 7.7GB codes in as jit constants and hang
+    # the AOT compiler (measured: >50 min, never finished).
+    from quantization_tpu.ops.pallas.sq_kernel import (
+        sq_search_pallas as _sq_search,
+    )
+
     def sq_f32_two_stage(rr):
-        @jax.jit
-        def run():
-            _, ids = sq.top_k_device(eq_sq, rr, method="approx")
+        @partial(jax.jit, static_argnames=("rr",))
+        def run(qc, qo, codes, voffs, rr):
+            _, ids = _sq_search(
+                qc, qo, codes, voffs, sq._mult_dev,
+                distance_type=qt.DistanceType.DOT, n_valid=sq.count,
+                k=rr, mode="approx",
+            )
             rows = gen_rows(ids.reshape(-1)).reshape(Q, rr, D)
             fs = jnp.einsum("qd,qrd->qr", queries_dev, rows)
             ts, tp = jax.lax.top_k(fs, K)
             return ts, jnp.take_along_axis(ids, tp, axis=1)
 
-        return run
+        return lambda: run(
+            jnp.asarray(eq_sq.codes), jnp.asarray(eq_sq.offsets),
+            sq.codes, sq.voffsets, rr,
+        )
 
     for ov in (4, 8, 16):
         report(f"2s SQ->f32 ov={ov:g}", sq_f32_two_stage(ov * K), gt)
@@ -409,16 +423,26 @@ def main():
             eq2 = (eq_bq, eq_sq)
             report(f"two-stage ov={ov:g}", lambda: two.top_k_device(eq2, K), gt)
         # BQ coarse -> f32 rescore: same rescorer, weaker coarse signal.
+        from quantization_tpu.ops.pallas.bq_kernel import (
+            bq_search_mxu as _bq_search,
+        )
+
         def bq_f32_two_stage(rr):
-            @jax.jit
-            def run():
-                _, ids = bq.top_k_device(eq_bq, rr, method="approx")
+            # Planes passed as jit ARGUMENTS (not closure constants) for
+            # the same reason as the SQ two-stage above.
+            @partial(jax.jit, static_argnames=("rr",))
+            def run(qplanes, planes, rr):
+                _, ids = _bq_search(
+                    qplanes, planes,
+                    distance_type=qt.DistanceType.DOT, invert=False,
+                    dim=D, n_valid=bq.count, k=rr, mode="approx",
+                )
                 rows = gen_rows(ids.reshape(-1)).reshape(Q, rr, D)
                 fs = jnp.einsum("qd,qrd->qr", queries_dev, rows)
                 ts, tp = jax.lax.top_k(fs, K)
                 return ts, jnp.take_along_axis(ids, tp, axis=1)
 
-            return run
+            return lambda: run(jnp.asarray(eq_bq.planes), bq.planes, rr)
 
         for ov in (16, 64):
             report(f"2s BQ->f32 ov={ov:g}", bq_f32_two_stage(ov * K), gt)

@@ -6,7 +6,6 @@ chained independent slices per the dispatch-floor methodology.
     python tools/experiments/exp_stream.py {kernel,merge,noverify,full,approx}
 """
 
-import functools
 import sys
 import time
 
