@@ -357,10 +357,12 @@ def _sq_fused_setup(rng, n_valid, d, q, scale=None):
     return codes, voff, qcodes, qoff
 
 
-@pytest.mark.parametrize("k", [100, 256])
+@pytest.mark.parametrize("k", [100, 256, 600])
 def test_sq_fused_search_exact_beyond_old_cap(rng, k):
-    """The class-top2 extraction is exact at k well beyond the old k-round
-    cap of 64 (VERDICT r2 item 1: no more k>64 cliff)."""
+    """The class-top-r extraction is exact at k well beyond the old k-round
+    cap of 64 (VERDICT r2 item 1: no more k>64 cliff). k=100/256/600 walk
+    the class_r tiers r=3/4/5 (the insertion-ladder formulations; r=2's
+    specialized path is covered by the k=10 tests)."""
     from quantization_tpu.ops.pallas.sq_kernel import sq_search_pallas
     from quantization_tpu.ops.topk import topk_exact
 

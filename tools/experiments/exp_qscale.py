@@ -65,7 +65,6 @@ else:
 
 
 def bench(q, mode):
-    import functools
 
     @jax.jit
     def chain(a, b):
