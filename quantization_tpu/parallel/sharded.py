@@ -89,6 +89,26 @@ def make_mesh(
     return Mesh(devices.reshape(tuple(shape)), tuple(axis_names))
 
 
+def gathered_topk_merge(
+    s: jax.Array,  # [Q, kk] this shard's local top scores
+    gi: jax.Array,  # [Q, kk] matching GLOBAL ids
+    axis: str,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Cross-shard tail: all-gather k rows per shard over ICI, exact merge.
+    The only collective of a sharded search — [shards, Q, k] scores ride
+    ICI, never the host."""
+    s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)
+    gi_all = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
+    s_out, pos = jax.lax.top_k(s_all, min(k, s_all.shape[1]))
+    gi_out = jnp.take_along_axis(gi_all, pos, axis=1)
+    if s_out.shape[1] < k:
+        pad = k - s_out.shape[1]
+        s_out = jnp.pad(s_out, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        gi_out = jnp.pad(gi_out, ((0, 0), (0, pad)), constant_values=-1)
+    return s_out, gi_out
+
+
 def local_topk_merge(
     scores: jax.Array,  # [Q, n_local] this shard's scores
     axis: str,
@@ -116,11 +136,7 @@ def local_topk_merge(
     else:
         s, i = jax.lax.top_k(scores, kk)
     gi = jnp.take_along_axis(gidx, i, axis=1)
-    s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)
-    gi_all = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
-    s_out, pos = jax.lax.top_k(s_all, min(k, s_all.shape[1]))
-    gi_out = jnp.take_along_axis(gi_all, pos, axis=1)
-    return s_out, gi_out
+    return gathered_topk_merge(s, gi, axis, k)
 
 
 def _pad_rows(arr: np.ndarray, target: int, fill=0) -> np.ndarray:
@@ -529,9 +545,44 @@ def _sq_sharded_topk(
     distance_type, method="exact",
 ):
     def local(qc, qo, c, vo, mult):
-        from ..ops.pallas.sq_kernel import TILE_N as SQ_TILE, sq_scores_pallas
+        from ..ops.pallas.ktile import APPROX_K_MAX, FUSED_K_MAX
+        from ..ops.pallas.sq_kernel import (
+            TILE_N as SQ_TILE,
+            sq_scores_pallas,
+            sq_search_pallas,
+        )
 
         n_local = c.shape[0]
+        kk = min(k, n_local)
+        fused_ok = kk <= (APPROX_K_MAX if method == "approx" else FUSED_K_MAX)
+        if (
+            dispatch.use_pallas()
+            and distance_type != DistanceType.L1
+            and n_local % SQ_TILE == 0
+            and fused_ok
+        ):
+            # Per-shard FUSED search — the [Q, n_local] score matrix never
+            # materializes (1.28 GB/call at 1.25M rows: the score-matrix
+            # local path measured 22.5 vs 4.7 ms single-device on a
+            # 1-device real mesh). Per-shard validity is data-dependent
+            # (the LAST shard holds the global padding) while the kernel's
+            # n_valid is static, so padding is masked through ``vo``: the
+            # SQ score is affine in the per-vector offset, and a -3.4e38
+            # offset keeps padding rows out of any top-k at every
+            # distance type — exactness untouched.
+            shard_idx = jax.lax.axis_index(axis)
+            rows = shard_idx * n_local + jax.lax.iota(jnp.int32, n_local)
+            vo_m = jnp.where(rows < count, vo, jnp.float32(-3.4e38))
+            s, li = sq_search_pallas(
+                qc, qo, c, vo_m, mult,
+                distance_type=distance_type, n_valid=n_local, k=kk,
+                mode=method,
+            )
+            gi = jnp.where(li >= 0, li + shard_idx * n_local, -1)
+            valid = (gi >= 0) & (gi < count)
+            s = jnp.where(valid, s, NEG_INF)
+            gi = jnp.where(valid, gi, -1)
+            return gathered_topk_merge(s, gi, axis, k)
         if (
             dispatch.use_pallas()
             and distance_type != DistanceType.L1
