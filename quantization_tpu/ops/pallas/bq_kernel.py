@@ -115,12 +115,14 @@ def _unpack_bits(p_ref):
     ).astype(jnp.int8)
 
 
-def _make_mxu_topk_kernel(n_valid: int, tile_n: int):
+def _make_mxu_topk_kernel(tile_n: int):
     """Approx kernel: queries-outer grid (i, j) — the SPAN-merged slot
     block needs consecutive corpus tiles; runs a 256-row query tile so the
-    bit unpack happens once per corpus tile at Q<=256."""
+    bit unpack happens once per corpus tile at Q<=256. The validity
+    cutoff arrives as an SMEM scalar (``nv_ref``) so sharded callers can
+    pass a per-shard, data-dependent count (sharded.py)."""
 
-    def kernel(mult_ref, qs_ref, p_ref, qb_ref, outv_ref, outi_ref):
+    def kernel(nv_ref, mult_ref, qs_ref, p_ref, qb_ref, outv_ref, outi_ref):
         j = pl.program_id(1)
         bits = _unpack_bits(p_ref)
         acc = jax.lax.dot_general(
@@ -132,23 +134,22 @@ def _make_mxu_topk_kernel(n_valid: int, tile_n: int):
         scores = mult_ref[0] * acc.astype(jnp.float32) + qb_ref[:]
         base = j * tile_n
         gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(gid < n_valid, scores, NEG)
+        scores = jnp.where(gid < nv_ref[0], scores, NEG)
         vals, idx = extract_approx_tile(scores, base)
         combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
 
     return kernel
 
 
-def _make_mxu_packed_kernel(
-    n_valid: int, tile_n: int, span: int, sign: int, r: int
-):
+def _make_mxu_packed_kernel(tile_n: int, span: int, sign: int, r: int):
     """Exact kernel: integer BQ scores pack (sign*acc << PACK_BITS |
     member) so the per-class top-r rides pure int max/min chains with ids
     FREE (ktile packed extraction; score ties — BQ's everyday case — cost
-    nothing because packed keys are distinct)."""
+    nothing because packed keys are distinct). Validity cutoff via SMEM
+    scalar, as in the approx kernel."""
     ns = tile_n // SLOT
 
-    def kernel(mult_ref, qs_ref, p_ref, qb_ref, *out_refs):
+    def kernel(nv_ref, mult_ref, qs_ref, p_ref, qb_ref, *out_refs):
         j = pl.program_id(1)
         bits = _unpack_bits(p_ref)
         acc = jax.lax.dot_general(
@@ -160,7 +161,7 @@ def _make_mxu_packed_kernel(
         key = (sign * acc) << PACK_BITS
         base = j * tile_n
         gid = base + jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
-        key = jnp.where(gid < n_valid, key, PACK_MIN)
+        key = jnp.where(gid < nv_ref[0], key, PACK_MIN)
         ps, spill = extract_class_topr_packed(key, (j % span) * ns, r)
         combine_class_topr_packed(out_refs, ps, spill, r, j % span == 0)
 
@@ -214,11 +215,17 @@ def bq_search_mxu(
     k: int,
     mode: str = "exact",
     interpret: bool = None,
+    n_valid_dyn: jax.Array = None,
 ):
     """Fused BQ search: on-chip bit unpack + int8 MXU scoring + in-tile
     top-k — (scores f32[Q, k], indices i32[Q, k]) without a [Q, N] matrix.
     ``mode="approx"``: one-pass strided segment-max extraction (cost
     independent of k, any k <= SLOT) — the coarse-stage default.
+
+    ``n_valid_dyn``: optional TRACED i32 scalar overriding the validity
+    cutoff (must be <= the static ``n_valid``, which still bounds shapes
+    and fallback blocking) — lets shard_map callers mask the last shard's
+    data-dependent padding without a per-shard recompile (sharded.py).
 
     Scores are integer-exact. BQ scores tie heavily (they are small
     integers); among tied scores the returned indices may differ from a
@@ -243,6 +250,8 @@ def bq_search_mxu(
 
     qs, pq = _query_signs(qplanes, w8, dim)
     mult, qb = _metric_affine(distance_type, invert, dim, pq)
+    nv = n_valid if n_valid_dyn is None else n_valid_dyn
+    nv_op = jnp.asarray(nv, jnp.int32).reshape(1)
 
     approx = mode == "approx"
     # 256-row query tiles in both modes (extraction temporaries
@@ -254,6 +263,7 @@ def bq_search_mxu(
     nt = n // tn
     qt = qp // tq
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid cutoff (1,)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # mult (1,)
         pl.BlockSpec((tq, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((w8, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
@@ -261,7 +271,7 @@ def bq_search_mxu(
     ]
     if approx:
         nt_out = -(-nt // SPAN)
-        kernel = _make_mxu_topk_kernel(n_valid, tn)
+        kernel = _make_mxu_topk_kernel(tn)
         vals, idxs = pl.pallas_call(
             kernel,
             grid=(qt, nt),
@@ -283,7 +293,7 @@ def bq_search_mxu(
                 jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
             ],
             interpret=interpret,
-        )(mult, qs_p, planes, qb_p)
+        )(nv_op, mult, qs_p, planes, qb_p)
         return merge_tile_topk_all(vals[:q], idxs[:q], k)
 
     # ------------------------------------------------------------- exact
@@ -305,10 +315,13 @@ def bq_search_mxu(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            return mult[0] * acc.astype(jnp.float32) + qb0
+            sc = mult[0] * acc.astype(jnp.float32) + qb0
+            gid = b0 + jnp.arange(sc.shape[1], dtype=jnp.int32)[None, :]
+            return jnp.where(gid < nv, sc, NEG)
 
         # Smaller blocks than the generic default: the jnp unpack
-        # materializes a [dp, block] int32 transient.
+        # materializes a [dp, block] int32 transient. Blocking covers the
+        # STATIC n_valid; the (possibly traced) nv cutoff rides the mask.
         return blocked_topk(score_block, n_valid, k, block_rows=1 << 17)
 
     r = class_r(k)
@@ -319,7 +332,7 @@ def bq_search_mxu(
     if k > r * width or (dim << PACK_BITS) >= (1 << 30):
         return fallback()  # pool too narrow for k / packed key overflow
     sign = 1 if (distance_type == DistanceType.DOT) != invert else -1
-    kernel = _make_mxu_packed_kernel(n_valid, tn, span, sign, r)
+    kernel = _make_mxu_packed_kernel(tn, span, sign, r)
     block = lambda i, j: (i, j // span)  # noqa: E731
     outs = pl.pallas_call(
         kernel,
@@ -334,14 +347,14 @@ def bq_search_mxu(
             for _ in range(r + 1)
         ],
         interpret=interpret,
-    )(mult, qs_p, planes, qb_p)
+    )(nv_op, mult, qs_p, planes, qb_p)
 
     def key_to_score(key):  # score = mult*acc + qb = 2*key + qb
         return 2.0 * key.astype(jnp.float32) + qb0
 
     return merge_packed_verified(
         [o[:q] for o in outs[:r]], outs[r][:q], k,
-        span=span, tile_n=tn, n_valid=n_valid,
+        span=span, tile_n=tn, n_valid=nv,
         key_to_score=key_to_score, fallback=fallback,
     )
 

@@ -236,16 +236,18 @@ def _accumulate_block4(codes_ref, lut_ref, acc):
 
 
 def _make_pq_topk_kernel(
-    n_valid: int, tile_n: int, kc: int = K, int8_lut: bool = False,
+    tile_n: int, kc: int = K, int8_lut: bool = False,
 ):
     """Approx kernel: grid (q-tiles, corpus tiles, m-blocks), m innermost;
-    SPAN-merged slot extraction on the last m step."""
+    SPAN-merged slot extraction on the last m step. Validity cutoff via
+    SMEM scalar (``nv_ref``) so sharded callers can pass a per-shard,
+    data-dependent count (sharded.py)."""
     if int8_lut:
         accumulate = _accumulate_block_i8 if kc == K else _accumulate_block4_i8
     else:
         accumulate = _accumulate_block if kc == K else _accumulate_block4
 
-    def kernel(codes_ref, lut_ref, *rest):
+    def kernel(nv_ref, codes_ref, lut_ref, *rest):
         if int8_lut:
             scale_ref, bias_ref, outv_ref, outi_ref, acc_ref = rest
         else:
@@ -272,7 +274,7 @@ def _make_pq_topk_kernel(
             else:
                 scores = acc_ref[:]
             gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(gid < n_valid, scores, NEG)
+            scores = jnp.where(gid < nv_ref[0], scores, NEG)
             vals, idx = extract_approx_tile(scores, base)
             combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
 
@@ -280,7 +282,7 @@ def _make_pq_topk_kernel(
 
 
 def _make_pq_class_kernel(
-    n_valid: int, tile_n: int, span: int, r: int, kc: int = K,
+    tile_n: int, span: int, r: int, kc: int = K,
     int8_lut: bool = False,
 ):
     """Exact kernel, extraction on the last m step. int8 LUT: the int32
@@ -294,7 +296,7 @@ def _make_pq_class_kernel(
         accumulate = _accumulate_block if kc == K else _accumulate_block4
     ns = tile_n // SLOT
 
-    def kernel(codes_ref, lut_ref, *rest):
+    def kernel(nv_ref, codes_ref, lut_ref, *rest):
         if int8_lut:
             scale_ref, bias_ref = rest[:2]
             out_refs, acc_ref = rest[2:-1], rest[-1]
@@ -318,7 +320,7 @@ def _make_pq_class_kernel(
             )
             if int8_lut:
                 key = jnp.where(
-                    gid < n_valid, acc_ref[:] << PACK_BITS, PACK_MIN
+                    gid < nv_ref[0], acc_ref[:] << PACK_BITS, PACK_MIN
                 )
                 ps, spill = extract_class_topr_packed(
                     key, (j % span) * ns, r
@@ -326,7 +328,7 @@ def _make_pq_class_kernel(
                 combine_class_topr_packed(out_refs, ps, spill, r,
                                           j % span == 0)
             else:
-                scores = jnp.where(gid < n_valid, acc_ref[:], NEG)
+                scores = jnp.where(gid < nv_ref[0], acc_ref[:], NEG)
                 ms, is_, spill = extract_class_topr_ids(scores, base, r)
                 combine_class_topr_ids(out_refs, ms, is_, spill, r,
                                        j % span == 0)
@@ -346,6 +348,7 @@ def pq_search_pallas(
     mode: str = "exact",
     interpret: bool = None,
     precision: str = None,
+    n_valid_dyn: jax.Array = None,
 ):
     """Fused PQ search: one-hot MXU accumulation into a VMEM scratch tile +
     in-tile top-k — (scores f32[Q, k], indices i32[Q, k]) without the
@@ -377,8 +380,14 @@ def pq_search_pallas(
     qp = round_up(q, tile_q)
     nt = n // TILE_N
     approx = mode == "approx"
+    # Optional TRACED validity cutoff (<= the static n_valid, which keeps
+    # bounding shapes/fallback blocking) — sharded callers mask the last
+    # shard's data-dependent padding without a per-shard recompile.
+    nv = n_valid if n_valid_dyn is None else n_valid_dyn
+    nv_op = jnp.asarray(nv, jnp.int32).reshape(1)
 
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid cutoff (1,)
         pl.BlockSpec(
             (M_BLK, TILE_N), lambda i, j, l: (l, j), memory_space=pltpu.VMEM
         ),
@@ -390,7 +399,7 @@ def pq_search_pallas(
     ]
     if int8_lut:
         lut_flat, scale, bias = _quantize_lut(lut, mpad, qp)
-        operands = (codes_t.astype(jnp.int8), lut_flat, scale, bias)
+        operands = (nv_op, codes_t.astype(jnp.int8), lut_flat, scale, bias)
         in_specs += [
             pl.BlockSpec(
                 (tile_q, 1), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
@@ -406,13 +415,13 @@ def pq_search_pallas(
             .reshape(qp, mpad * kc)
             .astype(jnp.bfloat16)
         )
-        operands = (codes_t.astype(jnp.int8), lut_flat)
+        operands = (nv_op, codes_t.astype(jnp.int8), lut_flat)
         scratch = [pltpu.VMEM((tile_q, TILE_N), jnp.float32)]
 
     if approx:
         nt_out = -(-nt // SPAN)
         out_idx = lambda i, j, l: (i, j // SPAN)  # noqa: E731
-        kernel = _make_pq_topk_kernel(n_valid, TILE_N, kc, int8_lut)
+        kernel = _make_pq_topk_kernel(TILE_N, kc, int8_lut)
         vals, idxs = pl.pallas_call(
             kernel,
             grid=(qp // tile_q, nt, mpad // M_BLK),
@@ -455,9 +464,11 @@ def pq_search_pallas(
                 return raw
 
         def score_block(b0, b1):
-            return affine(score_lut_xla(
+            sc = affine(score_lut_xla(
                 lut_eff, jax.lax.slice_in_dim(codes_nm, b0, b1, axis=0)[:, :m]
             ))
+            gid = b0 + jnp.arange(sc.shape[1], dtype=jnp.int32)[None, :]
+            return jnp.where(gid < nv, sc, NEG)
 
         return blocked_topk(score_block, n_valid, k)
 
@@ -472,7 +483,7 @@ def pq_search_pallas(
     if k > r * width:
         return fallback()
     out_idx = lambda i, j, l: (i, j // span)  # noqa: E731
-    kernel = _make_pq_class_kernel(n_valid, TILE_N, span, r, kc, int8_lut)
+    kernel = _make_pq_class_kernel(TILE_N, span, r, kc, int8_lut)
     if int8_lut:
         dts = [jnp.int32] * (r + 1)
     else:
@@ -496,7 +507,7 @@ def pq_search_pallas(
 
         return merge_packed_verified(
             [o[:q] for o in outs[:r]], outs[r][:q], k,
-            span=span, tile_n=TILE_N, n_valid=n_valid,
+            span=span, tile_n=TILE_N, n_valid=nv,
             key_to_score=key_to_score, fallback=fallback,
         )
 

@@ -972,14 +972,39 @@ def _bq_sharded_topk(
     method="exact",
 ):
     def local(qp, pl_shard):
-        from ..ops.pallas.bq_kernel import MXU_TILE_N, bq_scores_mxu
+        from ..ops.pallas.bq_kernel import (
+            MXU_TILE_N,
+            bq_scores_mxu,
+            bq_search_mxu,
+        )
+        from ..ops.pallas.ktile import APPROX_K_MAX, FUSED_K_MAX
 
         n_local = pl_shard.shape[1]
-        if (
+        kk = min(k, n_local)
+        fused_ok = kk <= (APPROX_K_MAX if method == "approx" else FUSED_K_MAX)
+        pallas_ok = (
             dispatch.use_pallas()
             and n_local % MXU_TILE_N == 0
             and pl_shard.shape[0] % 8 == 0
-        ):
+        )
+        if pallas_ok and fused_ok:
+            # Per-shard FUSED search (no [Q, n_local] score matrix — see
+            # the SQ twin above). The last shard's data-dependent padding
+            # cutoff rides the kernel's SMEM n_valid operand.
+            shard_idx = jax.lax.axis_index(axis)
+            shard_valid = jnp.clip(count - shard_idx * n_local, 0, n_local)
+            s, li = bq_search_mxu(
+                qp, pl_shard,
+                distance_type=distance_type, invert=invert, dim=dim,
+                n_valid=n_local, k=kk, mode=method,
+                n_valid_dyn=shard_valid,
+            )
+            gi = jnp.where(li >= 0, li + shard_idx * n_local, -1)
+            valid = (gi >= 0) & (gi < count)
+            s = jnp.where(valid, s, NEG_INF)
+            gi = jnp.where(valid, gi, -1)
+            return gathered_topk_merge(s, gi, axis, k)
+        if pallas_ok:
             scores = bq_scores_mxu(
                 qp, pl_shard,
                 distance_type=distance_type, invert=invert, dim=dim,
@@ -1324,18 +1349,39 @@ def _pq_sharded_topk(
     precision=None,
 ):
     def local(lut_rep, codes_t_shard):
+        from ..ops.pallas.ktile import APPROX_K_MAX, FUSED_K_MAX
         from ..ops.pallas.pq_kernel import (
             M_BLK,
             TILE_N as PQ_TILE,
             pq_scores_pallas,
+            pq_search_pallas,
         )
 
         n_local = codes_t_shard.shape[1]
-        if (
+        kk = min(k, n_local)
+        fused_ok = kk <= (APPROX_K_MAX if method == "approx" else FUSED_K_MAX)
+        pallas_ok = (
             dispatch.use_pallas()
             and n_local % PQ_TILE == 0
             and codes_t_shard.shape[0] % M_BLK == 0
-        ):
+        )
+        if pallas_ok and fused_ok:
+            # Per-shard FUSED search (see the SQ twin above); the last
+            # shard's data-dependent padding cutoff rides the kernel's
+            # SMEM n_valid operand.
+            shard_idx = jax.lax.axis_index(axis)
+            shard_valid = jnp.clip(count - shard_idx * n_local, 0, n_local)
+            s, li = pq_search_pallas(
+                lut_rep, codes_t_shard,
+                n_valid=n_local, k=kk, mode=method, precision=precision,
+                n_valid_dyn=shard_valid,
+            )
+            gi = jnp.where(li >= 0, li + shard_idx * n_local, -1)
+            valid = (gi >= 0) & (gi < count)
+            s = jnp.where(valid, s, NEG_INF)
+            gi = jnp.where(valid, gi, -1)
+            return gathered_topk_merge(s, gi, axis, k)
+        if pallas_ok:
             scores = pq_scores_pallas(
                 lut_rep, codes_t_shard, n_valid=n_local, precision=precision
             )
