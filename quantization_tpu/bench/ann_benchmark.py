@@ -2,7 +2,10 @@
 
 Flags mirror the reference's clap interface (ann_benchmark.rs:20-44):
   --dataset SUBSTR   filter the 11-dataset registry
-  --method  u8|pq|bq|bq-u8|bq-exact  quantizer (+ optional rescoring stage)
+  --method  u8|pq|bq|bq-u8|bq-exact|u8-f32  quantizer (+ optional
+            rescoring stage; u8-f32 = SQ-approx coarse -> original-vector
+            rescore, the highest-recall serving config measured in
+            BASELINE.md round 3)
   --quantile F       SQ quantile calibration
   --chunk-size N     PQ chunk size
   --pq-bits 4|8      PQ code width (4-bit halves bytes, 16x less MXU work)
@@ -65,6 +68,17 @@ def build_index(method: str, data: AnnBenchmarkData, args):
         coarse = BinaryQuantizer.encode(data.train, params)
         fine = ExactRescorer(data.train, data.distance_type, invert)
         index = TwoStageIndex(coarse, fine, oversampling=args.oversampling)
+    elif method == "u8-f32":
+        # The round-3 serving headline (BASELINE.md): SQ-approx coarse ->
+        # rescore the survivors with the ORIGINAL f32 vectors.
+        coarse = ScalarQuantizerU8.encode(
+            data.train, params, quantile=args.quantile
+        )
+        fine = ExactRescorer(data.train, data.distance_type, invert)
+        index = TwoStageIndex(
+            coarse, fine, oversampling=args.oversampling,
+            coarse_method="approx",
+        )
     else:
         raise SystemExit(f"unknown method {method!r}")
     if getattr(args, "sharded", False):
@@ -118,15 +132,23 @@ def _shard_index(index, data):
 
 def bench_scoring(data: AnnBenchmarkData, index, args, label: str):
     """Quantized full-scan scoring throughput (reference --bench path,
-    ann_benchmark.rs:245-261)."""
+    ann_benchmark.rs:245-261). Indexes without a dense ``score_batch``
+    (sharded wrappers, two-stage pipelines) bench the SEARCH path
+    (``top_k_device``) instead — the serving-relevant number."""
     import jax
 
     q = data.test[: args.query_batch]
     eq = index.encode_query(q)
 
-    def run():
-        out = index.score_batch(eq)
-        jax.block_until_ready(out)
+    if not hasattr(index, "score_batch"):
+        def run():
+            out = index.top_k_device(eq, 10)
+            jax.block_until_ready(out)
+        label = f"{label} search-top10"
+    else:
+        def run():
+            out = index.score_batch(eq)
+            jax.block_until_ready(out)
 
     run()
     run()
@@ -181,7 +203,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="", help="substring filter")
     p.add_argument("--method", default="u8",
-                   choices=["u8", "pq", "bq", "bq-u8", "bq-exact"])
+                   choices=["u8", "pq", "bq", "bq-u8", "bq-exact", "u8-f32"])
     p.add_argument("--quantile", type=float, default=None)
     p.add_argument("--chunk-size", type=int, default=2)
     p.add_argument("--pq-bits", type=int, default=8, choices=[4, 8],
@@ -228,7 +250,9 @@ def main(argv=None):
                 same_10=res.same_10, same_20=res.same_20,
                 same_30=res.same_30, **timings,
             )
-        if args.bench and hasattr(index, "score_batch"):
+        if args.bench and (
+            hasattr(index, "score_batch") or hasattr(index, "top_k_device")
+        ):
             entry["qps"] = bench_scoring(data, index, args, args.method)
         if args.bench_f32:
             entry["f32_qps"] = bench_f32(data, args)

@@ -35,3 +35,24 @@ def test_cli_sharded_exact_rescorer():
         "--test-acc", "--synthetic-count", "3000", "--query-batch", "64",
     ])
     assert res[0]["same_10"] > 0.6
+
+
+def test_cli_u8_f32_two_stage():
+    """The round-3 serving headline as a first-class CLI method: SQ-approx
+    coarse -> original-vector rescore (BASELINE.md round 3)."""
+    res = _run([
+        "--dataset", "sift", "--method", "u8-f32", "--test-acc",
+        "--synthetic-count", "3000", "--query-batch", "64",
+        "--oversampling", "4",
+    ])
+    assert res[0]["same_10"] > 0.8  # f32 rescore recovers coarse loss
+
+
+def test_cli_sharded_bench_search_path():
+    """--bench on a sharded index (no dense score_batch) measures the
+    search path instead of silently skipping."""
+    res = _run([
+        "--dataset", "sift", "--method", "u8", "--sharded", "--bench",
+        "--synthetic-count", "3000", "--query-batch", "64", "--iters", "2",
+    ])
+    assert res[0]["qps"] > 0
