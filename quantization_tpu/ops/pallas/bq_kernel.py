@@ -324,7 +324,7 @@ def bq_search_mxu(
         # STATIC n_valid; the (possibly traced) nv cutoff rides the mask.
         return blocked_topk(score_block, n_valid, k, block_rows=1 << 17)
 
-    r = class_r(k)
+    r = class_r(k, n_valid)
     ns = tn // SLOT
     span = class_span(nt, k, r, span_cap=PACK_MEMBERS // ns)
     nt_out = -(-nt // span)

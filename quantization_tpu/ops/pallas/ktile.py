@@ -70,18 +70,29 @@ APPROX_K_MAX = 4096
 # (ann_benchmark_data.rs:151-166).
 
 
-def class_r(k: int) -> int:
+def class_r(k: int, n: int = 0) -> int:
     """Per-class retained depth r for the exact extractions: a class must
-    hide MORE than r of the top-k to force the blocked fallback, so with
-    C ~ 20k stride classes at 10M the per-batch failure probability
-    Q * C(k, r+1) / C^r stays ~1e-4 at each step of this table."""
+    hide MORE than r of the top-k to force the blocked fallback.
+
+    At corpora >= 2M rows the depth is one deeper than the k-tier alone
+    requires. Reason (measured, 5M x 1536 clustered): the spill fallback
+    rescans the WHOLE corpus, and a fixed query batch that genuinely
+    hides r+1 of its top-k in one class pays that rescan on EVERY
+    repetition — the per-batch probability (~5e-2 by span choice) prices
+    a random workload, not a deterministic one (86.9 ms vs 15.99 approx
+    was one such poisoned batch). One extra slot costs ~1-2 ms at 10M
+    and drops the probability ~1000x (P ~ Q*C(k, r+1)/C^r), making a
+    poisoned batch effectively impossible; at small corpora the rescan
+    is ~2 ms and the shallower, faster extraction wins."""
     if k <= 16:
-        return 2
-    if k <= 128:
-        return 3
-    if k <= 512:
-        return 4
-    return 5
+        r = 2
+    elif k <= 128:
+        r = 3
+    elif k <= 512:
+        r = 4
+    else:
+        r = 5
+    return r + 1 if n >= 2_000_000 else r
 
 
 def ladder_insert(ms, is_, cur_v, cur_i):

@@ -472,7 +472,7 @@ def pq_search_pallas(
 
         return blocked_topk(score_block, n_valid, k)
 
-    r = class_r(k)
+    r = class_r(k, n_valid)
     ns_ = TILE_N // SLOT
     span = class_span(
         nt, k, r,

@@ -258,7 +258,7 @@ def sq_search_pallas(
 
         return blocked_topk(score_block, n_valid, k)
 
-    r = class_r(k)
+    r = class_r(k, n_valid)
     span = class_span(nt, k, r)
     nt_out = -(-nt // span)
     width = nt_out * SLOT
