@@ -142,6 +142,35 @@ def extract_class_topr_ids(scores, base_index, r: int):
             i1 = jnp.where(took, sid, i1)
             m1, m2 = m1n, m2n
         return [m1, m2], [i1, i2], m3
+    if r == 3:
+        # Specialized r=3 (the hardened >=2M depth for k<=16): same
+        # eq-reuse chains extended one slot — 5 selects/element vs the
+        # ladder's 6.
+        m1 = jnp.full((tq, SLOT), NEG, jnp.float32)
+        m2 = jnp.full((tq, SLOT), NEG, jnp.float32)
+        m3 = jnp.full((tq, SLOT), NEG, jnp.float32)
+        m4 = jnp.full((tq, SLOT), NEG, jnp.float32)
+        i1 = jnp.full((tq, SLOT), -1, jnp.int32)
+        i2 = jnp.full((tq, SLOT), -1, jnp.int32)
+        i3 = jnp.full((tq, SLOT), -1, jnp.int32)
+        for s in range(ns):
+            seg = scores[:, s * SLOT : (s + 1) * SLOT]
+            sid = base_index + s * SLOT + lane
+            m1n = jnp.maximum(m1, seg)
+            took1 = seg == m1n
+            t1 = jnp.minimum(m1, seg)
+            ti1 = jnp.where(took1, i1, sid)
+            i1 = jnp.where(took1, sid, i1)
+            m2n = jnp.maximum(m2, t1)
+            took2 = t1 == m2n
+            t2 = jnp.minimum(m2, t1)
+            ti2 = jnp.where(took2, i2, ti1)
+            i2 = jnp.where(took2, ti1, i2)
+            m3n = jnp.maximum(m3, t2)
+            i3 = jnp.where(t2 == m3n, ti2, i3)
+            m4 = jnp.maximum(m4, jnp.minimum(m3, t2))
+            m1, m2, m3 = m1n, m2n, m3n
+        return [m1, m2, m3], [i1, i2, i3], m4
     ms = [jnp.full((tq, SLOT), NEG, jnp.float32) for _ in range(r)]
     is_ = [jnp.full((tq, SLOT), -1, jnp.int32) for _ in range(r)]
     spill = jnp.full((tq, SLOT), NEG, jnp.float32)
