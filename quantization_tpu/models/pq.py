@@ -31,6 +31,7 @@ from ..core.interface import (
 from ..core.storage import EncodedStorage
 from ..core.types import (
     ArgumentsError,
+    DistanceType,
     StorageIOError,
     VectorParameters,
     check_stop,
@@ -51,6 +52,9 @@ class PQMetadata:
     vector_division: List[Tuple[int, int]]
     vector_parameters: VectorParameters
     bits: int = 8  # 8 (reference parity, 256 centroids) or 4 (Quick-ADC)
+    # OPQ rotation f32[dim, dim] or None. Codes/centroids quantize
+    # x @ rotation; key absent in reference-written files (ops/opq.py).
+    rotation: Optional[np.ndarray] = None
 
     def to_json(self) -> dict:
         out = {
@@ -64,10 +68,15 @@ class PQMetadata:
         }
         if self.bits != 8:
             out["bits"] = self.bits  # absent in reference-written files
+        if self.rotation is not None:
+            out["rotation"] = [
+                [float(v) for v in row] for row in np.asarray(self.rotation)
+            ]
         return out
 
     @classmethod
     def from_json(cls, obj: dict) -> "PQMetadata":
+        rot = obj.get("rotation")
         return cls(
             centroids=np.asarray(obj["centroids"], dtype=np.float32),
             vector_division=[
@@ -75,6 +84,7 @@ class PQMetadata:
             ],
             vector_parameters=VectorParameters.from_json(obj["vector_parameters"]),
             bits=int(obj.get("bits", 8)),
+            rotation=None if rot is None else np.asarray(rot, dtype=np.float32),
         )
 
 
@@ -121,6 +131,11 @@ class ProductQuantizer(EncodedVectors):
                 np.asarray(metadata.centroids), metadata.vector_division
             )
         )  # f32 [m, k, dmax]
+        self._rot = (
+            None
+            if metadata.rotation is None
+            else jnp.asarray(metadata.rotation, jnp.float32)
+        )
         self._cdist: Optional[jax.Array] = None
 
     # ------------------------------------------------------------------ train
@@ -134,14 +149,26 @@ class ProductQuantizer(EncodedVectors):
         batch_size: int = 16384,
         seed: int = 0,
         bits: int = 8,
+        rotation=None,
     ) -> "ProductQuantizer":
         """k-means train + batched encode (encoded_vectors_pq.rs:56-107).
 
         ``bits=4`` trains 16 centroids per chunk (Quick-ADC style, half the
         code bytes and 16x less scan compute on the MXU, at a recall cost —
-        use smaller chunk_size to compensate). 8 is reference parity."""
+        use smaller chunk_size to compensate). 8 is reference parity.
+
+        ``rotation`` enables OPQ (ops/opq.py — not in the reference):
+        ``"opq"`` learns an orthogonal rotation on the training sample
+        (eigen-allocation init + alternating Procrustes refinement); an
+        explicit f32[dim, dim] orthogonal matrix is used as-is. Codes and
+        centroids then quantize ``x @ R``; dot/L2 scores are unchanged by
+        the rotation, L1 is not preserved and is rejected."""
         if bits not in (4, 8):
             raise ArgumentsError(f"bits must be 4 or 8, got {bits}")
+        if rotation is not None and params.distance_type == DistanceType.L1:
+            raise ArgumentsError(
+                "OPQ rotation does not preserve L1 distances; use DOT or L2"
+            )
         if not callable(data):
             validate_vector_parameters(data, params)
         division = pq_ops.get_vector_division(params.dim, chunk_size)
@@ -150,11 +177,13 @@ class ProductQuantizer(EncodedVectors):
         def batches():
             return iter_batches(data, batch_size)
 
-        centroids = cls._find_centroids(
-            batches, division, params, stop_condition, seed, k
+        centroids, rot = cls._find_centroids(
+            batches, division, params, stop_condition, seed, k,
+            rotation=rotation,
         )
 
         c_chunks = jnp.asarray(pq_ops.centroids_to_chunks(centroids, division))
+        rot_j = None if rot is None else jnp.asarray(rot)
         code_chunks = []
         total = 0
         for batch in batches():
@@ -164,7 +193,12 @@ class ProductQuantizer(EncodedVectors):
                     f"Vector length {batch.shape[1]} does not match vector "
                     f"parameters dim {params.dim}"
                 )
-            x_chunks = jnp.asarray(pq_ops.chunk_tensor(batch, division))
+            if rot_j is not None:
+                x_chunks = pq_ops.chunk_rows_device(
+                    jnp.asarray(batch, jnp.float32) @ rot_j, division
+                )
+            else:
+                x_chunks = jnp.asarray(pq_ops.chunk_tensor(batch, division))
             code_chunks.append(np.asarray(pq_ops.encode_batch(x_chunks, c_chunks)))
             total += batch.shape[0]
         if total != params.count:
@@ -177,32 +211,58 @@ class ProductQuantizer(EncodedVectors):
             if code_chunks
             else np.zeros((0, len(division)), np.uint8)
         )
-        meta = PQMetadata(centroids, division, params, bits=bits)
+        meta = PQMetadata(centroids, division, params, bits=bits, rotation=rot)
         return cls(jnp.asarray(codes), meta)
 
     @classmethod
     def _find_centroids(
         cls, batches, division, params, stop_condition, seed,
-        k=pq_ops.CENTROIDS_COUNT,
-    ) -> np.ndarray:
+        k=pq_ops.CENTROIDS_COUNT, rotation=None,
+    ):
         """Sample + per-chunk k-means (encoded_vectors_pq.rs:278-342), run as
-        one batched clustering over all chunks."""
+        one batched clustering over all chunks. Returns
+        ``(centroids f32[k, dim], rotation f32[dim, dim] | None)``; with
+        ``rotation`` the centroids live in the rotated space."""
         if params.count <= k:
             # Not enough vectors: centroids are the points themselves,
-            # zero-filled to k (rs:290-297).
+            # zero-filled to k (rs:290-297). OPQ has nothing to train here
+            # (quantization is lossless), so "opq" degrades to identity; an
+            # explicit matrix still applies.
             rows = [b for b in batches()]
             points = (
                 np.concatenate(rows, axis=0)
                 if rows
                 else np.zeros((0, params.dim), np.float32)
             )
+            rot = None
+            if isinstance(rotation, np.ndarray) or (
+                rotation is not None and not isinstance(rotation, str)
+            ):
+                rot = cls._check_rotation(rotation, params.dim)
+                points = points @ rot
             centroids = np.zeros((k, params.dim), dtype=np.float32)
             centroids[: points.shape[0]] = points
-            return centroids
+            return centroids, rot
         check_stop(stop_condition)
         sample = sample_rows(
             batches, params.count, pq_ops.KMEANS_SAMPLE_SIZE, seed
         )
+        if isinstance(rotation, str):
+            if rotation != "opq":
+                raise ArgumentsError(
+                    f'rotation must be None, "opq", or a [dim, dim] matrix; '
+                    f"got {rotation!r}"
+                )
+            from ..ops.opq import train_opq
+
+            rot, centroids = train_opq(
+                sample, division, k, seed=seed, stop_condition=stop_condition
+            )
+            return centroids, rot
+        rot = None
+        if rotation is not None:
+            rot = cls._check_rotation(rotation, params.dim)
+            sample = sample @ rot
         sample_chunks = jnp.asarray(pq_ops.chunk_tensor(sample, division))
         chunked = kmeans_batched(
             sample_chunks,
@@ -212,9 +272,21 @@ class ProductQuantizer(EncodedVectors):
             seed=seed,
             stop_condition=stop_condition,
         )
-        return pq_ops.chunks_to_centroids(
+        centroids = pq_ops.chunks_to_centroids(
             np.asarray(chunked), division, params.dim
         )
+        return centroids, rot
+
+    @staticmethod
+    def _check_rotation(rotation, dim: int) -> np.ndarray:
+        rot = np.asarray(rotation, dtype=np.float32)
+        if rot.shape != (dim, dim):
+            raise ArgumentsError(
+                f"rotation shape {rot.shape} != ({dim}, {dim})"
+            )
+        if not np.allclose(rot @ rot.T, np.eye(dim), atol=1e-3):
+            raise ArgumentsError("rotation matrix is not orthogonal")
+        return rot
 
     # ------------------------------------------------------------------ query
     def encode_query(self, queries) -> EncodedQueryPQ:
@@ -225,9 +297,16 @@ class ProductQuantizer(EncodedVectors):
             raise ArgumentsError(
                 f"query dim {q.shape[1]} != corpus dim {self.params.dim}"
             )
-        q_chunks = jnp.asarray(
-            pq_ops.chunk_tensor(q, self.metadata.vector_division)
-        )
+        if self._rot is not None:
+            # OPQ: queries rotate into code space on device (Q x D x D
+            # matmul — negligible next to LUT build), then chunk there.
+            q_chunks = pq_ops.chunk_rows_device(
+                jnp.asarray(q) @ self._rot, self.metadata.vector_division
+            )
+        else:
+            q_chunks = jnp.asarray(
+                pq_ops.chunk_tensor(q, self.metadata.vector_division)
+            )
         lut = pq_ops.build_lut(
             q_chunks,
             self._c_chunks,
@@ -339,6 +418,9 @@ class ProductQuantizer(EncodedVectors):
         rng = np.random.default_rng(0)
         colors = rng.integers(0, 256, (pq_ops.CENTROIDS_COUNT, 3), dtype=np.uint8)
         data = np.asarray(data, dtype=np.float32)
+        if self.metadata.rotation is not None:
+            # Centroids live in the rotated (OPQ) space; plot there too.
+            data = data @ np.asarray(self.metadata.rotation)
         mn, mx = float(data.min()), float(data.max())
         span = max(mx - mn, 1e-9)
         codes = np.asarray(self.codes[: self.count, : self.num_chunks])

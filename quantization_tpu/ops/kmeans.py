@@ -101,12 +101,15 @@ def kmeans_batched(
     accuracy: float = 1e-5,
     seed: int = 0,
     stop_condition=None,
+    init: jax.Array = None,
 ) -> jax.Array:
     """Cluster every chunk of ``data`` [m, n, d] into ``k`` centroids.
 
     Returns centroids f32[m, k, d]. Host loop drives iterations so the
     caller's cancellation flag is honored between device steps
-    (kmeans.rs:29-31 semantics).
+    (kmeans.rs:29-31 semantics). ``init`` [m, k, d] warm-starts the
+    centroids (used by OPQ's alternating refinement, ops/opq.py); default
+    is the reference's first-k-points seeding (kmeans.rs:25).
     """
     data = jnp.asarray(data, jnp.float32)
     m, n, d = data.shape
@@ -115,12 +118,23 @@ def kmeans_batched(
     g = group_size(m, n, k)
     ngroups = -(-m // g)
     mpad = ngroups * g
+    if init is not None:
+        init = jnp.asarray(init, jnp.float32)
+        if init.shape != (m, k, d):
+            raise ArgumentsError(
+                f"kmeans init shape {init.shape} != {(m, k, d)}"
+            )
+        if mpad != m:
+            init = jnp.concatenate([init, init[: mpad - m]], axis=0)
     if mpad != m:
         # Duplicate trailing chunks so every group call shares one compiled
         # shape; the padding chunks' results are dropped.
         data = jnp.concatenate([data, data[: mpad - m]], axis=0)
     groups = [data[i * g : (i + 1) * g] for i in range(ngroups)]
-    cents = [grp[:, :k, :] for grp in groups]
+    if init is not None:
+        cents = [init[i * g : (i + 1) * g] for i in range(ngroups)]
+    else:
+        cents = [grp[:, :k, :] for grp in groups]
     converged = np.zeros((mpad,), bool)
     host_rng = np.random.default_rng(seed)
     # One stop/convergence sync per block of iterations. With a caller

@@ -47,6 +47,20 @@ def chunk_tensor(
     return out
 
 
+def chunk_rows_device(x: jax.Array, division: List[Tuple[int, int]]) -> jax.Array:
+    """Device-side ``chunk_tensor``: f32[B, dim] -> f32[m, B, dmax] with a
+    pad + reshape instead of a host copy. Valid for the contiguous
+    equal-width-except-ragged-tail divisions ``get_vector_division``
+    produces; used on the OPQ encode path where rows are already on device
+    (rotated) and bouncing through numpy would serialize the stream."""
+    m = len(division)
+    dmax = max(e - s for s, e in division)
+    dim = division[-1][1]
+    assert all(s == i * dmax for i, (s, e) in enumerate(division)), division
+    x = jnp.pad(x, ((0, 0), (0, m * dmax - dim)))
+    return jnp.transpose(jnp.reshape(x, (x.shape[0], m, dmax)), (1, 0, 2))
+
+
 def centroids_to_chunks(
     centroids: np.ndarray, division: List[Tuple[int, int]]
 ) -> np.ndarray:

@@ -1088,6 +1088,7 @@ class ShardedProductQuantizer(_ShardedBase):
             codes_t, NamedSharding(self.mesh, P(None, axis))
         )
         self._c_chunks = quantizer._c_chunks
+        self._rot = quantizer._rot
 
     @classmethod
     def _from_parts(
@@ -1101,6 +1102,11 @@ class ShardedProductQuantizer(_ShardedBase):
             pq_ops.centroids_to_chunks(
                 np.asarray(metadata.centroids), metadata.vector_division
             )
+        )
+        obj._rot = (
+            None
+            if metadata.rotation is None
+            else jnp.asarray(metadata.rotation, jnp.float32)
         )
         return obj
 
@@ -1116,10 +1122,13 @@ class ShardedProductQuantizer(_ShardedBase):
         batch_size: int = 16384,
         seed: int = 0,
         bits: int = 8,
+        rotation=None,
     ) -> "ShardedProductQuantizer":
         """Streaming sharded-native PQ: k-means on a sample (replicated —
         centroids are tiny), then nearest-centroid codes committed batch by
-        batch into the sharded transposed code buffer."""
+        batch into the sharded transposed code buffer. ``rotation`` enables
+        OPQ exactly as on the single-device class (models/pq.py) — the
+        rotation is replicated (it is [dim, dim], tiny next to codes)."""
         from ..core.interface import iter_batches
         from ..ops.pallas.pq_kernel import M_BLK, TILE_N as PQ_TILE
 
@@ -1132,9 +1141,11 @@ class ShardedProductQuantizer(_ShardedBase):
         def batches():
             return iter_batches(data, batch_size)
 
-        centroids = ProductQuantizer._find_centroids(
-            batches, division, params, stop_condition, seed, k
+        centroids, rot = ProductQuantizer._find_centroids(
+            batches, division, params, stop_condition, seed, k,
+            rotation=rotation,
         )
+        rot_j = None if rot is None else jnp.asarray(rot)
         c_chunks = jnp.asarray(pq_ops.centroids_to_chunks(centroids, division))
 
         m = len(division)
@@ -1157,7 +1168,12 @@ class ShardedProductQuantizer(_ShardedBase):
                     f"Vector count exceeds vector parameters count "
                     f"{params.count}"
                 )
-            x_chunks = jnp.asarray(pq_ops.chunk_tensor(batch, division))
+            if rot_j is not None:
+                x_chunks = pq_ops.chunk_rows_device(
+                    jnp.asarray(batch, jnp.float32) @ rot_j, division
+                )
+            else:
+                x_chunks = jnp.asarray(pq_ops.chunk_tensor(batch, division))
             codes = pq_ops.encode_batch(x_chunks, c_chunks)  # [B, m] u8
             ct = jnp.pad(codes.T, ((0, mpad - m), (0, 0)))
             app.append(ct)
@@ -1167,7 +1183,7 @@ class ShardedProductQuantizer(_ShardedBase):
                 f"Vector count {total} does not match vector parameters "
                 f"count {params.count}"
             )
-        meta = PQMetadata(centroids, division, params, bits=bits)
+        meta = PQMetadata(centroids, division, params, bits=bits, rotation=rot)
         return cls._from_parts(app.finish(), meta, mesh, axis)
 
     def _encode_query_from_meta(self, queries) -> EncodedQueryPQ:
@@ -1178,9 +1194,15 @@ class ShardedProductQuantizer(_ShardedBase):
             raise ArgumentsError(
                 f"query dim {q.shape[1]} != corpus dim {self.params.dim}"
             )
-        q_chunks = jnp.asarray(
-            pq_ops.chunk_tensor(q, self.metadata.vector_division)
-        )
+        if getattr(self, "_rot", None) is not None:
+            q_chunks = pq_ops.chunk_rows_device(
+                jnp.asarray(q, jnp.float32) @ self._rot,
+                self.metadata.vector_division,
+            )
+        else:
+            q_chunks = jnp.asarray(
+                pq_ops.chunk_tensor(q, self.metadata.vector_division)
+            )
         lut = pq_ops.build_lut(
             q_chunks,
             self._c_chunks,
