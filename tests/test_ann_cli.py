@@ -48,6 +48,16 @@ def test_cli_u8_f32_two_stage():
     assert res[0]["same_10"] > 0.8  # f32 rescore recovers coarse loss
 
 
+def test_cli_pq_opq_rotation():
+    """--opq trains the learned rotation on the PQ path (ops/opq.py)."""
+    res = _run([
+        "--dataset", "sift", "--method", "pq", "--opq", "--test-acc",
+        "--synthetic-count", "2000", "--query-batch", "64",
+        "--chunk-size", "4",
+    ])
+    assert res[0]["same_10"] > 0.3  # smoke: trains + searches end to end
+
+
 def test_cli_sharded_bench_search_path():
     """--bench on a sharded index (no dense score_batch) measures the
     search path instead of silently skipping."""

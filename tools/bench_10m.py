@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--k-sweep", action="store_true",
                     help="additionally time SQ fused exact at k=64 and "
                     "k=256 (the exact-selection k-scaling bar)")
+    ap.add_argument("--opq", action="store_true",
+                    help="additionally train + bench OPQ (learned-rotation "
+                    "PQ, ops/opq.py) at the same m/chunk-size — search "
+                    "cost is identical to plain PQ, only recall changes")
     args = ap.parse_args()
 
     import jax
@@ -348,6 +352,45 @@ def main():
             lambda: pq4.top_k_device(eq_pq4, K, method="approx"), gt,
         )
         del pq4, eq_pq4
+
+        if args.opq:
+            # OPQ at the same m: identical code bytes and scan cost, the
+            # rotation only changes what the codes capture (ops/opq.py).
+            from quantization_tpu.ops.opq import train_opq
+
+            t0 = time.perf_counter()
+            rot_opq, cents_opq = train_opq(
+                sample, division, pq_ops.CENTROIDS_COUNT
+            )
+            print(f"OPQ train (rotation + {m} chunks x 256): "
+                  f"{time.perf_counter()-t0:.0f}s", flush=True)
+            cents_opq_dev = jnp.asarray(
+                pq_ops.centroids_to_chunks(cents_opq, division)
+            )
+            rot_opq_dev = jnp.asarray(rot_opq)
+
+            def encode_opq(xb):
+                xr = xb @ rot_opq_dev
+                xc = jnp.transpose(
+                    xr.reshape(-1, m, args.chunk_size), (1, 0, 2)
+                )
+                return pq_ops.encode_batch(xc, cents_opq_dev).astype(jnp.uint8)
+
+            opq_codes = DeviceAppender((npad, m), jnp.uint8)
+            opq_enc = jax.jit(lambda kk: encode_opq(gen_dev(kk)))
+            for i in range(nb):
+                opq_codes.append(opq_enc(keys[i]))
+            opq = qt.ProductQuantizer(
+                opq_codes.finish(),
+                PQMetadata(cents_opq, division, params_dot, rotation=rot_opq),
+            )
+            eq_opq = opq.encode_query(queries)
+            report("OPQ fused exact", lambda: opq.top_k_device(eq_opq, K), gt)
+            report(
+                "OPQ fused approx",
+                lambda: opq.top_k_device(eq_opq, K, method="approx"), gt,
+            )
+            del opq, eq_opq
 
     if not want_sq:
         return
