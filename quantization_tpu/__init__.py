@@ -20,6 +20,7 @@ from .core.distances import distance, pairwise, pairwise_score, score
 from .core.interface import EncodedVectors, validate_vector_parameters
 from .core.storage import EncodedStorage, EncodedStorageBuilder
 from .models.bq import BinaryQuantizer, EncodedQueryBin, EncodedVectorsBin
+from .models.ivf import IVFIndex
 from .models.pipeline import ExactRescorer, TwoStageIndex
 from .models.pq import EncodedQueryPQ, EncodedVectorsPQ, ProductQuantizer
 from .models.sq import EncodedQueryU8, EncodedVectorsU8, ScalarQuantizerU8
@@ -39,6 +40,7 @@ __all__ = [
     "EncodedVectorsU8",
     "EncodingError",
     "ExactRescorer",
+    "IVFIndex",
     "ProductQuantizer",
     "QuantizationError",
     "ScalarQuantizerU8",

@@ -12,6 +12,10 @@ Flags mirror the reference's clap interface (ann_benchmark.rs:20-44):
   --opq              learn an OPQ rotation before PQ chunking (ops/opq.py —
                      beyond the reference; large recall gains on low-rank
                      embedding distributions at identical search cost)
+  --nlist/--nprobe/--bucket-size  IVF geometry for the ivf-* methods
+                     (ivf-sq | ivf-pq | ivf-pq-f32 — probe-limited bucket
+                     scans, models/ivf.py; beyond the reference. --opq
+                     composes: ivf-pq --opq rotates inside the buckets)
   --test-acc         measure recall@10/20/30 + latency percentiles
   --bench            measure quantized scoring throughput
   --bench-f32        measure the unquantized f32 baseline (the TPU analog of
@@ -72,6 +76,28 @@ def build_index(method: str, data: AnnBenchmarkData, args):
         coarse = BinaryQuantizer.encode(data.train, params)
         fine = ExactRescorer(data.train, data.distance_type, invert)
         index = TwoStageIndex(coarse, fine, oversampling=args.oversampling)
+    elif method in ("ivf-sq", "ivf-pq", "ivf-pq-f32"):
+        from ..models.ivf import IVFIndex
+
+        kind = "sq" if method == "ivf-sq" else "pq"
+        kw = {}
+        if kind == "sq":
+            kw["quantile"] = args.quantile
+        else:
+            kw["chunk_size"] = args.chunk_size
+            kw["bits"] = args.pq_bits
+            if args.opq:
+                kw["rotation"] = "opq"
+        index = IVFIndex.encode(
+            data.train, params, quantizer=kind, nlist=args.nlist,
+            bucket_size=args.bucket_size, nprobe=args.nprobe,
+            nscan=args.nscan, **kw,
+        )
+        if method == "ivf-pq-f32":
+            fine = ExactRescorer(data.train, data.distance_type, invert)
+            index = TwoStageIndex(
+                index, fine, oversampling=args.oversampling
+            )
     elif method == "u8-f32":
         # The round-3 serving headline (BASELINE.md): SQ-approx coarse ->
         # rescore the survivors with the ORIGINAL f32 vectors.
@@ -207,13 +233,23 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="", help="substring filter")
     p.add_argument("--method", default="u8",
-                   choices=["u8", "pq", "bq", "bq-u8", "bq-exact", "u8-f32"])
+                   choices=["u8", "pq", "bq", "bq-u8", "bq-exact", "u8-f32",
+                            "ivf-sq", "ivf-pq", "ivf-pq-f32"])
     p.add_argument("--quantile", type=float, default=None)
     p.add_argument("--chunk-size", type=int, default=2)
     p.add_argument("--pq-bits", type=int, default=8, choices=[4, 8],
                    help="PQ code width: 8 = reference parity, 4 = Quick-ADC")
     p.add_argument("--opq", action="store_true",
                    help="learn an OPQ rotation before PQ chunking")
+    p.add_argument("--nlist", type=int, default=1024,
+                   help="IVF cluster count (ivf-* methods)")
+    p.add_argument("--nprobe", type=int, default=32,
+                   help="IVF probed buckets per query (ivf-* methods)")
+    p.add_argument("--bucket-size", type=int, default=512,
+                   help="IVF rows per bucket (ivf-* methods)")
+    p.add_argument("--nscan", type=int, default=None,
+                   help="IVF batch-union scanned buckets "
+                   "(default 4 * nprobe)")
     p.add_argument("--oversampling", type=float, default=4.0)
     p.add_argument("--test-acc", action="store_true")
     p.add_argument("--bench", action="store_true")

@@ -1,0 +1,153 @@
+"""IVF — inverted-file coarse index: cluster the corpus, store codes
+bucket-major, and scan only the buckets nearest each query.
+
+No reference counterpart: qdrant/quantization is a full-scan scoring crate
+(its consumer runs graph search outside the crate, see SURVEY.md §0). This
+extension exists because the fused full scans are corpus-bandwidth/compute
+bound — at 10M x 768 the PQ m=96 scan costs 355 ms/batch no matter how few
+neighbors a query actually needs — and an inverted file turns that into
+work proportional to the probed fraction.
+
+TPU-native formulation (vs the CPU IVF idiom of per-list pointer chasing):
+  * FIXED-SIZE buckets: each k-means cluster's run is split into chunks of
+    exactly ``bucket_size`` rows, so every probe is a static-shape [S]
+    slice — no ragged lists, no dynamic shapes under jit.
+  * S-ALIGNED permutation: the corpus is permuted cluster-major once at
+    build and padded so bucket b owns inner rows [b*S, (b+1)*S) exactly.
+    Pad slots DUPLICATE a real row of the same bucket (id mask -1 hides
+    them at search): calibration/training see only genuine data vectors,
+    and candidate gathers are whole contiguous blocks, not row soup.
+  * probing is one [Q, B] matmul against per-bucket means + ``top_k`` —
+    buckets, not clusters, are the probe unit, so a dense cluster
+    contributes several independently-rankable probe targets.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import check_stop
+from .kmeans import kmeans_batched
+
+IVF_SAMPLE_PER_CENTER = 64  # training rows per center (cap below)
+IVF_SAMPLE_CAP = 262_144
+ASSIGN_BLOCK = 65_536  # rows per device assignment call
+
+
+def train_centers(
+    sample: np.ndarray,
+    nlist: int,
+    *,
+    seed: int = 0,
+    stop_condition=None,
+    max_iterations: int = 25,
+) -> np.ndarray:
+    """k-means centers f32[nlist, D] on a sample (one batched-chunk call —
+    the same Lloyd's machinery PQ training uses, m=1)."""
+    sample = np.asarray(sample, np.float32)
+    nlist = min(nlist, sample.shape[0])
+    cents = kmeans_batched(
+        sample[None], nlist, max_iterations=max_iterations,
+        seed=seed, stop_condition=stop_condition,
+    )
+    return np.asarray(cents[0])
+
+
+def assign_clusters(
+    data: np.ndarray, centers: np.ndarray, *, stop_condition=None
+) -> np.ndarray:
+    """Nearest-center (L2) assignment i32[N], blocked on device. L2 argmin
+    is the right probe geometry for DOT corpora too once means are scored
+    with the index metric at query time (the classic IVF recipe)."""
+    centers_d = jnp.asarray(centers, jnp.float32)
+    cc = jnp.sum(centers_d * centers_d, axis=1)  # [C]
+
+    @jax.jit
+    def block(x):
+        # argmin ||x - c||^2 = argmin ||c||^2 - 2 x.c  (drop ||x||^2)
+        return jnp.argmin(
+            cc[None, :] - 2.0 * (x @ centers_d.T), axis=1
+        ).astype(jnp.int32)
+
+    out = np.empty((data.shape[0],), np.int32)
+    for b0 in range(0, data.shape[0], ASSIGN_BLOCK):
+        check_stop(stop_condition)
+        xb = jnp.asarray(data[b0 : b0 + ASSIGN_BLOCK], jnp.float32)
+        out[b0 : b0 + xb.shape[0]] = np.asarray(block(xb))
+    return out
+
+
+def build_buckets(
+    assignments: np.ndarray, bucket_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Split each cluster's run into fixed-size S-aligned buckets.
+
+    Returns ``(perm, bucket_ids)``:
+      * ``perm`` i64[B*S] — bucket b's slot s holds original row
+        ``perm[b*S + s]``; pad slots REPEAT real rows of the same bucket
+        (so ``data[perm]`` is a valid corpus with only genuine vectors),
+      * ``bucket_ids`` i32[B, S] — ORIGINAL row ids per slot, -1 in pad
+        slots (the search-time mask; exactly one slot per original id is
+        non-negative).
+    """
+    assignments = np.asarray(assignments)
+    n = assignments.shape[0]
+    s = int(bucket_size)
+    order = np.argsort(assignments, kind="stable")
+    sorted_assign = assignments[order]
+    starts = np.flatnonzero(
+        np.diff(sorted_assign, prepend=sorted_assign[0] - 1)
+    ) if n else np.zeros((0,), np.int64)
+    ends = np.append(starts[1:], n)
+    perm_rows = []
+    id_rows = []
+    for st, en in zip(starts, ends):
+        for b0 in range(st, en, s):
+            b1 = min(b0 + s, en)
+            members = order[b0:b1]
+            fill = s - members.shape[0]
+            if fill:
+                pad = members[
+                    np.arange(fill) % members.shape[0]
+                ]  # repeat real rows
+                perm_rows.append(np.concatenate([members, pad]))
+                ids = np.full((s,), -1, np.int32)
+                ids[: members.shape[0]] = members
+                id_rows.append(ids)
+            else:
+                perm_rows.append(members)
+                id_rows.append(members.astype(np.int32))
+    if not perm_rows:
+        return np.zeros((0,), np.int64), np.zeros((0, s), np.int32)
+    perm = np.concatenate(perm_rows).astype(np.int64)
+    bucket_ids = np.stack(id_rows).astype(np.int32)
+    return perm, bucket_ids
+
+
+def bucket_means(
+    data: np.ndarray,
+    perm: np.ndarray,
+    bucket_ids: np.ndarray,
+    *,
+    block_buckets: int = 1024,
+) -> np.ndarray:
+    """f32[B, D] mean of each bucket's REAL member rows (pad duplicates
+    excluded via the id mask) — the probe targets. Blocked gather so a
+    10M x 768 corpus never materializes a full permuted copy."""
+    nb, s = bucket_ids.shape
+    dim = data.shape[1]
+    if nb == 0:
+        return np.zeros((0, dim), np.float32)
+    out = np.empty((nb, dim), np.float32)
+    for b0 in range(0, nb, block_buckets):
+        b1 = min(b0 + block_buckets, nb)
+        rows = data[perm[b0 * s : b1 * s]].reshape(b1 - b0, s, dim)
+        valid = (bucket_ids[b0:b1] >= 0).astype(np.float32)[:, :, None]
+        out[b0:b1] = (
+            (rows * valid).sum(axis=1) / valid.sum(axis=1)
+        ).astype(np.float32)
+    return out

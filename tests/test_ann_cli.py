@@ -58,6 +58,27 @@ def test_cli_pq_opq_rotation():
     assert res[0]["same_10"] > 0.3  # smoke: trains + searches end to end
 
 
+def test_cli_ivf_sq():
+    """IVF probe-limited search as a CLI method (models/ivf.py)."""
+    res = _run([
+        "--dataset", "sift", "--method", "ivf-sq", "--test-acc",
+        "--synthetic-count", "3000", "--query-batch", "64",
+        "--nlist", "16", "--bucket-size", "64", "--nprobe", "8",
+    ])
+    assert res[0]["same_10"] > 0.4  # probe-limited on clustered synthetic
+
+
+def test_cli_ivf_pq_f32_two_stage():
+    """IVF-PQ coarse -> f32 rescore: the compressed-serving ladder."""
+    res = _run([
+        "--dataset", "sift", "--method", "ivf-pq-f32", "--test-acc",
+        "--synthetic-count", "3000", "--query-batch", "64",
+        "--nlist", "16", "--bucket-size", "64", "--nprobe", "16",
+        "--chunk-size", "2", "--oversampling", "8",
+    ])
+    assert res[0]["same_10"] > 0.6
+
+
 def test_cli_sharded_bench_search_path():
     """--bench on a sharded index (no dense score_batch) measures the
     search path instead of silently skipping."""

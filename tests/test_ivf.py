@@ -1,0 +1,282 @@
+"""IVF index tests — ops/ivf.py bucket construction + models/ivf.py search.
+
+No reference counterpart (qdrant/quantization is full-scan only); the
+invariants pinned here are the ones that make IVF trustworthy as a serving
+index: bucket bookkeeping is a permutation, full-probe search scores every
+vector exactly once (score-value parity with the plain full-scan class),
+probe-limited recall degrades gracefully and monotonically, and the
+four-file checkpoint round-trips."""
+
+import numpy as np
+import pytest
+
+from quantization_tpu.core.distances import pairwise_score
+from quantization_tpu.core.types import (
+    ArgumentsError,
+    DistanceType,
+    StoppedError,
+    VectorParameters,
+)
+from quantization_tpu.models.ivf import IVFIndex
+from quantization_tpu.models.pipeline import ExactRescorer, TwoStageIndex
+from quantization_tpu.models.sq import ScalarQuantizerU8
+from quantization_tpu.ops import ivf as ivf_ops
+
+DIM = 32
+K = 10
+
+
+def clustered(rng, count, dim, clusters=16, sigma=0.15):
+    centers = rng.standard_normal((clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, clusters, count)
+    return (
+        centers[assign]
+        + sigma * rng.standard_normal((count, dim)).astype(np.float32)
+    ).astype(np.float32)
+
+
+def gt_topk(queries, data, dt, invert, k=K):
+    s = np.asarray(pairwise_score(queries, data, dt, invert))
+    return np.argsort(-s, axis=1)[:, :k]
+
+
+def recall(ids, gt):
+    ids = np.asarray(ids)
+    return np.mean(
+        [len(set(ids[r]) & set(gt[r])) / gt.shape[1] for r in range(len(gt))]
+    )
+
+
+# ------------------------------------------------------------------ ops
+
+
+def test_build_buckets_is_an_aligned_permutation(rng):
+    assign = rng.integers(0, 7, 500).astype(np.int32)
+    perm, ids = ivf_ops.build_buckets(assign, 64)
+    nb, s = ids.shape
+    assert perm.shape == (nb * s,)
+    # Every original id appears in exactly one REAL slot.
+    flat = ids.reshape(-1)
+    real = flat[flat >= 0]
+    assert sorted(real.tolist()) == list(range(500))
+    # Slot (b, s): perm matches the id when real; pad slots duplicate a
+    # real member of the SAME bucket; members share one cluster.
+    for b in range(nb):
+        members = set(ids[b][ids[b] >= 0].tolist())
+        assert len(set(assign[list(members)].tolist())) == 1
+        for sl in range(s):
+            row = perm[b * s + sl]
+            if ids[b, sl] >= 0:
+                assert row == ids[b, sl]
+            else:
+                assert row in members
+
+
+def test_bucket_means_match_naive(rng):
+    data = rng.standard_normal((300, DIM)).astype(np.float32)
+    assign = rng.integers(0, 5, 300).astype(np.int32)
+    perm, ids = ivf_ops.build_buckets(assign, 32)
+    means = ivf_ops.bucket_means(data, perm, ids, block_buckets=3)
+    for b in range(ids.shape[0]):
+        members = ids[b][ids[b] >= 0]
+        np.testing.assert_allclose(
+            means[b], data[members].mean(axis=0), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_assign_clusters_is_nearest(rng):
+    data = rng.standard_normal((200, DIM)).astype(np.float32)
+    centers = rng.standard_normal((9, DIM)).astype(np.float32)
+    got = ivf_ops.assign_clusters(data, centers)
+    want = np.argmin(
+        ((data[:, None, :] - centers[None, :, :]) ** 2).sum(-1), axis=1
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------- search
+
+
+@pytest.mark.parametrize(
+    "dt,invert",
+    [(DistanceType.DOT, False), (DistanceType.L2, True)],
+)
+def test_full_probe_matches_full_scan(rng, dt, invert):
+    # Probing every bucket must reproduce the plain full-scan class's
+    # top-k SCORES exactly (same codes, reordered corpus; ids may permute
+    # within ties, values may not).
+    count = 700
+    data = clustered(rng, count, DIM)
+    queries = clustered(rng, 8, DIM)
+    params = VectorParameters(DIM, count, dt, invert)
+    ivf = IVFIndex.encode(
+        data, params, quantizer="sq", nlist=10, bucket_size=64, nprobe=10**9
+    )
+    plain = ScalarQuantizerU8.encode(data, params)
+    sv, ids = ivf.top_k(ivf.encode_query(queries), K)
+    pv, _ = plain.top_k(plain.encode_query(queries), K)
+    np.testing.assert_allclose(sv, np.asarray(pv), rtol=1e-5, atol=1e-4)
+    assert np.all(np.asarray(ids) >= 0)
+
+
+def test_probe_limited_recall_monotonic(rng):
+    count = 2000
+    data = clustered(rng, count, DIM, clusters=32)
+    queries = clustered(rng, 16, DIM, clusters=32)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    ivf = IVFIndex.encode(
+        data, params, quantizer="sq", nlist=32, bucket_size=64, nprobe=4
+    )
+    gt = gt_topk(queries, data, DistanceType.DOT, False)
+    eq = ivf.encode_query(queries)
+    r_all = recall(ivf.top_k(eq, K, nprobe=10**9)[1], gt)
+    r_8 = recall(ivf.top_k(eq, K, nprobe=8)[1], gt)
+    r_2 = recall(ivf.top_k(eq, K, nprobe=2)[1], gt)
+    assert r_all >= r_8 >= r_2
+    assert r_all > 0.8  # full probe == full scan recall
+    assert r_8 > 0.5  # clustered data: few probes already recover most
+
+
+def test_ivf_pq_and_bq_inner(rng):
+    count = 600
+    data = clustered(rng, count, DIM)
+    queries = clustered(rng, 8, DIM)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    gt = gt_topk(queries, data, DistanceType.DOT, False)
+    pq = IVFIndex.encode(
+        data, params, quantizer="pq", nlist=8, bucket_size=64,
+        nprobe=8, chunk_size=2,
+    )
+    r = recall(pq.top_k(pq.encode_query(queries), K)[1], gt)
+    assert r > 0.5
+    bq = IVFIndex.encode(
+        data, params, quantizer="bq", nlist=8, bucket_size=64, nprobe=8
+    )
+    sv, ids = bq.top_k(bq.encode_query(queries), K)
+    assert np.asarray(ids).shape == (8, K)
+    assert np.all(np.asarray(ids) >= 0)
+
+
+def test_ivf_opq_rotation_passthrough(rng):
+    count = 400
+    data = clustered(rng, count, DIM)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    ivf = IVFIndex.encode(
+        data, params, quantizer="pq", nlist=4, bucket_size=128,
+        nprobe=10**9, chunk_size=2, rotation="opq",
+    )
+    assert ivf.quantizer.metadata.rotation is not None
+    queries = clustered(rng, 8, DIM)
+    gt = gt_topk(queries, data, DistanceType.DOT, False)
+    r = recall(ivf.top_k(ivf.encode_query(queries), K)[1], gt)
+    assert r > 0.5  # full probe: recall is the (O)PQ code's own
+
+
+def test_save_load_roundtrip(rng, tmp_path):
+    count = 500
+    data = clustered(rng, count, DIM)
+    queries = clustered(rng, 8, DIM)
+    params = VectorParameters(DIM, count, DistanceType.L2, True)
+    ivf = IVFIndex.encode(
+        data, params, quantizer="sq", nlist=8, bucket_size=64, nprobe=4
+    )
+    ivf.save(tmp_path / "d.bin", tmp_path / "m.json")
+    back = IVFIndex.load(tmp_path / "d.bin", tmp_path / "m.json", params)
+    assert back.metadata.kind == "sq"
+    a_s, a_i = ivf.top_k(ivf.encode_query(queries), K)
+    b_s, b_i = back.top_k(back.encode_query(queries), K)
+    np.testing.assert_allclose(np.asarray(a_s), np.asarray(b_s), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+
+
+def test_ivf_as_two_stage_coarse(rng):
+    count = 1500
+    data = clustered(rng, count, DIM, clusters=24)
+    queries = clustered(rng, 16, DIM, clusters=24)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    gt = gt_topk(queries, data, DistanceType.DOT, False)
+    ivf = IVFIndex.encode(
+        data, params, quantizer="pq", nlist=24, bucket_size=64,
+        nprobe=8, chunk_size=8,
+    )
+    two = TwoStageIndex(
+        ivf, ExactRescorer(data, DistanceType.DOT, False), oversampling=8
+    )
+    eq = two.encode_query(queries)
+    r2 = recall(two.top_k(eq, K)[1], gt)
+    r1 = recall(ivf.top_k(ivf.encode_query(queries), K)[1], gt)
+    assert r2 >= r1  # rescoring can only help on the probed pool
+    assert r2 > 0.6
+
+
+def test_argument_errors(rng):
+    data = clustered(rng, 300, DIM)
+    params = VectorParameters(DIM, 300, DistanceType.DOT, False)
+    with pytest.raises(ArgumentsError):
+        IVFIndex.encode(data, params, quantizer="nope")
+    with pytest.raises(ArgumentsError):
+        IVFIndex.encode(data[:10], params, quantizer="sq")
+    with pytest.raises(ArgumentsError):
+        IVFIndex.encode(
+            data, params, quantizer="sq", nlist=0
+        )
+    with pytest.raises(ArgumentsError):
+        IVFIndex.encode(lambda: iter(()), params, quantizer="sq")
+    ivf = IVFIndex.encode(
+        data, params, quantizer="sq", nlist=4, bucket_size=64
+    )
+    with pytest.raises(ArgumentsError):
+        ivf.encode_query(np.zeros((2, DIM + 1), np.float32))
+
+
+def test_stop_condition(rng):
+    data = clustered(rng, 400, DIM)
+    params = VectorParameters(DIM, 400, DistanceType.DOT, False)
+    with pytest.raises(StoppedError):
+        IVFIndex.encode(
+            data, params, quantizer="sq", nlist=4,
+            stop_condition=lambda: True,
+        )
+
+
+@pytest.fixture
+def force_pallas(monkeypatch):
+    monkeypatch.setenv("QTPU_FORCE_PALLAS", "1")
+    yield
+    monkeypatch.delenv("QTPU_FORCE_PALLAS", raising=False)
+
+
+@pytest.mark.parametrize("kind", ["sq", "pq", "bq"])
+def test_ivf_fused_path_matches_xla(rng, force_pallas, monkeypatch, kind):
+    # The compacted-union scan through the family's FUSED kernel
+    # (interpreted off-TPU) must agree with the XLA dense path on ids for
+    # a well-separated corpus. Exercises the pad-to-tile + transpose +
+    # n_valid plumbing the CPU default path skips.
+    count = 900
+    data = clustered(rng, count, DIM, clusters=8, sigma=0.08)
+    queries = clustered(rng, 8, DIM, clusters=8, sigma=0.08)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    kw = {"chunk_size": 2} if kind == "pq" else {}
+    if kind == "pq":
+        # The fused kernel's default int8-quantized LUT is a documented
+        # score approximation; pin bf16 for exact parity with the XLA LUT.
+        monkeypatch.setenv("QTPU_PQ_LUT", "bf16")
+    ivf = IVFIndex.encode(
+        data, params, quantizer=kind, nlist=8, bucket_size=64,
+        nprobe=4, **kw,
+    )
+    eq = ivf.encode_query(queries)
+    fused_s, fused_i = ivf.top_k(eq, K, nprobe=4)
+    for r in range(len(fused_i)):  # dedupe holds on the fused path
+        row = np.asarray(fused_i)[r]
+        assert len(set(row.tolist())) == len(row)
+    monkeypatch.setenv("QTPU_DISABLE_PALLAS", "1")
+    monkeypatch.delenv("QTPU_FORCE_PALLAS", raising=False)
+    xla_s, xla_i = ivf.top_k(eq, K, nprobe=4)
+    # Score-VALUE parity (ids may differ inside exact ties — BQ scores
+    # are integers, so k-boundary ties are routine; bf16 LUT rounding
+    # gives PQ a ~0.03 quantum).
+    np.testing.assert_allclose(
+        np.asarray(fused_s), np.asarray(xla_s), rtol=1e-4, atol=0.08
+    )
+    assert np.all(np.asarray(fused_i) >= 0)

@@ -67,6 +67,15 @@ def main():
                     help="additionally train + bench OPQ (learned-rotation "
                     "PQ, ops/opq.py) at the same m/chunk-size — search "
                     "cost is identical to plain PQ, only recall changes")
+    ap.add_argument("--ivf", action="store_true",
+                    help="additionally build + bench the IVF probe-limited "
+                    "index (models/ivf.py) over SQ and OPQ codes, with the "
+                    "IVF-OPQ -> f32-rescore serving ladder (requires "
+                    "--only all or sq: runs after the SQ section)")
+    ap.add_argument("--nlist", type=int, default=4096,
+                    help="IVF cluster count")
+    ap.add_argument("--ivf-bucket", type=int, default=512,
+                    help="IVF bucket size S (rows per probe)")
     args = ap.parse_args()
 
     import jax
@@ -509,6 +518,174 @@ def main():
 
         for ov in (16, 64):
             report(f"2s BQ->f32 ov={ov:g}", bq_f32_two_stage(ov * K), gt)
+
+    if not args.ivf:
+        return
+
+    # --- IVF: probe-limited serving (models/ivf.py, no reference
+    # counterpart). Build is fully device-side like everything above:
+    # assignment + bucket means + permuted encode all consume gen_rows,
+    # only the bucket bookkeeping (argsort of 10M i32) runs on host. ---
+    from quantization_tpu.models.ivf import IVFIndex, IVFMetadata
+    from quantization_tpu.ops import ivf as ivf_ops
+
+    del sq, eq_sq  # rebuilt permuted below; keep HBM headroom
+
+    S = args.ivf_bucket
+    t0 = time.perf_counter()
+    smp = np.asarray(gen_dev(keys[0]))[: min(B, 131_072)]
+    centers = ivf_ops.train_centers(smp, args.nlist)
+    cents_dev = jnp.asarray(centers)
+    ccn = jnp.sum(cents_dev * cents_dev, axis=1)
+
+    @jax.jit
+    def assign_batch(key):
+        x = gen_dev(key)
+        return jnp.argmin(
+            ccn[None, :] - 2.0 * (x @ cents_dev.T), axis=1
+        ).astype(jnp.int32)
+
+    assign = np.concatenate(
+        [np.asarray(assign_batch(keys[i])) for i in range(nb)]
+    )[:N]
+    perm, bucket_ids = ivf_ops.build_buckets(assign, S)
+    nbk = bucket_ids.shape[0]
+    total_rows = nbk * S
+    print(
+        f"IVF build: centers+assign+buckets {time.perf_counter()-t0:.0f}s "
+        f"({nbk} buckets x {S}, pad {total_rows - N} rows)", flush=True,
+    )
+
+    # Bucket means on device, G buckets per fixed-shape call.
+    t0 = time.perf_counter()
+    G = max(1, 262_144 // S)
+    bpad = -(-nbk // G) * G
+    perm_pad = np.concatenate(
+        [perm, np.zeros(((bpad - nbk) * S,), np.int64)]
+    )
+    ids_pad = np.concatenate(
+        [bucket_ids, np.full((bpad - nbk, S), -1, np.int32)]
+    )
+
+    @jax.jit
+    def means_block(pids, vids):
+        rows = gen_rows(pids).reshape(G, S, D)
+        valid = (vids >= 0).astype(jnp.float32)[:, :, None]
+        return (rows * valid).sum(axis=1) / jnp.maximum(
+            valid.sum(axis=1), 1.0
+        )
+
+    means = np.concatenate([
+        np.asarray(means_block(
+            jnp.asarray(perm_pad[g * G * S : (g + 1) * G * S], jnp.int32),
+            jnp.asarray(ids_pad[g * G : (g + 1) * G]),
+        ))
+        for g in range(bpad // G)
+    ])[:nbk]
+    print(f"IVF bucket means: {time.perf_counter()-t0:.0f}s", flush=True)
+
+    params_inner = qt.VectorParameters(
+        D, total_rows, qt.DistanceType.DOT, False
+    )
+    rows_pad = -(-total_rows // B) * B
+    perm_enc = np.concatenate(
+        [perm, np.zeros((rows_pad - total_rows,), np.int64)]
+    )
+
+    def encode_permuted(appenders, enc_fn):
+        """Stream gen_rows(perm) blocks through enc_fn into appenders,
+        trimming the final partial block."""
+        for i in range(rows_pad // B):
+            outs = enc_fn(
+                jnp.asarray(perm_enc[i * B : (i + 1) * B], jnp.int32)
+            )
+            outs = outs if isinstance(outs, tuple) else (outs,)
+            left = total_rows - i * B
+            for app, o in zip(appenders, outs):
+                app.append(o[: min(B, left)])
+
+    # ---- IVF-SQ ----
+    npad_i = total_rows + (-total_rows) % SQ_TILE
+    t0 = time.perf_counter()
+    isq_codes = DeviceAppender((npad_i, lane), jnp.int8)
+    isq_voff = DeviceAppender((npad_i,), jnp.float32)
+    encode_permuted(
+        (isq_codes, isq_voff),
+        jax.jit(lambda pids: quantize_sq(gen_rows(pids))),
+    )
+    sq_inner = qt.ScalarQuantizerU8(
+        isq_codes.finish(), isq_voff.finish(),
+        SQMetadata(actual, alpha, offset, mult, params_inner),
+    )
+    print(f"IVF-SQ permuted encode: {time.perf_counter()-t0:.0f}s",
+          flush=True)
+    ivf_sq = IVFIndex(
+        sq_inner, bucket_ids, means,
+        IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
+                    kind="sq", nbuckets=nbk,
+                    vector_parameters=params_dot),
+    )
+    eq_ivf = ivf_sq.encode_query(queries)
+    for p in (16, 64, 256):
+        report(
+            f"IVF-SQ nprobe={p}",
+            lambda p=p: ivf_sq.top_k_device(eq_ivf, K, nprobe=p), gt,
+        )
+    del ivf_sq, sq_inner, eq_ivf, isq_codes, isq_voff
+
+    # ---- IVF-OPQ (+ f32 rescore: the compressed serving ladder) ----
+    from quantization_tpu.ops.opq import train_opq
+
+    t0 = time.perf_counter()
+    rot_i, cents_i = train_opq(sample, division, pq_ops.CENTROIDS_COUNT)
+    rot_dev = jnp.asarray(rot_i)
+    ci_dev = jnp.asarray(pq_ops.centroids_to_chunks(cents_i, division))
+
+    def enc_opq_rows(pids):
+        xr = gen_rows(pids) @ rot_dev
+        xc = jnp.transpose(xr.reshape(-1, m, args.chunk_size), (1, 0, 2))
+        return pq_ops.encode_batch(xc, ci_dev).astype(jnp.uint8)
+
+    iopq_codes = DeviceAppender((npad_i, m), jnp.uint8)
+    encode_permuted((iopq_codes,), jax.jit(enc_opq_rows))
+    opq_inner = qt.ProductQuantizer(
+        iopq_codes.finish(),
+        PQMetadata(cents_i, division, params_inner, rotation=rot_i),
+    )
+    print(f"IVF-OPQ train+permuted encode: {time.perf_counter()-t0:.0f}s",
+          flush=True)
+    ivf_opq = IVFIndex(
+        opq_inner, bucket_ids, means,
+        IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
+                    kind="pq", nbuckets=nbk,
+                    vector_parameters=params_dot),
+    )
+    eq_o = ivf_opq.encode_query(queries)
+    for p in (16, 64, 256):
+        report(
+            f"IVF-OPQ nprobe={p}",
+            lambda p=p: ivf_opq.top_k_device(eq_o, K, nprobe=p), gt,
+        )
+
+    def ivf_opq_f32(rr, p):
+        @partial(jax.jit, static_argnames=("rr",))
+        def rescore(ids, rr):
+            rows = gen_rows(
+                jnp.maximum(ids, 0).reshape(-1)
+            ).reshape(Q, rr, D)
+            fs = jnp.einsum("qd,qrd->qr", queries_dev, rows)
+            fs = jnp.where(ids >= 0, fs, -jnp.inf)
+            ts, tp = jax.lax.top_k(fs, K)
+            return ts, jnp.take_along_axis(ids, tp, axis=1)
+
+        def run():
+            _, ids = ivf_opq.top_k_device(eq_o, rr, nprobe=p)
+            return rescore(ids, rr)
+
+        return run
+
+    for rr, p in ((80, 64), (160, 64), (160, 256)):
+        report(f"2s IVF-OPQ->f32 R={rr} p={p}", ivf_opq_f32(rr, p), gt)
 
 
 if __name__ == "__main__":
