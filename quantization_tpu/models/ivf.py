@@ -106,12 +106,13 @@ class IVFMetadata:
     jax.jit,
     static_argnames=(
         "kind", "k", "p", "u", "method", "dt", "invert", "s", "dim",
-        "use_fused",
+        "use_fused", "indexed", "kk2",
     ),
 )
 def _ivf_search(
     q, eq, means, slot_ids, inner,
     *, kind, k, p, u, method, dt, invert, s, dim, use_fused,
+    indexed=False, kk2=None,
 ):
     """One-dispatch IVF search, batch-union compaction strategy.
 
@@ -158,13 +159,36 @@ def _ivf_search(
     gids = jnp.take(slot_ids, union, axis=0).reshape(-1)  # [U*S]
 
     width = u * s
-    kk2 = min(2 * k, width)  # dedupe margin: pad slots duplicate rows
+    if kk2 is None:  # dedupe margin: pad slots duplicate rows
+        kk2 = min(2 * k, width)
     kernel_mode = "approx" if method == "approx" else "exact"
 
     if kind == "sq":
         qcodes, qoff = eq
         codes, voff, mult = inner
         d = codes.shape[1]
+        if indexed:
+            # In-place probed scan: the fused kernel's corpus grid walks
+            # the union's tiles via a scalar-prefetch index map — only the
+            # selected buckets stream from HBM, and the compaction copy
+            # (read + write the scanned bytes before scanning them again)
+            # disappears entirely.
+            from ..ops.pallas.sq_kernel import TILE_N as SQ_TILE
+            from ..ops.pallas.sq_kernel import sq_search_indexed
+
+            tpb = s // SQ_TILE
+            tiles = (
+                union[:, None] * tpb + jnp.arange(tpb, dtype=jnp.int32)
+            ).reshape(-1)
+            sv, gloc = sq_search_indexed(
+                qcodes, qoff, codes, voff, mult, tiles,
+                distance_type=dt, k=kk2, mode=kernel_mode,
+            )
+            out_ids = jnp.take(
+                slot_ids.reshape(-1), jnp.maximum(gloc, 0)
+            )
+            out_ids = jnp.where(gloc >= 0, out_ids, -1)
+            return _dedupe_select(sv, out_ids, nq, k, kk2)
         g = jnp.take(
             codes[: nb * s].reshape(nb, s * d), union, axis=0
         ).reshape(width, d)
@@ -247,8 +271,12 @@ def _ivf_search(
 
     out_ids = jnp.take(gids, jnp.maximum(loc, 0))
     out_ids = jnp.where(loc >= 0, out_ids, -1)
-    # Dedupe by id (pad slots duplicate rows at equal scores): sort ids,
-    # poison repeats, reselect.
+    return _dedupe_select(sv, out_ids, nq, k, kk2)
+
+
+def _dedupe_select(sv, out_ids, nq, k, kk2):
+    """Dedupe by id (pad slots duplicate rows at equal scores): sort ids,
+    poison repeats, reselect."""
     order = jnp.argsort(out_ids, axis=1)
     sid = jnp.take_along_axis(out_ids, order, axis=1)
     ssv = jnp.take_along_axis(sv, order, axis=1)
@@ -289,14 +317,23 @@ class IVFIndex:
         self.bucket_means = np.asarray(bucket_means, np.float32)
         # slot_ids: the original id whose CODE each slot holds — equals
         # bucket_ids on real slots; pad slots hold the id of the row they
-        # duplicate (build_buckets fills pads cyclically from the bucket's
-        # members, so the mapping is derivable and needs no extra storage).
+        # duplicate (build_buckets fills pads from a GLOBAL cyclic cursor
+        # over 0..N-1 in bucket order, so the mapping is derivable and
+        # needs no extra storage).
         slot_ids = self.bucket_ids.copy()
-        for b in np.flatnonzero((slot_ids < 0).any(axis=1)):
-            row = slot_ids[b]
-            nvalid = int((row >= 0).sum())
-            fill = row.shape[0] - nvalid
-            row[nvalid:] = row[np.arange(fill) % max(nvalid, 1)]
+        n = max(int(self.params.count), 1)
+        pad_mask = slot_ids < 0
+        total_pads = int(pad_mask.sum())
+        if total_pads:
+            slot_ids[pad_mask] = (
+                np.arange(total_pads, dtype=np.int64) % n
+            ).astype(np.int32)
+        # Worst-case slots per original id (1 + pad copies — the global
+        # cursor wraps at most ceil(pads/N) times): the dedupe margin
+        # must fetch k * max_dup slots to guarantee k distinct ids (any
+        # slot outranking id_i is a copy of a better-scoring id, and
+        # there are < k * max_dup of those).
+        self._max_dup = 1 + (-(-total_pads // n) if total_pads else 0)
         self._slot_ids_dev = jnp.asarray(slot_ids)
         self._means_dev = jnp.asarray(self.bucket_means)
 
@@ -429,17 +466,22 @@ class IVFIndex:
         method: str = "exact",
         nprobe: Optional[int] = None,
         nscan: Optional[int] = None,
+        scan: str = "auto",
     ):
-        """Probe + union compaction + fused scan + select, one jitted
-        device dispatch (see ``_ivf_search``).
+        """Probe + probed-bucket scan + select, one jitted device dispatch
+        (see ``_ivf_search``).
 
         ``nprobe`` = per-query probe votes; ``nscan`` = batch-shared
         scanned buckets (default ``4 * nprobe``, capped at the bucket
         count — at Q=1 the union IS the query's own probes; wider batches
         naturally widen it). ``method`` picks the scan's selection mode
         ("exact" = value-exact in-kernel extraction over the scanned
-        buckets, "approx" = strided/partial-reduce). Each distinct
-        (k, nprobe, nscan, method) compiles once."""
+        buckets, "approx" = strided/partial-reduce). ``scan`` picks the
+        scan strategy: "indexed" streams the selected buckets in place
+        through a scalar-prefetch index map (SQ, bucket_size a multiple
+        of the kernel tile); "compact" gathers them into one contiguous
+        sub-corpus first; "auto" prefers indexed where available. Each
+        distinct (k, nprobe, nscan, method, scan) compiles once."""
         q, eq_inner = equery
         nb = self.metadata.nbuckets
         p = min(int(nprobe or self.metadata.nprobe), nb)
@@ -449,9 +491,13 @@ class IVFIndex:
             nscan = self.metadata.nscan
         u = min(int(nscan) if nscan else 4 * p, nb)
         u = max(u, p)
-        kk2 = min(2 * int(k), u * self.metadata.bucket_size)
+        kk2 = min(
+            max(2 * int(k), int(k) * self._max_dup),
+            u * self.metadata.bucket_size,
+        )
         from ..ops import dispatch
         from ..ops.pallas.ktile import APPROX_K_MAX, FUSED_K_MAX
+        from ..ops.pallas.sq_kernel import TILE_N as SQ_TILE
 
         cap = APPROX_K_MAX if method == "approx" else FUSED_K_MAX
         use_fused = bool(
@@ -462,21 +508,35 @@ class IVFIndex:
                 and self.params.distance_type == DistanceType.L1
             )
         )
+        if scan not in ("auto", "indexed", "compact"):
+            raise ArgumentsError(f"unknown scan strategy {scan!r}")
+        indexed = bool(
+            scan != "compact"
+            and use_fused
+            and self.metadata.kind == "sq"
+            and self.metadata.bucket_size % SQ_TILE == 0
+        )
+        if scan == "indexed" and not indexed:
+            raise ArgumentsError(
+                "scan='indexed' needs the fused SQ path and bucket_size "
+                f"divisible by {SQ_TILE}"
+            )
         eq, inner = self._family_arrays(eq_inner)
         return _ivf_search(
             q, eq, self._means_dev, self._slot_ids_dev, inner,
             kind=self.metadata.kind, k=int(k), p=p, u=u, method=method,
             dt=self.params.distance_type, invert=self.params.invert,
             s=self.metadata.bucket_size, dim=self.params.dim,
-            use_fused=use_fused,
+            use_fused=use_fused, indexed=indexed, kk2=kk2,
         )
 
     def top_k(
         self, equery, k: int, method: str = "exact",
         nprobe: Optional[int] = None, nscan: Optional[int] = None,
+        scan: str = "auto",
     ) -> Tuple[np.ndarray, np.ndarray]:
         sv, ids = self.top_k_device(
-            equery, k, method=method, nprobe=nprobe, nscan=nscan
+            equery, k, method=method, nprobe=nprobe, nscan=nscan, scan=scan
         )
         return np.asarray(sv), np.asarray(ids)
 

@@ -88,11 +88,17 @@ def build_buckets(
 
     Returns ``(perm, bucket_ids)``:
       * ``perm`` i64[B*S] — bucket b's slot s holds original row
-        ``perm[b*S + s]``; pad slots REPEAT real rows of the same bucket
-        (so ``data[perm]`` is a valid corpus with only genuine vectors),
+        ``perm[b*S + s]``; pad slots REPEAT real corpus rows drawn from a
+        GLOBAL cyclic cursor over 0..N-1 in bucket order (so
+        ``data[perm]`` is a valid corpus with only genuine vectors, and —
+        while total pads <= N — no original id occupies more than TWO
+        slots: its own plus at most one pad copy; a runt cluster can
+        never blow up the search's dedupe margin),
       * ``bucket_ids`` i32[B, S] — ORIGINAL row ids per slot, -1 in pad
         slots (the search-time mask; exactly one slot per original id is
-        non-negative).
+        non-negative). The pad mapping is derivable from ``bucket_ids``
+        + N alone (walk pads in bucket order, assign cursor % N), so it
+        needs no extra storage across save/load.
     """
     assignments = np.asarray(assignments)
     n = assignments.shape[0]
@@ -105,15 +111,21 @@ def build_buckets(
     ends = np.append(starts[1:], n)
     perm_rows = []
     id_rows = []
+    pad_cursor = 0  # global cyclic pad fill (see docstring)
     for st, en in zip(starts, ends):
-        for b0 in range(st, en, s):
-            b1 = min(b0 + s, en)
+        # EVEN split of the cluster's run over its buckets (never one
+        # full bucket + a runt tail): spreads the padding so no single
+        # bucket is mostly pads.
+        c = en - st
+        nb_c = max(1, -(-c // s))
+        for bi in range(nb_c):
+            b0 = st + (c * bi) // nb_c
+            b1 = st + (c * (bi + 1)) // nb_c
             members = order[b0:b1]
             fill = s - members.shape[0]
             if fill:
-                pad = members[
-                    np.arange(fill) % members.shape[0]
-                ]  # repeat real rows
+                pad = (pad_cursor + np.arange(fill)) % n
+                pad_cursor = int((pad_cursor + fill) % n)
                 perm_rows.append(np.concatenate([members, pad]))
                 ids = np.full((s,), -1, np.int32)
                 ids[: members.shape[0]] = members

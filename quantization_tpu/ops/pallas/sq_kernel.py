@@ -109,6 +109,56 @@ def _make_dot_topk_kernel(n_valid: int, tile_n: int):
     return kernel
 
 
+def _make_dot_topk_kernel_indexed(tile_n: int):
+    """Approx kernel over a SELECTED tile set: the corpus block for grid
+    step j is tile ``sel_ref[j]`` (scalar-prefetch index map), so the DMA
+    pipeline streams only the probed buckets from HBM — an IVF scan pays
+    the probed fraction of the full-scan stream with NO compaction copy.
+    Emitted ids are global corpus rows (sel*tile_n + lane)."""
+
+    def kernel(sel_ref, mult_ref, q_ref, c_ref, qoff_ref, voff_ref,
+               outv_ref, outi_ref):
+        j = pl.program_id(1)
+        acc = jax.lax.dot_general(
+            q_ref[:],
+            c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = (
+            mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
+        )
+        base = sel_ref[j] * tile_n
+        vals, idx = extract_approx_tile(scores, base)
+        combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
+
+    return kernel
+
+
+def _make_dot_class_kernel_indexed(tile_n: int, span: int, r: int):
+    """Exact-selection variant of the indexed kernel (class-top-r ladder,
+    see _make_dot_class_kernel); selected tiles hold only valid rows, so
+    no n_valid mask is needed."""
+
+    def kernel(sel_ref, mult_ref, q_ref, c_ref, qoff_ref, voff_ref,
+               *out_refs):
+        j = pl.program_id(1)
+        acc = jax.lax.dot_general(
+            q_ref[:],
+            c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = (
+            mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
+        )
+        base = sel_ref[j] * tile_n
+        ms, is_, spill = extract_class_topr_ids(scores, base, r)
+        combine_class_topr_ids(out_refs, ms, is_, spill, r, j % span == 0)
+
+    return kernel
+
+
 def _make_dot_class_kernel(n_valid: int, tile_n: int, span: int, r: int):
     """Exact kernel: queries outer with the class-top-r-with-ids ladder
     extraction (max/min chains + eq-reused selects; see ktile)."""
@@ -301,6 +351,162 @@ def sq_search_pallas(
         qoff2.astype(jnp.float32),
         voff2.astype(jnp.float32),
     )
+    return merge_classes_verified(
+        [outs[2 * j][:q] for j in range(r)],
+        [outs[2 * j + 1][:q] for j in range(r)],
+        outs[2 * r][:q], k, fallback,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("distance_type", "k", "mode", "interpret"),
+)
+def sq_search_indexed(
+    qcodes: jax.Array,  # int8 [Q, D]  (D lane-aligned)
+    qoff: jax.Array,  # f32 [Q]
+    codes: jax.Array,  # int8 [Npad, D], Npad % TILE_N == 0
+    voff: jax.Array,  # f32 [Npad]
+    multiplier: jax.Array,  # f32 scalar
+    tile_sel: jax.Array,  # i32 [T] tile ids (tile t = rows [t*TILE_N, ...))
+    *,
+    distance_type: DistanceType,
+    k: int,
+    mode: str = "approx",
+    interpret: bool = None,
+):
+    """Fused SQ search over a SELECTED set of TILE_N-row tiles (the IVF
+    probe scan): the corpus axis of the grid walks ``tile_sel`` through a
+    scalar-prefetch index map, so only the selected tiles stream from HBM —
+    cost is the probed fraction of the full scan, with no gather/compaction
+    copy and no [Q, T*TILE_N] score matrix. Selected tiles must contain
+    only valid rows (the IVF layout guarantees it: pad slots duplicate real
+    rows and are deduped downstream). Returns (scores f32[Q, k],
+    ids i32[Q, k]) with ids GLOBAL corpus rows; DOT/L2 only."""
+    assert distance_type != DistanceType.L1
+    if interpret is None:
+        interpret = interpret_mode()
+    q, d = qcodes.shape
+    n = codes.shape[0]
+    tile_n = TILE_N
+    assert n % tile_n == 0, f"N={n} must be padded to {tile_n}"
+    nt = tile_sel.shape[0]
+    tile_q = min(256, round_up(q, 32))
+    qp = round_up(q, tile_q)
+    qcodes_p = pad_dim_to(qcodes, 0, qp)
+    qoff2 = pad_dim_to(qoff.reshape(-1, 1), 0, qp).astype(jnp.float32)
+    voff2 = voff.reshape(1, -1).astype(jnp.float32)
+    qt = qp // tile_q
+    mult_op = multiplier.reshape(1).astype(jnp.float32)
+    sel_op = tile_sel.astype(jnp.int32)
+    approx = mode == "approx"
+
+    def fallback():
+        # Exact-verification rerun: gather the selected tiles (the rare
+        # path pays the compaction copy) and blocked-scan them.
+        from ..topk import blocked_topk
+
+        g = jnp.take(
+            codes.reshape(n // tile_n, tile_n * d), sel_op, axis=0
+        ).reshape(nt * tile_n, d)
+        gv = jnp.take(
+            voff.reshape(n // tile_n, tile_n), sel_op, axis=0
+        ).reshape(nt * tile_n)
+
+        def score_block(b0, b1):
+            acc = jax.lax.dot_general(
+                qcodes,
+                jax.lax.slice_in_dim(g, b0, b1, axis=0),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (
+                multiplier.astype(jnp.float32) * acc.astype(jnp.float32)
+                + qoff.reshape(-1, 1)
+                + jax.lax.slice_in_dim(gv, b0, b1, axis=0)[None, :]
+            )
+
+        vals, loc = blocked_topk(score_block, nt * tile_n, k)
+        ids = (
+            jnp.take(sel_op, jnp.maximum(loc, 0) // tile_n) * tile_n
+            + jnp.maximum(loc, 0) % tile_n
+        )
+        return vals, jnp.where(loc >= 0, ids, -1)
+
+    common_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # multiplier (1,)
+        pl.BlockSpec(
+            (tile_q, d), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (tile_n, d), lambda i, j, s: (s[j], 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (tile_q, 1), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, tile_n), lambda i, j, s: (0, s[j]), memory_space=pltpu.VMEM
+        ),
+    ]
+
+    if approx:
+        nt_out = -(-nt // SPAN)
+        out_specs = [
+            pl.BlockSpec(
+                (tile_q, SLOT),
+                lambda i, j, s: (i, j // SPAN),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(2)
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(qt, nt),
+            in_specs=common_specs,
+            out_specs=out_specs,
+        )
+        vals, idxs = pl.pallas_call(
+            _make_dot_topk_kernel_indexed(tile_n),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
+                jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
+            ],
+            interpret=interpret,
+        )(sel_op, mult_op, qcodes_p, codes, qoff2, voff2)
+        return merge_tile_topk_all(vals[:q], idxs[:q], k)
+
+    # ------------------------------------------------------------- exact
+    assert k <= FUSED_K_MAX, (
+        f"exact fused search caps k at {FUSED_K_MAX}, got {k}"
+    )
+    n_sel = nt * tile_n
+    r = class_r(k, n_sel)
+    span = class_span(nt, k, r)
+    nt_out = -(-nt // span)
+    width = nt_out * SLOT
+    if k > r * width:
+        return fallback()
+    dts = [jnp.float32, jnp.int32] * r + [jnp.float32]
+
+    def block(i, j, s):
+        return (i, j // span)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qt, nt),
+        in_specs=common_specs,
+        out_specs=[
+            pl.BlockSpec((tile_q, SLOT), block, memory_space=pltpu.VMEM)
+            for _ in dts
+        ],
+    )
+    outs = pl.pallas_call(
+        _make_dot_class_kernel_indexed(tile_n, span, r),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((qp, width), dt) for dt in dts],
+        interpret=interpret,
+    )(sel_op, mult_op, qcodes_p, codes, qoff2, voff2)
     return merge_classes_verified(
         [outs[2 * j][:q] for j in range(r)],
         [outs[2 * j + 1][:q] for j in range(r)],

@@ -59,8 +59,11 @@ def test_build_buckets_is_an_aligned_permutation(rng):
     flat = ids.reshape(-1)
     real = flat[flat >= 0]
     assert sorted(real.tolist()) == list(range(500))
-    # Slot (b, s): perm matches the id when real; pad slots duplicate a
-    # real member of the SAME bucket; members share one cluster.
+    # Slot (b, s): perm matches the id when real; pad slots follow the
+    # GLOBAL cyclic cursor (bucket order), so the mapping is derivable
+    # from bucket_ids + N alone; real members of a bucket share one
+    # cluster.
+    cursor = 0
     for b in range(nb):
         members = set(ids[b][ids[b] >= 0].tolist())
         assert len(set(assign[list(members)].tolist())) == 1
@@ -69,7 +72,11 @@ def test_build_buckets_is_an_aligned_permutation(rng):
             if ids[b, sl] >= 0:
                 assert row == ids[b, sl]
             else:
-                assert row in members
+                assert row == cursor % 500
+                cursor += 1
+    # No original id occupies more than two slots (dedupe margin bound).
+    counts = np.bincount(perm, minlength=500)
+    assert counts.max() <= 2
 
 
 def test_bucket_means_match_naive(rng):
@@ -244,6 +251,35 @@ def force_pallas(monkeypatch):
     monkeypatch.setenv("QTPU_FORCE_PALLAS", "1")
     yield
     monkeypatch.delenv("QTPU_FORCE_PALLAS", raising=False)
+
+
+@pytest.mark.parametrize("method", ["exact", "approx"])
+def test_ivf_indexed_scan_matches_compact(rng, force_pallas, method):
+    # The scalar-prefetch in-place scan (scan="indexed": the kernel grid
+    # walks the union's tiles, no compaction copy) must score the same
+    # buckets as the compacted path: top-k score values identical.
+    count = 3000
+    data = clustered(rng, count, DIM, clusters=8, sigma=0.08)
+    queries = clustered(rng, 8, DIM, clusters=8, sigma=0.08)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    ivf = IVFIndex.encode(
+        data, params, quantizer="sq", nlist=8, bucket_size=512, nprobe=4
+    )
+    eq = ivf.encode_query(queries)
+    i_s, i_i = ivf.top_k(eq, K, method=method, scan="indexed")
+    c_s, c_i = ivf.top_k(eq, K, method=method, scan="compact")
+    np.testing.assert_allclose(
+        np.asarray(i_s), np.asarray(c_s), rtol=1e-5, atol=1e-4
+    )
+    for r in range(len(i_i)):  # dedupe holds on the indexed path too
+        row = np.asarray(i_i)[r]
+        assert len(set(row.tolist())) == len(row)
+    # small buckets can't take the indexed path: explicit request errors
+    small = IVFIndex.encode(
+        data, params, quantizer="sq", nlist=8, bucket_size=64, nprobe=4
+    )
+    with pytest.raises(ArgumentsError):
+        small.top_k(small.encode_query(queries), K, scan="indexed")
 
 
 @pytest.mark.parametrize("kind", ["sq", "pq", "bq"])

@@ -534,8 +534,10 @@ def main():
     S = args.ivf_bucket
     t0 = time.perf_counter()
     smp = np.asarray(gen_dev(keys[0]))[: min(B, 131_072)]
-    centers = ivf_ops.train_centers(smp, args.nlist)
-    cents_dev = jnp.asarray(centers)
+    # NB: do not name this `centers` — that would rebind the corpus
+    # generator's closure variable (gen_rows reads it) to a numpy array.
+    ivf_centers = ivf_ops.train_centers(smp, args.nlist)
+    cents_dev = jnp.asarray(ivf_centers)
     ccn = jnp.sum(cents_dev * cents_dev, axis=1)
 
     @jax.jit
@@ -626,10 +628,16 @@ def main():
                     vector_parameters=params_dot),
     )
     eq_ivf = ivf_sq.encode_query(queries)
-    for p in (16, 64, 256):
+    # Q=256 queries spread over the clusters touch ~Q distinct ones, and
+    # each cluster spans ~10k/S buckets — high recall at this batch size
+    # needs a union of a few thousand buckets (the latency regime Q<=32
+    # probes far narrower; tests cover it).
+    for p, u in ((64, 256), (64, 1024), (64, 2560), (64, 5120)):
         report(
-            f"IVF-SQ nprobe={p}",
-            lambda p=p: ivf_sq.top_k_device(eq_ivf, K, nprobe=p), gt,
+            f"IVF-SQ p={p} nscan={u}",
+            lambda p=p, u=u: ivf_sq.top_k_device(
+                eq_ivf, K, method="approx", nprobe=p, nscan=u
+            ), gt,
         )
     del ivf_sq, sq_inner, eq_ivf, isq_codes, isq_voff
 
@@ -661,13 +669,15 @@ def main():
                     vector_parameters=params_dot),
     )
     eq_o = ivf_opq.encode_query(queries)
-    for p in (16, 64, 256):
+    for p, u in ((64, 1024), (64, 2560), (64, 5120)):
         report(
-            f"IVF-OPQ nprobe={p}",
-            lambda p=p: ivf_opq.top_k_device(eq_o, K, nprobe=p), gt,
+            f"IVF-OPQ p={p} nscan={u}",
+            lambda p=p, u=u: ivf_opq.top_k_device(
+                eq_o, K, method="approx", nprobe=p, nscan=u
+            ), gt,
         )
 
-    def ivf_opq_f32(rr, p):
+    def ivf_opq_f32(rr, p, u):
         @partial(jax.jit, static_argnames=("rr",))
         def rescore(ids, rr):
             rows = gen_rows(
@@ -679,13 +689,18 @@ def main():
             return ts, jnp.take_along_axis(ids, tp, axis=1)
 
         def run():
-            _, ids = ivf_opq.top_k_device(eq_o, rr, nprobe=p)
+            _, ids = ivf_opq.top_k_device(
+                eq_o, rr, method="approx", nprobe=p, nscan=u
+            )
             return rescore(ids, rr)
 
         return run
 
-    for rr, p in ((80, 64), (160, 64), (160, 256)):
-        report(f"2s IVF-OPQ->f32 R={rr} p={p}", ivf_opq_f32(rr, p), gt)
+    for rr, p, u in ((80, 64, 2560), (160, 64, 2560), (160, 64, 5120)):
+        report(
+            f"2s IVF-OPQ->f32 R={rr} p={p} nscan={u}",
+            ivf_opq_f32(rr, p, u), gt,
+        )
 
 
 if __name__ == "__main__":
