@@ -106,13 +106,13 @@ class IVFMetadata:
     jax.jit,
     static_argnames=(
         "kind", "k", "p", "u", "method", "dt", "invert", "s", "dim",
-        "use_fused", "indexed", "kk2",
+        "use_fused", "indexed", "kk2", "itile",
     ),
 )
 def _ivf_search(
     q, eq, means, slot_ids, inner,
     *, kind, k, p, u, method, dt, invert, s, dim, use_fused,
-    indexed=False, kk2=None,
+    indexed=False, kk2=None, itile=0,
 ):
     """One-dispatch IVF search, batch-union compaction strategy.
 
@@ -216,6 +216,22 @@ def _ivf_search(
         (qplanes,) = eq
         (planes,) = inner
         w8 = planes.shape[0]
+        if indexed:
+            # In-place probed scan (approx selection): see the SQ branch.
+            from ..ops.pallas.bq_kernel import bq_search_indexed
+
+            tpb = s // itile
+            tiles = (
+                union[:, None] * tpb + jnp.arange(tpb, dtype=jnp.int32)
+            ).reshape(-1)
+            sv, gloc = bq_search_indexed(
+                qplanes, planes, tiles,
+                distance_type=dt, invert=invert, dim=dim, k=kk2,
+                tile_n=itile,
+            )
+            out_ids = jnp.take(slot_ids.reshape(-1), jnp.maximum(gloc, 0))
+            out_ids = jnp.where(gloc >= 0, out_ids, -1)
+            return _dedupe_select(sv, out_ids, nq, k, kk2)
         g = jnp.take(
             planes[:, : nb * s].reshape(w8, nb, s), union, axis=1
         ).reshape(w8, width)
@@ -236,6 +252,28 @@ def _ivf_search(
             )
     else:  # pq
         (lut,) = eq
+        if indexed:
+            # In-place probed scan (approx selection) over the CACHED
+            # transposed codes (IVFIndex._pq_codes_t): the full PQ scan
+            # is one-hot/MXU compute-bound, so scanning only the probed
+            # fraction is the only lever on its cost.
+            from ..ops.pallas.pq_kernel import TILE_N as PQ_TILE
+            from ..ops.pallas.pq_kernel import (
+                _lut_precision,
+                pq_search_indexed,
+            )
+
+            (codes_t,) = inner
+            tpb = s // PQ_TILE
+            tiles = (
+                union[:, None] * tpb + jnp.arange(tpb, dtype=jnp.int32)
+            ).reshape(-1)
+            sv, gloc = pq_search_indexed(
+                lut, codes_t, tiles, k=kk2, precision=_lut_precision(),
+            )
+            out_ids = jnp.take(slot_ids.reshape(-1), jnp.maximum(gloc, 0))
+            out_ids = jnp.where(gloc >= 0, out_ids, -1)
+            return _dedupe_select(sv, out_ids, nq, k, kk2)
         (codes,) = inner
         m = codes.shape[1]
         g = jnp.take(
@@ -336,6 +374,7 @@ class IVFIndex:
         self._max_dup = 1 + (-(-total_pads // n) if total_pads else 0)
         self._slot_ids_dev = jnp.asarray(slot_ids)
         self._means_dev = jnp.asarray(self.bucket_means)
+        self._codes_t_cache = None  # lazy [Mpad, Npad] for indexed PQ
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -447,6 +486,25 @@ class IVFIndex:
             )
         return q, self.quantizer.encode_query(np.asarray(q))
 
+    def _pq_codes_t(self):
+        """Lazy TRANSPOSED code matrix [Mpad, Npad] for the indexed PQ
+        scan (the fused kernel streams codes corpus-on-lanes). One device
+        transpose, cached — doubles PQ code HBM while an indexed scan is
+        in use."""
+        if self._codes_t_cache is None:
+            from ..ops.pallas.pq_kernel import M_BLK
+            from ..ops.pallas.pq_kernel import TILE_N as PQ_TILE
+
+            qz = self.quantizer
+            codes = qz.codes[:, : qz.num_chunks]
+            n, m = codes.shape
+            npad = -(-n // PQ_TILE) * PQ_TILE
+            mpad = -(-m // M_BLK) * M_BLK
+            self._codes_t_cache = jnp.pad(
+                jnp.transpose(codes), ((0, mpad - m), (0, npad - n))
+            )
+        return self._codes_t_cache
+
     def _family_arrays(self, eq_inner) -> Tuple[tuple, tuple]:
         kind = self.metadata.kind
         qz = self.quantizer
@@ -510,24 +568,40 @@ class IVFIndex:
         )
         if scan not in ("auto", "indexed", "compact"):
             raise ArgumentsError(f"unknown scan strategy {scan!r}")
-        indexed = bool(
-            scan != "compact"
-            and use_fused
-            and self.metadata.kind == "sq"
-            and self.metadata.bucket_size % SQ_TILE == 0
-        )
+        kind = self.metadata.kind
+        s = self.metadata.bucket_size
+        itile = 0
+        if kind == "sq":
+            # SQ has exact AND approx indexed variants.
+            itile = SQ_TILE if s % SQ_TILE == 0 else 0
+        elif method == "approx":
+            # BQ/PQ indexed scans are approx-selection (the IVF coarse
+            # mode); exact keeps the compacted path.
+            if kind == "bq":
+                from ..ops.pallas.bq_kernel import indexed_tile_n
+
+                dp = self.quantizer.planes.shape[0] * 32
+                itile = indexed_tile_n(dp, s)
+            else:
+                from ..ops.pallas.pq_kernel import TILE_N as PQ_TILE
+
+                itile = PQ_TILE if s % PQ_TILE == 0 else 0
+        indexed = bool(scan != "compact" and use_fused and itile)
         if scan == "indexed" and not indexed:
             raise ArgumentsError(
-                "scan='indexed' needs the fused SQ path and bucket_size "
-                f"divisible by {SQ_TILE}"
+                "scan='indexed' needs the fused kernel path, bucket_size "
+                "divisible by the family's kernel tile, and (for BQ/PQ) "
+                "method='approx'"
             )
         eq, inner = self._family_arrays(eq_inner)
+        if indexed and kind == "pq":
+            inner = (self._pq_codes_t(),)
         return _ivf_search(
             q, eq, self._means_dev, self._slot_ids_dev, inner,
-            kind=self.metadata.kind, k=int(k), p=p, u=u, method=method,
+            kind=kind, k=int(k), p=p, u=u, method=method,
             dt=self.params.distance_type, invert=self.params.invert,
-            s=self.metadata.bucket_size, dim=self.params.dim,
-            use_fused=use_fused, indexed=indexed, kk2=kk2,
+            s=s, dim=self.params.dim,
+            use_fused=use_fused, indexed=indexed, kk2=kk2, itile=itile,
         )
 
     def top_k(

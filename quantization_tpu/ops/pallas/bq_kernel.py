@@ -141,6 +141,121 @@ def _make_mxu_topk_kernel(tile_n: int):
     return kernel
 
 
+def _make_mxu_topk_kernel_indexed(tile_n: int):
+    """Approx kernel over a SELECTED tile set: the corpus block for grid
+    step j is tile ``sel_ref[j]`` (scalar-prefetch index map) — the IVF
+    probed-bucket scan streams only the selected plane columns from HBM.
+    Selected tiles hold only valid rows (IVF pads duplicate real rows),
+    so no validity cutoff is needed; ids are global corpus rows."""
+
+    def kernel(sel_ref, mult_ref, qs_ref, p_ref, qb_ref, outv_ref, outi_ref):
+        j = pl.program_id(1)
+        bits = _unpack_bits(p_ref)
+        acc = jax.lax.dot_general(
+            qs_ref[:],
+            bits,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = mult_ref[0] * acc.astype(jnp.float32) + qb_ref[:]
+        base = sel_ref[j] * tile_n
+        vals, idx = extract_approx_tile(scores, base)
+        combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
+
+    return kernel
+
+
+def indexed_tile_n(dp: int, bucket_size: int) -> int:
+    """Widest MXU corpus tile that divides ``bucket_size`` under the same
+    VMEM bound as ``_mxu_tile_n`` (0 if the bucket can't be tiled)."""
+    if bucket_size % MXU_TILE_N:
+        return 0
+    tn = MXU_TILE_N
+    while (
+        tn * 2 <= 2048
+        and bucket_size % (tn * 2) == 0
+        and 5 * dp * tn * 2 <= 8 * 2**20
+    ):
+        tn *= 2
+    return tn
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "distance_type", "invert", "dim", "k", "tile_n", "interpret",
+    ),
+)
+def bq_search_indexed(
+    qplanes: jax.Array,  # uint32 [Q, W]
+    planes: jax.Array,  # uint32 [W8, Npad]
+    tile_sel: jax.Array,  # i32 [T] tile ids (tile t = cols [t*tile_n, ...))
+    *,
+    distance_type: DistanceType,
+    invert: bool,
+    dim: int,
+    k: int,
+    tile_n: int,
+    interpret: bool = None,
+):
+    """Fused BQ search over a SELECTED set of tile_n-column tiles (the IVF
+    probe scan, approx selection): the corpus axis of the grid walks
+    ``tile_sel`` via a scalar-prefetch index map, so only the probed
+    buckets' plane columns stream from HBM — no compaction copy, no
+    [Q, T*tile_n] matrix. Selected tiles must hold only valid rows (the
+    IVF layout guarantees it). Returns (scores f32[Q, k], ids i32[Q, k])
+    with ids GLOBAL corpus rows."""
+    if interpret is None:
+        interpret = interpret_mode()
+    q = qplanes.shape[0]
+    w8, n = planes.shape
+    assert n % tile_n == 0, f"N={n} must be padded to {tile_n}"
+    dp = w8 * 32
+    qs, pq = _query_signs(qplanes, w8, dim)
+    mult, qb = _metric_affine(distance_type, invert, dim, pq)
+    tq = min(256, round_up(q, 32))
+    qp = round_up(q, tq)
+    qs_p = pad_dim_to(qs, 0, qp)
+    qb_p = pad_dim_to(qb, 0, qp)
+    nt = tile_sel.shape[0]
+    qt = qp // tq
+    nt_out = -(-nt // SPAN)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qt, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # mult (1,)
+            pl.BlockSpec(
+                (tq, dp), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (w8, tile_n), lambda i, j, s: (0, s[j]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tq, 1), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tq, SLOT), lambda i, j, s: (i, j // SPAN),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(2)
+        ],
+    )
+    vals, idxs = pl.pallas_call(
+        _make_mxu_topk_kernel_indexed(tile_n),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tile_sel.astype(jnp.int32), mult, qs_p, planes, qb_p)
+    return merge_tile_topk_all(vals[:q], idxs[:q], k)
+
+
 def _make_mxu_packed_kernel(tile_n: int, span: int, sign: int, r: int):
     """Exact kernel: integer BQ scores pack (sign*acc << PACK_BITS |
     member) so the per-class top-r rides pure int max/min chains with ids

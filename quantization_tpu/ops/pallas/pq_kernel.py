@@ -281,6 +281,142 @@ def _make_pq_topk_kernel(
     return kernel
 
 
+def _make_pq_topk_kernel_indexed(
+    tile_n: int, kc: int = K, int8_lut: bool = False,
+):
+    """Approx kernel over a SELECTED tile set: the corpus block for grid
+    step j is tile ``sel_ref[j]`` (scalar-prefetch index map) — the IVF
+    probed-bucket scan streams only the selected code columns from HBM.
+    Selected tiles hold only valid rows (IVF pads duplicate real rows),
+    so no validity cutoff is needed; ids are global corpus rows."""
+    if int8_lut:
+        accumulate = _accumulate_block_i8 if kc == K else _accumulate_block4_i8
+    else:
+        accumulate = _accumulate_block if kc == K else _accumulate_block4
+
+    def kernel(sel_ref, codes_ref, lut_ref, *rest):
+        if int8_lut:
+            scale_ref, bias_ref, outv_ref, outi_ref, acc_ref = rest
+        else:
+            outv_ref, outi_ref, acc_ref = rest
+        mi = pl.program_id(2)
+        j = pl.program_id(1)
+        base = sel_ref[j] * tile_n  # hoisted out of pl.when (interpret rule)
+
+        @pl.when(mi == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] = accumulate(codes_ref, lut_ref, acc_ref[:])
+
+        @pl.when(mi == pl.num_programs(2) - 1)
+        def _():
+            if int8_lut:
+                scores = (
+                    scale_ref[:] * acc_ref[:].astype(jnp.float32)
+                    + bias_ref[:]
+                )
+            else:
+                scores = acc_ref[:]
+            vals, idx = extract_approx_tile(scores, base)
+            combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
+
+    return kernel
+
+
+@partial(
+    jax.jit, static_argnames=("k", "interpret", "precision")
+)
+def pq_search_indexed(
+    lut: jax.Array,  # f32 [Q, m, 256] (or [Q, m, 16] for 4-bit)
+    codes_t: jax.Array,  # int8/uint8 [Mpad, Npad]
+    tile_sel: jax.Array,  # i32 [T] tile ids (tile t = cols [t*TILE_N, ...))
+    *,
+    k: int,
+    interpret: bool = None,
+    precision: str = None,
+):
+    """Fused PQ search over a SELECTED set of TILE_N-column tiles (the IVF
+    probe scan, approx selection): the corpus axis of the grid walks
+    ``tile_sel`` via a scalar-prefetch index map, so only the probed
+    buckets' codes stream from HBM — the scan pays the probed fraction of
+    the full-scan's one-hot/MXU work with no compaction copy (at 10M the
+    full PQ scan is compute-bound at ~355 ms; probing is the only lever).
+    Requires the TRANSPOSED resident codes (the caller caches them once).
+    Returns (scores f32[Q, k], ids i32[Q, k]), ids GLOBAL corpus rows."""
+    if interpret is None:
+        interpret = interpret_mode()
+    if precision is None:
+        precision = _lut_precision()
+    int8_lut = precision == "int8"
+    q, m, kc = lut.shape
+    assert kc in (K, K4)
+    mpad, n = codes_t.shape
+    assert n % TILE_N == 0, f"N={n} must be padded to {TILE_N}"
+    assert mpad % M_BLK == 0
+    tile_q = min(256, round_up(q, 8))
+    qp = round_up(q, tile_q)
+    nt = tile_sel.shape[0]
+    sel_op = tile_sel.astype(jnp.int32)
+
+    in_specs = [
+        pl.BlockSpec(
+            (M_BLK, TILE_N), lambda i, j, l, s: (l, s[j]),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (tile_q, M_BLK * kc),
+            lambda i, j, l, s: (i, l),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if int8_lut:
+        lut_flat, scale, bias = _quantize_lut(lut, mpad, qp)
+        operands = (sel_op, codes_t.astype(jnp.int8), lut_flat, scale, bias)
+        in_specs += [
+            pl.BlockSpec(
+                (tile_q, 1), lambda i, j, l, s: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_q, 1), lambda i, j, l, s: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        scratch = [pltpu.VMEM((tile_q, TILE_N), jnp.int32)]
+    else:
+        lut_flat = (
+            pad_dim_to(pad_dim_to(lut, 1, mpad), 0, qp)
+            .reshape(qp, mpad * kc)
+            .astype(jnp.bfloat16)
+        )
+        operands = (sel_op, codes_t.astype(jnp.int8), lut_flat)
+        scratch = [pltpu.VMEM((tile_q, TILE_N), jnp.float32)]
+
+    nt_out = -(-nt // SPAN)
+    out_idx = lambda i, j, l, s: (i, j // SPAN)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qp // tile_q, nt, mpad // M_BLK),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, SLOT), out_idx, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=scratch,
+    )
+    vals, idxs = pl.pallas_call(
+        _make_pq_topk_kernel_indexed(TILE_N, kc, int8_lut),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return merge_tile_topk_all(vals[:q], idxs[:q], k)
+
+
 def _make_pq_class_kernel(
     tile_n: int, span: int, r: int, kc: int = K,
     int8_lut: bool = False,

@@ -253,8 +253,18 @@ def force_pallas(monkeypatch):
     monkeypatch.delenv("QTPU_FORCE_PALLAS", raising=False)
 
 
-@pytest.mark.parametrize("method", ["exact", "approx"])
-def test_ivf_indexed_scan_matches_compact(rng, force_pallas, method):
+@pytest.mark.parametrize(
+    "kind,method,bucket",
+    [
+        ("sq", "exact", 512),
+        ("sq", "approx", 512),
+        ("bq", "approx", 512),
+        ("pq", "approx", 1024),
+    ],
+)
+def test_ivf_indexed_scan_matches_compact(
+    rng, force_pallas, kind, method, bucket
+):
     # The scalar-prefetch in-place scan (scan="indexed": the kernel grid
     # walks the union's tiles, no compaction copy) must score the same
     # buckets as the compacted path: top-k score values identical.
@@ -262,8 +272,10 @@ def test_ivf_indexed_scan_matches_compact(rng, force_pallas, method):
     data = clustered(rng, count, DIM, clusters=8, sigma=0.08)
     queries = clustered(rng, 8, DIM, clusters=8, sigma=0.08)
     params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    kw = {"chunk_size": 4} if kind == "pq" else {}
     ivf = IVFIndex.encode(
-        data, params, quantizer="sq", nlist=8, bucket_size=512, nprobe=4
+        data, params, quantizer=kind, nlist=8, bucket_size=bucket, nprobe=4,
+        **kw,
     )
     eq = ivf.encode_query(queries)
     i_s, i_i = ivf.top_k(eq, K, method=method, scan="indexed")
@@ -276,10 +288,14 @@ def test_ivf_indexed_scan_matches_compact(rng, force_pallas, method):
         assert len(set(row.tolist())) == len(row)
     # small buckets can't take the indexed path: explicit request errors
     small = IVFIndex.encode(
-        data, params, quantizer="sq", nlist=8, bucket_size=64, nprobe=4
+        data, params, quantizer=kind, nlist=8, bucket_size=64, nprobe=4,
+        **kw,
     )
     with pytest.raises(ArgumentsError):
         small.top_k(small.encode_query(queries), K, scan="indexed")
+    if kind != "sq":  # BQ/PQ indexed scans are approx-selection only
+        with pytest.raises(ArgumentsError):
+            ivf.top_k(eq, K, method="exact", scan="indexed")
 
 
 @pytest.mark.parametrize("kind", ["sq", "pq", "bq"])
