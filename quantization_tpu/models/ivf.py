@@ -102,48 +102,19 @@ class IVFMetadata:
         )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "kind", "k", "p", "u", "method", "dt", "invert", "s", "dim",
-        "use_fused", "indexed", "kk2", "itile",
-    ),
-)
-def _ivf_search(
-    q, eq, means, slot_ids, inner,
-    *, kind, k, p, u, method, dt, invert, s, dim, use_fused,
-    indexed=False, kk2=None, itile=0,
-):
-    """One-dispatch IVF search, batch-union compaction strategy.
-
-    Per-query probing gathers scattered rows, and measured on v5e the XLA
-    row gather runs at ~27 GB/s against the fused kernels' ~350 GB/s
-    corpus stream (the per-query LUT gather for PQ is worse still) — so a
-    literal per-query scan loses to the full scan it is meant to beat.
-    Instead: every query votes for its ``p`` nearest buckets, the ``u``
-    most-voted buckets become ONE compact sub-corpus (whole [S, bytes]
-    blocks gathered contiguously), and the family's own fused search
-    kernel scans that sub-corpus for the whole batch — identical MXU
-    sharing to the full scan, at the probed fraction of the rows. Every
-    query is scored against the whole union (a superset of its own voted
-    buckets that survived), so recall dominates same-width per-query
-    probing. Pad slots duplicate real rows (valid codes, correct ids via
-    ``slot_ids``); the final 2k-wide select is deduped by id.
-
-    ``eq`` / ``inner`` are per-family array tuples (see
-    ``IVFIndex._family_arrays``); everything else is static."""
+def _bucket_priority(q, means, dt, invert, p):
+    """Rank-fair batch-union priority per bucket [B]: a bucket's key rank
+    is the best (lowest) probe rank ANY query gave it, so every query's
+    rank-0 bucket enters the union before anyone's rank-1 bucket, and
+    so on — at Q diverse queries and u >= Q each query is guaranteed
+    its own nearest bucket, then its next ranks as width allows (pure
+    vote-count starves unpopular queries completely at large Q). Votes
+    break ties within a rank class; the batch-max probe score (mapped
+    into (0, 0.5)) breaks vote ties and fills unvoted spare slots."""
     probe_scores = pairwise_score(q, means, dt, invert)  # [Q, B]
     _, probes = jax.lax.top_k(probe_scores, p)  # [Q, P]
     nq = q.shape[0]
     nb = means.shape[0]
-    # Union = top-u buckets by RANK-FAIR priority: a bucket's key rank is
-    # the best (lowest) probe rank ANY query gave it, so every query's
-    # rank-0 bucket enters the union before anyone's rank-1 bucket, and
-    # so on — at Q diverse queries and u >= Q each query is guaranteed
-    # its own nearest bucket, then its next ranks as width allows (pure
-    # vote-count starves unpopular queries completely at large Q). Votes
-    # break ties within a rank class; the batch-max probe score (mapped
-    # into (0, 0.5)) breaks vote ties and fills unvoted spare slots.
     flat = probes.reshape(-1)
     ranks = jnp.broadcast_to(
         jnp.arange(p, dtype=jnp.float32)[None, :], probes.shape
@@ -154,41 +125,27 @@ def _ivf_search(
     tie = 0.5 * jax.nn.sigmoid(
         (bmax - jnp.mean(bmax)) / (jnp.std(bmax) + 1e-6)
     )
-    prio = (float(p) - minrank) * float(nq * p + 1) + votes + tie
-    _, union = jax.lax.top_k(prio, u)  # [U]
-    gids = jnp.take(slot_ids, union, axis=0).reshape(-1)  # [U*S]
+    return (float(p) - minrank) * float(nq * p + 1) + votes + tie
 
+
+def _scan_buckets_compact(
+    kind, eq, inner, union, *, nb, s, dt, invert, dim, use_fused,
+    kk2, method,
+):
+    """Gather the union's buckets — whole contiguous [S, bytes] blocks —
+    into one compact sub-corpus and scan it with the family's own kernel
+    (fused search when ``use_fused``, XLA score + select otherwise).
+    ``inner`` arrays must hold exactly ``nb`` buckets' rows along the
+    corpus axis (callers slice). Returns (sv [Q, kk2], loc [Q, kk2]) with
+    ``loc`` a position in union-slot space [0, U*s) or -1."""
+    u = union.shape[0]
     width = u * s
-    if kk2 is None:  # dedupe margin: pad slots duplicate rows
-        kk2 = min(2 * k, width)
     kernel_mode = "approx" if method == "approx" else "exact"
 
     if kind == "sq":
         qcodes, qoff = eq
         codes, voff, mult = inner
         d = codes.shape[1]
-        if indexed:
-            # In-place probed scan: the fused kernel's corpus grid walks
-            # the union's tiles via a scalar-prefetch index map — only the
-            # selected buckets stream from HBM, and the compaction copy
-            # (read + write the scanned bytes before scanning them again)
-            # disappears entirely.
-            from ..ops.pallas.sq_kernel import TILE_N as SQ_TILE
-            from ..ops.pallas.sq_kernel import sq_search_indexed
-
-            tpb = s // SQ_TILE
-            tiles = (
-                union[:, None] * tpb + jnp.arange(tpb, dtype=jnp.int32)
-            ).reshape(-1)
-            sv, gloc = sq_search_indexed(
-                qcodes, qoff, codes, voff, mult, tiles,
-                distance_type=dt, k=kk2, mode=kernel_mode,
-            )
-            out_ids = jnp.take(
-                slot_ids.reshape(-1), jnp.maximum(gloc, 0)
-            )
-            out_ids = jnp.where(gloc >= 0, out_ids, -1)
-            return _dedupe_select(sv, out_ids, nq, k, kk2)
         g = jnp.take(
             codes[: nb * s].reshape(nb, s * d), union, axis=0
         ).reshape(width, d)
@@ -216,22 +173,6 @@ def _ivf_search(
         (qplanes,) = eq
         (planes,) = inner
         w8 = planes.shape[0]
-        if indexed:
-            # In-place probed scan (approx selection): see the SQ branch.
-            from ..ops.pallas.bq_kernel import bq_search_indexed
-
-            tpb = s // itile
-            tiles = (
-                union[:, None] * tpb + jnp.arange(tpb, dtype=jnp.int32)
-            ).reshape(-1)
-            sv, gloc = bq_search_indexed(
-                qplanes, planes, tiles,
-                distance_type=dt, invert=invert, dim=dim, k=kk2,
-                tile_n=itile,
-            )
-            out_ids = jnp.take(slot_ids.reshape(-1), jnp.maximum(gloc, 0))
-            out_ids = jnp.where(gloc >= 0, out_ids, -1)
-            return _dedupe_select(sv, out_ids, nq, k, kk2)
         g = jnp.take(
             planes[:, : nb * s].reshape(w8, nb, s), union, axis=1
         ).reshape(w8, width)
@@ -252,28 +193,6 @@ def _ivf_search(
             )
     else:  # pq
         (lut,) = eq
-        if indexed:
-            # In-place probed scan (approx selection) over the CACHED
-            # transposed codes (IVFIndex._pq_codes_t): the full PQ scan
-            # is one-hot/MXU compute-bound, so scanning only the probed
-            # fraction is the only lever on its cost.
-            from ..ops.pallas.pq_kernel import TILE_N as PQ_TILE
-            from ..ops.pallas.pq_kernel import (
-                _lut_precision,
-                pq_search_indexed,
-            )
-
-            (codes_t,) = inner
-            tpb = s // PQ_TILE
-            tiles = (
-                union[:, None] * tpb + jnp.arange(tpb, dtype=jnp.int32)
-            ).reshape(-1)
-            sv, gloc = pq_search_indexed(
-                lut, codes_t, tiles, k=kk2, precision=_lut_precision(),
-            )
-            out_ids = jnp.take(slot_ids.reshape(-1), jnp.maximum(gloc, 0))
-            out_ids = jnp.where(gloc >= 0, out_ids, -1)
-            return _dedupe_select(sv, out_ids, nq, k, kk2)
         (codes,) = inner
         m = codes.shape[1]
         g = jnp.take(
@@ -306,7 +225,96 @@ def _ivf_search(
             loc = loc.astype(jnp.int32)
         else:
             sv, loc = jax.lax.top_k(scores, kk2)
+    return sv, loc
 
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kind", "k", "p", "u", "method", "dt", "invert", "s", "dim",
+        "use_fused", "indexed", "kk2", "itile",
+    ),
+)
+def _ivf_search(
+    q, eq, means, slot_ids, inner,
+    *, kind, k, p, u, method, dt, invert, s, dim, use_fused,
+    indexed=False, kk2=None, itile=0,
+):
+    """One-dispatch IVF search, batch-union compaction strategy.
+
+    Per-query probing gathers scattered rows, and measured on v5e the XLA
+    row gather runs at ~27 GB/s against the fused kernels' ~350 GB/s
+    corpus stream (the per-query LUT gather for PQ is worse still) — so a
+    literal per-query scan loses to the full scan it is meant to beat.
+    Instead: every query votes for its ``p`` nearest buckets, the ``u``
+    most-voted buckets are scanned for the whole batch with the family's
+    own fused search kernel — identical MXU sharing to the full scan, at
+    the probed fraction of the rows (``indexed``: the kernel's corpus
+    grid walks the selected tiles in place via a scalar-prefetch index
+    map; otherwise the buckets are first gathered into one compact
+    sub-corpus, ``_scan_buckets_compact``). Every query is scored against
+    the whole union (a superset of its own voted buckets that survived),
+    so recall dominates same-width per-query probing. Pad slots duplicate
+    real rows (valid codes, correct ids via ``slot_ids``); the final
+    2k-wide select is deduped by id.
+
+    ``eq`` / ``inner`` are per-family array tuples (see
+    ``IVFIndex._family_arrays``); everything else is static."""
+    nq = q.shape[0]
+    nb = means.shape[0]
+    prio = _bucket_priority(q, means, dt, invert, p)
+    _, union = jax.lax.top_k(prio, u)  # [U]
+    if kk2 is None:  # dedupe margin: pad slots duplicate rows
+        kk2 = min(2 * k, u * s)
+    kernel_mode = "approx" if method == "approx" else "exact"
+
+    if indexed:
+        # In-place probed scan: only the selected buckets' code columns
+        # stream from HBM; no compaction copy. The kernels return GLOBAL
+        # slot positions, mapped to original ids via the full slot map.
+        tpb = s // itile
+        tiles = (
+            union[:, None] * tpb + jnp.arange(tpb, dtype=jnp.int32)
+        ).reshape(-1)
+        if kind == "sq":
+            from ..ops.pallas.sq_kernel import sq_search_indexed
+
+            qcodes, qoff = eq
+            codes, voff, mult = inner
+            sv, gloc = sq_search_indexed(
+                qcodes, qoff, codes, voff, mult, tiles,
+                distance_type=dt, k=kk2, mode=kernel_mode,
+            )
+        elif kind == "bq":
+            from ..ops.pallas.bq_kernel import bq_search_indexed
+
+            (qplanes,) = eq
+            (planes,) = inner
+            sv, gloc = bq_search_indexed(
+                qplanes, planes, tiles,
+                distance_type=dt, invert=invert, dim=dim, k=kk2,
+                tile_n=itile,
+            )
+        else:  # pq, over the CACHED transposed codes (IVFIndex._pq_codes_t)
+            from ..ops.pallas.pq_kernel import (
+                _lut_precision,
+                pq_search_indexed,
+            )
+
+            (lut,) = eq
+            (codes_t,) = inner
+            sv, gloc = pq_search_indexed(
+                lut, codes_t, tiles, k=kk2, precision=_lut_precision(),
+            )
+        out_ids = jnp.take(slot_ids.reshape(-1), jnp.maximum(gloc, 0))
+        out_ids = jnp.where(gloc >= 0, out_ids, -1)
+        return _dedupe_select(sv, out_ids, nq, k, kk2)
+
+    sv, loc = _scan_buckets_compact(
+        kind, eq, inner, union, nb=nb, s=s, dt=dt, invert=invert,
+        dim=dim, use_fused=use_fused, kk2=kk2, method=method,
+    )
+    gids = jnp.take(slot_ids, union, axis=0).reshape(-1)  # [U*S]
     out_ids = jnp.take(gids, jnp.maximum(loc, 0))
     out_ids = jnp.where(loc >= 0, out_ids, -1)
     return _dedupe_select(sv, out_ids, nq, k, kk2)

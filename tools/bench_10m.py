@@ -639,6 +639,39 @@ def main():
                 eq_ivf, K, method="approx", nprobe=p, nscan=u
             ), gt,
         )
+
+    # IVF-SQ coarse -> f32 rescore: probe-limited coarse at full-scan-SQ
+    # recall quality (the coarse errors are quantization noise, not probe
+    # misses, once nscan covers the queries' clusters), then the same
+    # original-vector rescore as the full-scan two-stage — the serving
+    # ladder's qps frontier.
+    def ivf_sq_f32(rr, p, u):
+        @partial(jax.jit, static_argnames=("rr",))
+        def rescore(ids, rr):
+            rows = gen_rows(
+                jnp.maximum(ids, 0).reshape(-1)
+            ).reshape(Q, rr, D)
+            fs = jnp.einsum("qd,qrd->qr", queries_dev, rows)
+            fs = jnp.where(ids >= 0, fs, -jnp.inf)
+            ts, tp = jax.lax.top_k(fs, K)
+            return ts, jnp.take_along_axis(ids, tp, axis=1)
+
+        def run():
+            _, ids = ivf_sq.top_k_device(
+                eq_ivf, rr, method="approx", nprobe=p, nscan=u
+            )
+            return rescore(ids, rr)
+
+        return run
+
+    for rr, p, u in (
+        (40, 64, 1024), (40, 64, 2560), (80, 64, 2560), (40, 64, 5120),
+        (80, 64, 5120),
+    ):
+        report(
+            f"2s IVF-SQ->f32 R={rr} p={p} nscan={u}",
+            ivf_sq_f32(rr, p, u), gt,
+        )
     del ivf_sq, sq_inner, eq_ivf, isq_codes, isq_voff
 
     # ---- IVF-OPQ (+ f32 rescore: the compressed serving ladder) ----
