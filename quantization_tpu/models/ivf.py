@@ -305,6 +305,7 @@ def _ivf_search(
             (codes_t,) = inner
             sv, gloc = pq_search_indexed(
                 lut, codes_t, tiles, k=kk2, precision=_lut_precision(),
+                tile_n=itile,
             )
         out_ids = jnp.take(slot_ids.reshape(-1), jnp.maximum(gloc, 0))
         out_ids = jnp.where(gloc >= 0, out_ids, -1)
@@ -591,9 +592,22 @@ class IVFIndex:
                 dp = self.quantizer.planes.shape[0] * 32
                 itile = indexed_tile_n(dp, s)
             else:
+                from ..ops.pallas.ktile import SLOT
                 from ..ops.pallas.pq_kernel import TILE_N as PQ_TILE
 
-                itile = PQ_TILE if s % PQ_TILE == 0 else 0
+                # Widest tile (down to 2*SLOT) dividing the bucket size.
+                # Derated tiles pay extraction once per tile_n columns, so
+                # halving the tile doubles that overhead: measured on v5e
+                # (250k x 768, m=96, u=48) tile-512 indexed runs 4.42 ms vs
+                # 3.59 compact while full-tile indexed beats compact 1.16-
+                # 1.6x — so AUTO only takes the PQ indexed path at the
+                # full tile; scan="indexed" forces a derated tile.
+                t = PQ_TILE
+                while t > SLOT and s % t:
+                    t //= 2
+                itile = t if t > SLOT and s % t == 0 else 0
+                if scan == "auto" and itile != PQ_TILE:
+                    itile = 0
         indexed = bool(scan != "compact" and use_fused and itile)
         if scan == "indexed" and not indexed:
             raise ArgumentsError(

@@ -325,25 +325,29 @@ def _make_pq_topk_kernel_indexed(
 
 
 @partial(
-    jax.jit, static_argnames=("k", "interpret", "precision")
+    jax.jit, static_argnames=("k", "interpret", "precision", "tile_n")
 )
 def pq_search_indexed(
     lut: jax.Array,  # f32 [Q, m, 256] (or [Q, m, 16] for 4-bit)
     codes_t: jax.Array,  # int8/uint8 [Mpad, Npad]
-    tile_sel: jax.Array,  # i32 [T] tile ids (tile t = cols [t*TILE_N, ...))
+    tile_sel: jax.Array,  # i32 [T] tile ids (tile t = cols [t*tile_n, ...))
     *,
     k: int,
     interpret: bool = None,
     precision: str = None,
+    tile_n: int = TILE_N,
 ):
-    """Fused PQ search over a SELECTED set of TILE_N-column tiles (the IVF
+    """Fused PQ search over a SELECTED set of tile_n-column tiles (the IVF
     probe scan, approx selection): the corpus axis of the grid walks
     ``tile_sel`` via a scalar-prefetch index map, so only the probed
     buckets' codes stream from HBM — the scan pays the probed fraction of
     the full-scan's one-hot/MXU work with no compaction copy (at 10M the
     full PQ scan is compute-bound at ~355 ms; probing is the only lever).
-    Requires the TRANSPOSED resident codes (the caller caches them once).
-    Returns (scores f32[Q, k], ids i32[Q, k]), ids GLOBAL corpus rows."""
+    ``tile_n`` may be derated below TILE_N (multiple of SLOT) to match an
+    IVF bucket size; smaller tiles trade extraction overhead per scanned
+    byte. Requires the TRANSPOSED resident codes (the caller caches them
+    once). Returns (scores f32[Q, k], ids i32[Q, k]), ids GLOBAL corpus
+    rows."""
     if interpret is None:
         interpret = interpret_mode()
     if precision is None:
@@ -352,7 +356,8 @@ def pq_search_indexed(
     q, m, kc = lut.shape
     assert kc in (K, K4)
     mpad, n = codes_t.shape
-    assert n % TILE_N == 0, f"N={n} must be padded to {TILE_N}"
+    assert tile_n % SLOT == 0, f"tile_n={tile_n} must pad to {SLOT}"
+    assert n % tile_n == 0, f"N={n} must be padded to {tile_n}"
     assert mpad % M_BLK == 0
     tile_q = min(256, round_up(q, 8))
     qp = round_up(q, tile_q)
@@ -361,7 +366,7 @@ def pq_search_indexed(
 
     in_specs = [
         pl.BlockSpec(
-            (M_BLK, TILE_N), lambda i, j, l, s: (l, s[j]),
+            (M_BLK, tile_n), lambda i, j, l, s: (l, s[j]),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
@@ -383,7 +388,7 @@ def pq_search_indexed(
                 memory_space=pltpu.VMEM,
             ),
         ]
-        scratch = [pltpu.VMEM((tile_q, TILE_N), jnp.int32)]
+        scratch = [pltpu.VMEM((tile_q, tile_n), jnp.int32)]
     else:
         lut_flat = (
             pad_dim_to(pad_dim_to(lut, 1, mpad), 0, qp)
@@ -391,7 +396,7 @@ def pq_search_indexed(
             .astype(jnp.bfloat16)
         )
         operands = (sel_op, codes_t.astype(jnp.int8), lut_flat)
-        scratch = [pltpu.VMEM((tile_q, TILE_N), jnp.float32)]
+        scratch = [pltpu.VMEM((tile_q, tile_n), jnp.float32)]
 
     nt_out = -(-nt // SPAN)
     out_idx = lambda i, j, l, s: (i, j // SPAN)  # noqa: E731
@@ -406,7 +411,7 @@ def pq_search_indexed(
         scratch_shapes=scratch,
     )
     vals, idxs = pl.pallas_call(
-        _make_pq_topk_kernel_indexed(TILE_N, kc, int8_lut),
+        _make_pq_topk_kernel_indexed(tile_n, kc, int8_lut),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),

@@ -260,6 +260,7 @@ def force_pallas(monkeypatch):
         ("sq", "approx", 512),
         ("bq", "approx", 512),
         ("pq", "approx", 1024),
+        ("pq", "approx", 512),  # derated indexed tile (tile_n=512)
     ],
 )
 def test_ivf_indexed_scan_matches_compact(
