@@ -266,47 +266,12 @@ def _ivf_search(
     _, union = jax.lax.top_k(prio, u)  # [U]
     if kk2 is None:  # dedupe margin: pad slots duplicate rows
         kk2 = min(2 * k, u * s)
-    kernel_mode = "approx" if method == "approx" else "exact"
 
     if indexed:
-        # In-place probed scan: only the selected buckets' code columns
-        # stream from HBM; no compaction copy. The kernels return GLOBAL
-        # slot positions, mapped to original ids via the full slot map.
-        tpb = s // itile
-        tiles = (
-            union[:, None] * tpb + jnp.arange(tpb, dtype=jnp.int32)
-        ).reshape(-1)
-        if kind == "sq":
-            from ..ops.pallas.sq_kernel import sq_search_indexed
-
-            qcodes, qoff = eq
-            codes, voff, mult = inner
-            sv, gloc = sq_search_indexed(
-                qcodes, qoff, codes, voff, mult, tiles,
-                distance_type=dt, k=kk2, mode=kernel_mode,
-            )
-        elif kind == "bq":
-            from ..ops.pallas.bq_kernel import bq_search_indexed
-
-            (qplanes,) = eq
-            (planes,) = inner
-            sv, gloc = bq_search_indexed(
-                qplanes, planes, tiles,
-                distance_type=dt, invert=invert, dim=dim, k=kk2,
-                tile_n=itile,
-            )
-        else:  # pq, over the CACHED transposed codes (IVFIndex._pq_codes_t)
-            from ..ops.pallas.pq_kernel import (
-                _lut_precision,
-                pq_search_indexed,
-            )
-
-            (lut,) = eq
-            (codes_t,) = inner
-            sv, gloc = pq_search_indexed(
-                lut, codes_t, tiles, k=kk2, precision=_lut_precision(),
-                tile_n=itile,
-            )
+        sv, gloc = _scan_buckets_indexed(
+            kind, eq, inner, union, s=s, itile=itile, dt=dt,
+            invert=invert, dim=dim, kk2=kk2, method=method,
+        )
         out_ids = jnp.take(slot_ids.reshape(-1), jnp.maximum(gloc, 0))
         out_ids = jnp.where(gloc >= 0, out_ids, -1)
         return _dedupe_select(sv, out_ids, nq, k, kk2)
@@ -319,6 +284,50 @@ def _ivf_search(
     out_ids = jnp.take(gids, jnp.maximum(loc, 0))
     out_ids = jnp.where(loc >= 0, out_ids, -1)
     return _dedupe_select(sv, out_ids, nq, k, kk2)
+
+
+def _scan_buckets_indexed(
+    kind, eq, inner, union, *, s, itile, dt, invert, dim, kk2, method,
+):
+    """In-place probed scan: the fused kernel's corpus grid walks the
+    union's tiles via a scalar-prefetch index map — only the selected
+    buckets' code columns stream from HBM, no compaction copy. ``union``
+    indexes buckets of the arrays in ``inner`` (full corpus single-device,
+    a shard's local slice inside shard_map). Returns (sv [Q, kk2],
+    gloc [Q, kk2]) with ``gloc`` a slot position in those arrays or -1."""
+    kernel_mode = "approx" if method == "approx" else "exact"
+    tpb = s // itile
+    tiles = (
+        union[:, None] * tpb + jnp.arange(tpb, dtype=jnp.int32)
+    ).reshape(-1)
+    if kind == "sq":
+        from ..ops.pallas.sq_kernel import sq_search_indexed
+
+        qcodes, qoff = eq
+        codes, voff, mult = inner
+        return sq_search_indexed(
+            qcodes, qoff, codes, voff, mult, tiles,
+            distance_type=dt, k=kk2, mode=kernel_mode,
+        )
+    if kind == "bq":
+        from ..ops.pallas.bq_kernel import bq_search_indexed
+
+        (qplanes,) = eq
+        (planes,) = inner
+        return bq_search_indexed(
+            qplanes, planes, tiles,
+            distance_type=dt, invert=invert, dim=dim, k=kk2,
+            tile_n=itile,
+        )
+    # pq, over the CACHED transposed codes (IVFIndex._pq_codes_t)
+    from ..ops.pallas.pq_kernel import _lut_precision, pq_search_indexed
+
+    (lut,) = eq
+    (codes_t,) = inner
+    return pq_search_indexed(
+        lut, codes_t, tiles, k=kk2, precision=_lut_precision(),
+        tile_n=itile,
+    )
 
 
 def _dedupe_select(sv, out_ids, nq, k, kk2):

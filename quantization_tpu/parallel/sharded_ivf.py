@@ -50,6 +50,7 @@ from ..models.ivf import (
     _bucket_priority,
     _dedupe_select,
     _scan_buckets_compact,
+    _scan_buckets_indexed,
 )
 from .sharded import make_mesh
 
@@ -58,17 +59,18 @@ from .sharded import make_mesh
     jax.jit,
     static_argnames=(
         "mesh", "axis", "kind", "k", "p", "u_loc", "b_loc", "method",
-        "dt", "invert", "s", "dim", "use_fused", "kk2",
+        "dt", "invert", "s", "dim", "use_fused", "kk2", "itile",
     ),
 )
 def _ivf_sharded_search(
     q, eq, means, slot_ids, inner,
     *, mesh, axis, kind, k, p, u_loc, b_loc, method, dt, invert, s,
-    dim, use_fused, kk2,
+    dim, use_fused, kk2, itile=0,
 ):
     """One-dispatch sharded IVF search: replicated probe/priority, local
-    top-``u_loc`` bucket quota per shard, per-shard compact scan with the
-    family's fused kernel, one tiled all_gather, replicated dedupe."""
+    top-``u_loc`` bucket quota per shard, per-shard scan with the family's
+    fused kernel (scalar-prefetch INDEXED when ``itile``, compact gather
+    otherwise), one tiled all_gather, replicated dedupe."""
     nq = q.shape[0]
 
     def local(q, eq, means, sid_loc, inner):
@@ -76,12 +78,21 @@ def _ivf_sharded_search(
         sidx = jax.lax.axis_index(axis)
         my = jax.lax.dynamic_slice(prio, (sidx * b_loc,), (b_loc,))
         _, union_loc = jax.lax.top_k(my, u_loc)  # LOCAL bucket indices
-        sv, loc = _scan_buckets_compact(
-            kind, eq, inner, union_loc, nb=b_loc, s=s, dt=dt,
-            invert=invert, dim=dim, use_fused=use_fused, kk2=kk2,
-            method=method,
-        )
-        gids = jnp.take(sid_loc, union_loc, axis=0).reshape(-1)
+        if itile:
+            # In-place probed scan over this shard's slice; gloc is a
+            # slot position in the LOCAL arrays -> local slot-id map.
+            sv, loc = _scan_buckets_indexed(
+                kind, eq, inner, union_loc, s=s, itile=itile, dt=dt,
+                invert=invert, dim=dim, kk2=kk2, method=method,
+            )
+            gids = sid_loc.reshape(-1)
+        else:
+            sv, loc = _scan_buckets_compact(
+                kind, eq, inner, union_loc, nb=b_loc, s=s, dt=dt,
+                invert=invert, dim=dim, use_fused=use_fused, kk2=kk2,
+                method=method,
+            )
+            gids = jnp.take(sid_loc, union_loc, axis=0).reshape(-1)
         out_ids = jnp.where(
             loc >= 0, jnp.take(gids, jnp.maximum(loc, 0)), -1
         )
@@ -214,11 +225,16 @@ class ShardedIVF:
         method: str = "exact",
         nprobe: Optional[int] = None,
         nscan: Optional[int] = None,
+        scan: str = "auto",
     ):
         """Probe + per-shard probed-bucket scan + gather-merge, one jitted
         dispatch. ``nscan`` is the GLOBAL scanned-bucket budget; each
         shard scans ``ceil(nscan / n_shards)`` of its own buckets (see
-        module docstring for the quota semantics)."""
+        module docstring for the quota semantics). ``scan`` follows
+        ``IVFIndex.top_k_device`` — except PQ, which always scans compact
+        here (its indexed kernel needs a second, transposed code layout;
+        the PQ scan is MXU-compute-bound, so the copy it saves is a small
+        fraction)."""
         q, eq_inner = equery
         meta = self.metadata
         nb = meta.nbuckets
@@ -237,6 +253,7 @@ class ShardedIVF:
         from ..models.ivf import DistanceType
         from ..ops import dispatch
         from ..ops.pallas.ktile import APPROX_K_MAX, FUSED_K_MAX
+        from ..ops.pallas.sq_kernel import TILE_N as SQ_TILE
 
         cap = APPROX_K_MAX if method == "approx" else FUSED_K_MAX
         use_fused = bool(
@@ -247,22 +264,42 @@ class ShardedIVF:
                 and self.params.distance_type == DistanceType.L1
             )
         )
+        if scan not in ("auto", "indexed", "compact"):
+            raise ArgumentsError(f"unknown scan strategy {scan!r}")
+        s = meta.bucket_size
+        itile = 0
+        if meta.kind == "sq":
+            itile = SQ_TILE if s % SQ_TILE == 0 else 0
+        elif meta.kind == "bq" and method == "approx":
+            from ..ops.pallas.bq_kernel import indexed_tile_n
+
+            dp = self._inner[0].shape[0] * 32
+            itile = indexed_tile_n(dp, s)
+        if scan == "compact" or not use_fused:
+            itile = 0
+        if scan == "indexed" and not itile:
+            raise ArgumentsError(
+                "scan='indexed' needs the fused kernel path, bucket_size "
+                "divisible by the family's kernel tile, and SQ or "
+                "(approx) BQ — sharded PQ scans compact"
+            )
         eq, _ = self._ivf._family_arrays(eq_inner)
         return _ivf_sharded_search(
             q, eq, self._means_dev, self._slot_ids_dev, self._inner,
             mesh=self.mesh, axis=self.axis, kind=meta.kind, k=int(k),
             p=p, u_loc=u_loc, b_loc=self._b_loc, method=method,
             dt=self.params.distance_type, invert=self.params.invert,
-            s=meta.bucket_size, dim=self.params.dim,
-            use_fused=use_fused, kk2=kk2,
+            s=s, dim=self.params.dim,
+            use_fused=use_fused, kk2=kk2, itile=itile,
         )
 
     def top_k(
         self, equery, k: int, method: str = "exact",
         nprobe: Optional[int] = None, nscan: Optional[int] = None,
+        scan: str = "auto",
     ) -> Tuple[np.ndarray, np.ndarray]:
         sv, ids = self.top_k_device(
-            equery, k, method=method, nprobe=nprobe, nscan=nscan
+            equery, k, method=method, nprobe=nprobe, nscan=nscan, scan=scan
         )
         return np.asarray(sv), np.asarray(ids)
 

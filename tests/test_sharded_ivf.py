@@ -118,6 +118,36 @@ def test_methods_and_arguments(rng, mesh):
         sharded.top_k(eq, K, nprobe=-1)
 
 
+@pytest.mark.parametrize("kind,method", [("sq", "exact"), ("sq", "approx"),
+                                          ("bq", "approx")])
+def test_sharded_indexed_scan_matches_compact(rng, mesh, kind, method,
+                                              monkeypatch):
+    # The per-shard scalar-prefetch scan must score the same buckets as
+    # the per-shard compacted scan: top-k score values identical.
+    monkeypatch.setenv("QTPU_FORCE_PALLAS", "1")
+    count = 8 * 512
+    data = clustered(rng, count, DIM, clusters=8, sigma=0.08)
+    queries = clustered(rng, 8, DIM, clusters=8, sigma=0.08)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    sharded = ShardedIVF.encode(
+        data, params, mesh=mesh, quantizer=kind, nlist=8, bucket_size=512,
+        nprobe=4,
+    )
+    eq = sharded.encode_query(queries)
+    i_s, i_i = sharded.top_k(eq, K, method=method, scan="indexed")
+    c_s, c_i = sharded.top_k(eq, K, method=method, scan="compact")
+    np.testing.assert_allclose(i_s, c_s, rtol=1e-5, atol=1e-5)
+    for row in i_i:
+        assert len(set(row.tolist())) == len(row)
+    with pytest.raises(ArgumentsError):  # sharded PQ has no indexed scan
+        pq = ShardedIVF.encode(
+            data, params, mesh=mesh, quantizer="pq", nlist=8,
+            bucket_size=1024, nprobe=4, chunk_size=4,
+        )
+        pq.top_k(pq.encode_query(queries), K, method="approx",
+                 scan="indexed")
+
+
 def test_fully_distributed_two_stage(rng, mesh):
     # ShardedIVF coarse -> ShardedExactRescorer fine: the whole serving
     # ladder distributed — probe-limited sharded scan feeds a sharded
