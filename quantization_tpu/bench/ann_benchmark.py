@@ -76,14 +76,14 @@ def build_index(method: str, data: AnnBenchmarkData, args):
         coarse = BinaryQuantizer.encode(data.train, params)
         fine = ExactRescorer(data.train, data.distance_type, invert)
         index = TwoStageIndex(coarse, fine, oversampling=args.oversampling)
-    elif method in ("ivf-sq", "ivf-pq", "ivf-pq-f32"):
+    elif method.startswith("ivf-"):
         from ..models.ivf import IVFIndex
 
-        kind = "sq" if method == "ivf-sq" else "pq"
+        kind = method.split("-")[1]  # ivf-<kind>[-f32]
         kw = {}
         if kind == "sq":
             kw["quantile"] = args.quantile
-        else:
+        elif kind == "pq":
             kw["chunk_size"] = args.chunk_size
             kw["bits"] = args.pq_bits
             if args.opq:
@@ -93,10 +93,11 @@ def build_index(method: str, data: AnnBenchmarkData, args):
             bucket_size=args.bucket_size, nprobe=args.nprobe,
             nscan=args.nscan, **kw,
         )
-        if method == "ivf-pq-f32":
+        if method.endswith("-f32"):
             fine = ExactRescorer(data.train, data.distance_type, invert)
             index = TwoStageIndex(
-                index, fine, oversampling=args.oversampling
+                index, fine, oversampling=args.oversampling,
+                coarse_method="approx",
             )
     elif method == "u8-f32":
         # The round-3 serving headline (BASELINE.md): SQ-approx coarse ->
@@ -138,6 +139,11 @@ def _shard_index(index, data):
     mesh = make_mesh()
 
     def wrap(ix):
+        from ..models.ivf import IVFIndex
+        from ..parallel.sharded_ivf import ShardedIVF
+
+        if isinstance(ix, IVFIndex):
+            return ShardedIVF(ix, mesh)
         if isinstance(ix, ScalarQuantizerU8):
             return ShardedScalarQuantizer(ix, mesh)
         if isinstance(ix, BinaryQuantizer):
@@ -234,7 +240,8 @@ def main(argv=None):
     p.add_argument("--dataset", default="", help="substring filter")
     p.add_argument("--method", default="u8",
                    choices=["u8", "pq", "bq", "bq-u8", "bq-exact", "u8-f32",
-                            "ivf-sq", "ivf-pq", "ivf-pq-f32"])
+                            "ivf-sq", "ivf-pq", "ivf-bq", "ivf-sq-f32",
+                            "ivf-pq-f32", "ivf-bq-f32"])
     p.add_argument("--quantile", type=float, default=None)
     p.add_argument("--chunk-size", type=int, default=2)
     p.add_argument("--pq-bits", type=int, default=8, choices=[4, 8],

@@ -87,3 +87,26 @@ def test_cli_sharded_bench_search_path():
         "--synthetic-count", "3000", "--query-batch", "64", "--iters", "2",
     ])
     assert res[0]["qps"] > 0
+
+
+def test_cli_ivf_sq_f32_sharded():
+    """IVF-SQ coarse -> f32 rescore (the 10M serving headline,
+    BASELINE.md) with --sharded wrapping the coarse stage in ShardedIVF
+    and the rescorer in ShardedExactRescorer."""
+    res = _run([
+        "--dataset", "sift", "--method", "ivf-sq-f32", "--sharded",
+        "--test-acc", "--synthetic-count", "3000", "--query-batch", "64",
+        "--nlist", "16", "--bucket-size", "64", "--nprobe", "8",
+        "--oversampling", "8",
+    ])
+    assert res[0]["same_10"] > 0.6
+
+
+def test_cli_ivf_bq():
+    """IVF over the 1-bit family."""
+    res = _run([
+        "--dataset", "sift", "--method", "ivf-bq", "--test-acc",
+        "--synthetic-count", "3000", "--query-batch", "64",
+        "--nlist", "16", "--bucket-size", "64", "--nprobe", "16",
+    ])
+    assert res[0]["same_10"] > 0.2  # 1-bit codes: rank-order only

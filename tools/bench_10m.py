@@ -640,27 +640,27 @@ def main():
             ), gt,
         )
 
-    # IVF-SQ coarse -> f32 rescore: probe-limited coarse at full-scan-SQ
-    # recall quality (the coarse errors are quantization noise, not probe
-    # misses, once nscan covers the queries' clusters), then the same
-    # original-vector rescore as the full-scan two-stage — the serving
-    # ladder's qps frontier.
-    def ivf_sq_f32(rr, p, u):
-        @partial(jax.jit, static_argnames=("rr",))
-        def rescore(ids, rr):
-            rows = gen_rows(
-                jnp.maximum(ids, 0).reshape(-1)
-            ).reshape(Q, rr, D)
-            fs = jnp.einsum("qd,qrd->qr", queries_dev, rows)
-            fs = jnp.where(ids >= 0, fs, -jnp.inf)
-            ts, tp = jax.lax.top_k(fs, K)
-            return ts, jnp.take_along_axis(ids, tp, axis=1)
+    # IVF coarse -> f32 rescore: probe-limited coarse at the family's
+    # full-scan recall quality (the coarse errors are quantization noise,
+    # not probe misses, once nscan covers the queries' clusters), then
+    # the same original-vector rescore as the full-scan two-stage — the
+    # serving ladder's qps frontier.
+    @partial(jax.jit, static_argnames=("rr",))
+    def _rescore_f32(ids, rr):
+        rows = gen_rows(
+            jnp.maximum(ids, 0).reshape(-1)
+        ).reshape(Q, rr, D)
+        fs = jnp.einsum("qd,qrd->qr", queries_dev, rows)
+        fs = jnp.where(ids >= 0, fs, -jnp.inf)
+        ts, tp = jax.lax.top_k(fs, K)
+        return ts, jnp.take_along_axis(ids, tp, axis=1)
 
+    def ivf_f32(index, eq, rr, p, u):
         def run():
-            _, ids = ivf_sq.top_k_device(
-                eq_ivf, rr, method="approx", nprobe=p, nscan=u
+            _, ids = index.top_k_device(
+                eq, rr, method="approx", nprobe=p, nscan=u
             )
-            return rescore(ids, rr)
+            return _rescore_f32(ids, rr)
 
         return run
 
@@ -670,9 +670,45 @@ def main():
     ):
         report(
             f"2s IVF-SQ->f32 R={rr} p={p} nscan={u}",
-            ivf_sq_f32(rr, p, u), gt,
+            ivf_f32(ivf_sq, eq_ivf, rr, p, u), gt,
         )
     del ivf_sq, sq_inner, eq_ivf, isq_codes, isq_voff
+
+    # ---- IVF-BQ (+ f32 rescore): 1-bit probed scans. On realistic data
+    # the full-scan BQ coarse rescored reaches ~0.98 recall; the IVF scan
+    # makes the already-cheap plane stream ~probed-fraction cheap, so
+    # this is the candidate ceiling of the qps-at-high-recall frontier.
+    t0 = time.perf_counter()
+    ibq_planes = DeviceAppender((npad_i, w8), jnp.uint32)
+    encode_permuted((ibq_planes,), jax.jit(lambda pids: pack_bq(gen_rows(pids))))
+    bq_inner = qt.BinaryQuantizer(
+        jnp.transpose(ibq_planes.finish()), BQMetadata(params_inner)
+    )
+    print(f"IVF-BQ permuted encode: {time.perf_counter()-t0:.0f}s",
+          flush=True)
+    ivf_bq = IVFIndex(
+        bq_inner, bucket_ids, means,
+        IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
+                    kind="bq", nbuckets=nbk,
+                    vector_parameters=params_dot),
+    )
+    eq_ibq = ivf_bq.encode_query(queries)
+    for p, u in ((64, 1024), (64, 2560), (64, 5120)):
+        report(
+            f"IVF-BQ p={p} nscan={u}",
+            lambda p=p, u=u: ivf_bq.top_k_device(
+                eq_ibq, K, method="approx", nprobe=p, nscan=u
+            ), gt,
+        )
+    for rr, p, u in (
+        (160, 64, 2560), (320, 64, 2560), (160, 64, 5120),
+        (320, 64, 5120),
+    ):
+        report(
+            f"2s IVF-BQ->f32 R={rr} p={p} nscan={u}",
+            ivf_f32(ivf_bq, eq_ibq, rr, p, u), gt,
+        )
+    del ivf_bq, bq_inner, eq_ibq, ibq_planes
 
     # ---- IVF-OPQ (+ f32 rescore: the compressed serving ladder) ----
     from quantization_tpu.ops.opq import train_opq
