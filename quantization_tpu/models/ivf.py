@@ -330,6 +330,39 @@ def _scan_buckets_indexed(
     )
 
 
+def _indexed_tile(kind, s, method, scan, *, dp=None, allow_pq=True):
+    """Scalar-prefetch tile width for an indexed probed scan, or 0 when
+    the geometry/family can't take it. SQ has exact AND approx indexed
+    variants; BQ/PQ indexed scans are approx-selection only (the IVF
+    coarse mode). PQ under scan='auto' only engages at the FULL kernel
+    tile: measured on v5e a derated (tile_n=512) PQ indexed scan loses to
+    compact — extraction runs once per tile, so halving the tile doubles
+    it (PERF_NOTES 'Indexed-vs-compact policy sweep'); scan='indexed'
+    forces a derated tile. ``dp`` = padded bit-dim for BQ; ``allow_pq``
+    is off for callers without the transposed code layout (ShardedIVF)."""
+    from ..ops.pallas.sq_kernel import TILE_N as SQ_TILE
+
+    if kind == "sq":
+        return SQ_TILE if s % SQ_TILE == 0 else 0
+    if method != "approx":
+        return 0
+    if kind == "bq":
+        from ..ops.pallas.bq_kernel import indexed_tile_n
+
+        return indexed_tile_n(dp, s)
+    if not allow_pq:
+        return 0
+    from ..ops.pallas.ktile import SLOT
+    from ..ops.pallas.pq_kernel import TILE_N as PQ_TILE
+
+    t = PQ_TILE
+    while t > SLOT and s % t:
+        t //= 2
+    if t <= SLOT or s % t:
+        return 0
+    return 0 if scan == "auto" and t != PQ_TILE else t
+
+
 def _dedupe_select(sv, out_ids, nq, k, kk2):
     """Dedupe by id (pad slots duplicate rows at equal scores): sort ids,
     poison repeats, reselect."""
@@ -573,7 +606,6 @@ class IVFIndex:
         )
         from ..ops import dispatch
         from ..ops.pallas.ktile import APPROX_K_MAX, FUSED_K_MAX
-        from ..ops.pallas.sq_kernel import TILE_N as SQ_TILE
 
         cap = APPROX_K_MAX if method == "approx" else FUSED_K_MAX
         use_fused = bool(
@@ -588,35 +620,13 @@ class IVFIndex:
             raise ArgumentsError(f"unknown scan strategy {scan!r}")
         kind = self.metadata.kind
         s = self.metadata.bucket_size
-        itile = 0
-        if kind == "sq":
-            # SQ has exact AND approx indexed variants.
-            itile = SQ_TILE if s % SQ_TILE == 0 else 0
-        elif method == "approx":
-            # BQ/PQ indexed scans are approx-selection (the IVF coarse
-            # mode); exact keeps the compacted path.
-            if kind == "bq":
-                from ..ops.pallas.bq_kernel import indexed_tile_n
-
-                dp = self.quantizer.planes.shape[0] * 32
-                itile = indexed_tile_n(dp, s)
-            else:
-                from ..ops.pallas.ktile import SLOT
-                from ..ops.pallas.pq_kernel import TILE_N as PQ_TILE
-
-                # Widest tile (down to 2*SLOT) dividing the bucket size.
-                # Derated tiles pay extraction once per tile_n columns, so
-                # halving the tile doubles that overhead: measured on v5e
-                # (250k x 768, m=96, u=48) tile-512 indexed runs 4.42 ms vs
-                # 3.59 compact while full-tile indexed beats compact 1.16-
-                # 1.6x — so AUTO only takes the PQ indexed path at the
-                # full tile; scan="indexed" forces a derated tile.
-                t = PQ_TILE
-                while t > SLOT and s % t:
-                    t //= 2
-                itile = t if t > SLOT and s % t == 0 else 0
-                if scan == "auto" and itile != PQ_TILE:
-                    itile = 0
+        itile = _indexed_tile(
+            kind, s, method, scan,
+            dp=(
+                self.quantizer.planes.shape[0] * 32
+                if kind == "bq" else None
+            ),
+        )
         indexed = bool(scan != "compact" and use_fused and itile)
         if scan == "indexed" and not indexed:
             raise ArgumentsError(

@@ -250,10 +250,9 @@ class ShardedIVF:
             max(2 * int(k), int(k) * self._max_dup),
             u_loc * meta.bucket_size,
         )
-        from ..models.ivf import DistanceType
+        from ..models.ivf import DistanceType, _indexed_tile
         from ..ops import dispatch
         from ..ops.pallas.ktile import APPROX_K_MAX, FUSED_K_MAX
-        from ..ops.pallas.sq_kernel import TILE_N as SQ_TILE
 
         cap = APPROX_K_MAX if method == "approx" else FUSED_K_MAX
         use_fused = bool(
@@ -267,14 +266,14 @@ class ShardedIVF:
         if scan not in ("auto", "indexed", "compact"):
             raise ArgumentsError(f"unknown scan strategy {scan!r}")
         s = meta.bucket_size
-        itile = 0
-        if meta.kind == "sq":
-            itile = SQ_TILE if s % SQ_TILE == 0 else 0
-        elif meta.kind == "bq" and method == "approx":
-            from ..ops.pallas.bq_kernel import indexed_tile_n
-
-            dp = self._inner[0].shape[0] * 32
-            itile = indexed_tile_n(dp, s)
+        itile = _indexed_tile(
+            meta.kind, s, method, scan,
+            dp=(
+                self._inner[0].shape[0] * 32
+                if meta.kind == "bq" else None
+            ),
+            allow_pq=False,
+        )
         if scan == "compact" or not use_fused:
             itile = 0
         if scan == "indexed" and not itile:
