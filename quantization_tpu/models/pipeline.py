@@ -130,6 +130,11 @@ class TwoStageIndex:
         fine_scores = jnp.asarray(
             self.fine.score_candidates(eq_fine, cand)
         )  # [Q, R]
+        # Coarse stages can pad underfilled rows with id -1 (IVF dedupe,
+        # approx extraction); rescorers CLIP ids before gathering, which
+        # would hand a pad slot row 0's real score — mask them out so a
+        # -1 can never outrank a true candidate.
+        fine_scores = jnp.where(cand >= 0, fine_scores, -jnp.inf)
         s, pos = jax.lax.top_k(fine_scores, min(k, r))
         idx = jnp.take_along_axis(cand, pos, axis=1)
         return s, idx

@@ -168,16 +168,7 @@ def _make_mxu_topk_kernel_indexed(tile_n: int):
 def indexed_tile_n(dp: int, bucket_size: int) -> int:
     """Widest MXU corpus tile that divides ``bucket_size`` under the same
     VMEM bound as ``_mxu_tile_n`` (0 if the bucket can't be tiled)."""
-    if bucket_size % MXU_TILE_N:
-        return 0
-    tn = MXU_TILE_N
-    while (
-        tn * 2 <= 2048
-        and bucket_size % (tn * 2) == 0
-        and 5 * dp * tn * 2 <= 8 * 2**20
-    ):
-        tn *= 2
-    return tn
+    return 0 if bucket_size % MXU_TILE_N else _mxu_tile_n(dp, bucket_size)
 
 
 @partial(

@@ -254,21 +254,29 @@ def force_pallas(monkeypatch):
 
 
 @pytest.mark.parametrize(
-    "kind,method,bucket",
+    "kind,method,bucket,same_tile",
     [
-        ("sq", "exact", 512),
-        ("sq", "approx", 512),
-        ("bq", "approx", 512),
-        ("pq", "approx", 1024),
-        ("pq", "approx", 512),  # derated indexed tile (tile_n=512)
+        # same_tile: the indexed kernel walks the SAME tile width the
+        # compact scan uses, so both see identical per-tile contents and
+        # scores must match bitwise. BQ (indexed tn=512 vs dense tn=2048)
+        # and the derated PQ tile (512 vs 1024) extract over DIFFERENT
+        # tile geometries: the lossy strided extraction can keep
+        # different members of near-tied candidates (measured max|diff|=6
+        # on BQ at 1M on hardware — PERF_NOTES), so those assert top-k id
+        # overlap instead of score equality.
+        ("sq", "exact", 512, True),
+        ("sq", "approx", 512, True),
+        ("bq", "approx", 512, False),
+        ("pq", "approx", 1024, True),
+        ("pq", "approx", 512, False),  # derated indexed tile (tile_n=512)
     ],
 )
 def test_ivf_indexed_scan_matches_compact(
-    rng, force_pallas, kind, method, bucket
+    rng, force_pallas, kind, method, bucket, same_tile
 ):
     # The scalar-prefetch in-place scan (scan="indexed": the kernel grid
     # walks the union's tiles, no compaction copy) must score the same
-    # buckets as the compacted path: top-k score values identical.
+    # buckets as the compacted path.
     count = 3000
     data = clustered(rng, count, DIM, clusters=8, sigma=0.08)
     queries = clustered(rng, 8, DIM, clusters=8, sigma=0.08)
@@ -281,9 +289,16 @@ def test_ivf_indexed_scan_matches_compact(
     eq = ivf.encode_query(queries)
     i_s, i_i = ivf.top_k(eq, K, method=method, scan="indexed")
     c_s, c_i = ivf.top_k(eq, K, method=method, scan="compact")
-    np.testing.assert_allclose(
-        np.asarray(i_s), np.asarray(c_s), rtol=1e-5, atol=1e-4
-    )
+    if same_tile:
+        np.testing.assert_allclose(
+            np.asarray(i_s), np.asarray(c_s), rtol=1e-5, atol=1e-4
+        )
+    else:
+        overlap = np.mean([
+            len(set(i_i[r].tolist()) & set(c_i[r].tolist())) / K
+            for r in range(len(i_i))
+        ])
+        assert overlap >= 0.8
     for r in range(len(i_i)):  # dedupe holds on the indexed path too
         row = np.asarray(i_i)[r]
         assert len(set(row.tolist())) == len(row)

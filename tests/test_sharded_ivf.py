@@ -139,13 +139,13 @@ def test_sharded_indexed_scan_matches_compact(rng, mesh, kind, method,
     np.testing.assert_allclose(i_s, c_s, rtol=1e-5, atol=1e-5)
     for row in i_i:
         assert len(set(row.tolist())) == len(row)
+    pq = ShardedIVF.encode(
+        data, params, mesh=mesh, quantizer="pq", nlist=8,
+        bucket_size=1024, nprobe=4, chunk_size=4,
+    )
+    eq_pq = pq.encode_query(queries)
     with pytest.raises(ArgumentsError):  # sharded PQ has no indexed scan
-        pq = ShardedIVF.encode(
-            data, params, mesh=mesh, quantizer="pq", nlist=8,
-            bucket_size=1024, nprobe=4, chunk_size=4,
-        )
-        pq.top_k(pq.encode_query(queries), K, method="approx",
-                 scan="indexed")
+        pq.top_k(eq_pq, K, method="approx", scan="indexed")
 
 
 def test_fully_distributed_two_stage(rng, mesh):

@@ -746,29 +746,10 @@ def main():
             ), gt,
         )
 
-    def ivf_opq_f32(rr, p, u):
-        @partial(jax.jit, static_argnames=("rr",))
-        def rescore(ids, rr):
-            rows = gen_rows(
-                jnp.maximum(ids, 0).reshape(-1)
-            ).reshape(Q, rr, D)
-            fs = jnp.einsum("qd,qrd->qr", queries_dev, rows)
-            fs = jnp.where(ids >= 0, fs, -jnp.inf)
-            ts, tp = jax.lax.top_k(fs, K)
-            return ts, jnp.take_along_axis(ids, tp, axis=1)
-
-        def run():
-            _, ids = ivf_opq.top_k_device(
-                eq_o, rr, method="approx", nprobe=p, nscan=u
-            )
-            return rescore(ids, rr)
-
-        return run
-
     for rr, p, u in ((80, 64, 2560), (160, 64, 2560), (160, 64, 5120)):
         report(
             f"2s IVF-OPQ->f32 R={rr} p={p} nscan={u}",
-            ivf_opq_f32(rr, p, u), gt,
+            ivf_f32(ivf_opq, eq_o, rr, p, u), gt,
         )
 
 
