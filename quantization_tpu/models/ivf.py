@@ -307,7 +307,7 @@ def _scan_buckets_indexed(
         codes, voff, mult = inner
         return sq_search_indexed(
             qcodes, qoff, codes, voff, mult, tiles,
-            distance_type=dt, k=kk2, mode=kernel_mode,
+            distance_type=dt, k=kk2, mode=kernel_mode, tile_n=itile,
         )
     if kind == "bq":
         from ..ops.pallas.bq_kernel import bq_search_indexed
@@ -343,7 +343,15 @@ def _indexed_tile(kind, s, method, scan, *, dp=None, allow_pq=True):
     from ..ops.pallas.sq_kernel import TILE_N as SQ_TILE
 
     if kind == "sq":
-        return SQ_TILE if s % SQ_TILE == 0 else 0
+        if s % SQ_TILE:
+            return 0
+        # Widen up to the dense kernel's 2048 cap: per-grid-step costs
+        # dominate the indexed/dense gap (PERF_NOTES round-3 decomposition),
+        # so take the widest tile the bucket size divides into.
+        t = SQ_TILE
+        while t * 2 <= 2048 and s % (t * 2) == 0:
+            t *= 2
+        return t
     if method != "approx":
         return 0
     if kind == "bq":

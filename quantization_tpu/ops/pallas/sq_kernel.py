@@ -360,7 +360,7 @@ def sq_search_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("distance_type", "k", "mode", "interpret"),
+    static_argnames=("distance_type", "k", "mode", "interpret", "tile_n"),
 )
 def sq_search_indexed(
     qcodes: jax.Array,  # int8 [Q, D]  (D lane-aligned)
@@ -368,27 +368,32 @@ def sq_search_indexed(
     codes: jax.Array,  # int8 [Npad, D], Npad % TILE_N == 0
     voff: jax.Array,  # f32 [Npad]
     multiplier: jax.Array,  # f32 scalar
-    tile_sel: jax.Array,  # i32 [T] tile ids (tile t = rows [t*TILE_N, ...))
+    tile_sel: jax.Array,  # i32 [T] tile ids (tile t = rows [t*tile_n, ...))
     *,
     distance_type: DistanceType,
     k: int,
     mode: str = "approx",
     interpret: bool = None,
+    tile_n: int = TILE_N,
 ):
-    """Fused SQ search over a SELECTED set of TILE_N-row tiles (the IVF
+    """Fused SQ search over a SELECTED set of tile_n-row tiles (the IVF
     probe scan): the corpus axis of the grid walks ``tile_sel`` through a
     scalar-prefetch index map, so only the selected tiles stream from HBM —
     cost is the probed fraction of the full scan, with no gather/compaction
-    copy and no [Q, T*TILE_N] score matrix. Selected tiles must contain
+    copy and no [Q, T*tile_n] score matrix. Selected tiles must contain
     only valid rows (the IVF layout guarantees it: pad slots duplicate real
-    rows and are deduped downstream). Returns (scores f32[Q, k],
-    ids i32[Q, k]) with ids GLOBAL corpus rows; DOT/L2 only."""
+    rows and are deduped downstream). ``tile_n`` should be as WIDE as the
+    bucket geometry allows (multiple of TILE_N, up to 2048): per-grid-step
+    costs (combine_slots, DMA issue) dominate the indexed/dense gap —
+    measured 8.3 vs 5.8 ms over the same 2.62M rows at 512 vs 2048 tiles
+    (PERF_NOTES round-3). Returns (scores f32[Q, k], ids i32[Q, k]) with
+    ids GLOBAL corpus rows; DOT/L2 only."""
     assert distance_type != DistanceType.L1
     if interpret is None:
         interpret = interpret_mode()
     q, d = qcodes.shape
     n = codes.shape[0]
-    tile_n = TILE_N
+    assert tile_n % TILE_N == 0, f"tile_n={tile_n} must pad to {TILE_N}"
     assert n % tile_n == 0, f"N={n} must be padded to {tile_n}"
     nt = tile_sel.shape[0]
     tile_q = min(256, round_up(q, 32))

@@ -266,6 +266,8 @@ def force_pallas(monkeypatch):
         # overlap instead of score equality.
         ("sq", "exact", 512, True),
         ("sq", "approx", 512, True),
+        # widened indexed tile (1024); compact may widen differently
+        ("sq", "approx", 1024, False),
         ("bq", "approx", 512, False),
         ("pq", "approx", 1024, True),
         ("pq", "approx", 512, False),  # derated indexed tile (tile_n=512)
