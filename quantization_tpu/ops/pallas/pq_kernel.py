@@ -235,23 +235,44 @@ def _accumulate_block4(codes_ref, lut_ref, acc):
     return acc
 
 
+def _apply_corr(scores, corr_ref):
+    """scores [TQ, TN] += corr block [TN/CORR_BLK, TQ, 1] repeated
+    lane-wise (the residual-IVF bucket correction; transposed 3-D layout
+    for Mosaic's block-shape rules — see sq_kernel._apply_corr)."""
+    cb = corr_ref[:]
+    c = cb.shape[0]
+    if c == 1:
+        return scores + cb[0]
+    blk = scores.shape[1] // c
+    return jnp.concatenate(
+        [scores[:, i * blk : (i + 1) * blk] + cb[i] for i in range(c)],
+        axis=1,
+    )
+
+
 def _make_pq_topk_kernel(
     tile_n: int, kc: int = K, int8_lut: bool = False,
+    with_res: bool = False,
 ):
     """Approx kernel: grid (q-tiles, corpus tiles, m-blocks), m innermost;
     SPAN-merged slot extraction on the last m step. Validity cutoff via
     SMEM scalar (``nv_ref``) so sharded callers can pass a per-shard,
-    data-dependent count (sharded.py)."""
+    data-dependent count (sharded.py). ``with_res``: residual-IVF inputs —
+    per-row additive (rowadd, carries s*|v|^2 and the pad mask) and
+    per-(query, CORR_BLK-block) additive (corr, the bucket term), both
+    applied after dequantize, before extraction."""
     if int8_lut:
         accumulate = _accumulate_block_i8 if kc == K else _accumulate_block4_i8
     else:
         accumulate = _accumulate_block if kc == K else _accumulate_block4
 
     def kernel(nv_ref, codes_ref, lut_ref, *rest):
+        rest = list(rest)
         if int8_lut:
-            scale_ref, bias_ref, outv_ref, outi_ref, acc_ref = rest
-        else:
-            outv_ref, outi_ref, acc_ref = rest
+            scale_ref, bias_ref = rest.pop(0), rest.pop(0)
+        if with_res:
+            rowadd_ref, corr_ref = rest.pop(0), rest.pop(0)
+        outv_ref, outi_ref, acc_ref = rest
         mi = pl.program_id(2)
         base = pl.program_id(1) * tile_n  # hoisted: program_id is not
         # lowerable inside a pl.when body under interpret mode
@@ -273,6 +294,8 @@ def _make_pq_topk_kernel(
                 )
             else:
                 scores = acc_ref[:]
+            if with_res:
+                scores = _apply_corr(scores + rowadd_ref[:], corr_ref)
             gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             scores = jnp.where(gid < nv_ref[0], scores, NEG)
             vals, idx = extract_approx_tile(scores, base)
@@ -283,22 +306,26 @@ def _make_pq_topk_kernel(
 
 def _make_pq_topk_kernel_indexed(
     tile_n: int, kc: int = K, int8_lut: bool = False,
+    with_res: bool = False,
 ):
     """Approx kernel over a SELECTED tile set: the corpus block for grid
     step j is tile ``sel_ref[j]`` (scalar-prefetch index map) — the IVF
     probed-bucket scan streams only the selected code columns from HBM.
     Selected tiles hold only valid rows (IVF pads duplicate real rows),
-    so no validity cutoff is needed; ids are global corpus rows."""
+    so no validity cutoff is needed; ids are global corpus rows.
+    ``with_res``: see _make_pq_topk_kernel."""
     if int8_lut:
         accumulate = _accumulate_block_i8 if kc == K else _accumulate_block4_i8
     else:
         accumulate = _accumulate_block if kc == K else _accumulate_block4
 
     def kernel(sel_ref, codes_ref, lut_ref, *rest):
+        rest = list(rest)
         if int8_lut:
-            scale_ref, bias_ref, outv_ref, outi_ref, acc_ref = rest
-        else:
-            outv_ref, outi_ref, acc_ref = rest
+            scale_ref, bias_ref = rest.pop(0), rest.pop(0)
+        if with_res:
+            rowadd_ref, corr_ref = rest.pop(0), rest.pop(0)
+        outv_ref, outi_ref, acc_ref = rest
         mi = pl.program_id(2)
         j = pl.program_id(1)
         base = sel_ref[j] * tile_n  # hoisted out of pl.when (interpret rule)
@@ -318,6 +345,8 @@ def _make_pq_topk_kernel_indexed(
                 )
             else:
                 scores = acc_ref[:]
+            if with_res:
+                scores = _apply_corr(scores + rowadd_ref[:], corr_ref)
             vals, idx = extract_approx_tile(scores, base)
             combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
 
@@ -331,6 +360,8 @@ def pq_search_indexed(
     lut: jax.Array,  # f32 [Q, m, 256] (or [Q, m, 16] for 4-bit)
     codes_t: jax.Array,  # int8/uint8 [Mpad, Npad]
     tile_sel: jax.Array,  # i32 [T] tile ids (tile t = cols [t*tile_n, ...))
+    rowadd: jax.Array = None,  # f32 [Npad] per-row additive (residual IVF)
+    corr: jax.Array = None,  # f32 [Q, Npad/CORR_BLK] GLOBAL layout
     *,
     k: int,
     interpret: bool = None,
@@ -363,6 +394,10 @@ def pq_search_indexed(
     qp = round_up(q, tile_q)
     nt = tile_sel.shape[0]
     sel_op = tile_sel.astype(jnp.int32)
+    with_res = corr is not None
+    assert (rowadd is None) == (corr is None), (
+        "residual inputs come as a pair (rowadd carries the pad mask)"
+    )
 
     in_specs = [
         pl.BlockSpec(
@@ -377,7 +412,7 @@ def pq_search_indexed(
     ]
     if int8_lut:
         lut_flat, scale, bias = _quantize_lut(lut, mpad, qp)
-        operands = (sel_op, codes_t.astype(jnp.int8), lut_flat, scale, bias)
+        operands = [sel_op, codes_t.astype(jnp.int8), lut_flat, scale, bias]
         in_specs += [
             pl.BlockSpec(
                 (tile_q, 1), lambda i, j, l, s: (i, 0),
@@ -395,8 +430,27 @@ def pq_search_indexed(
             .reshape(qp, mpad * kc)
             .astype(jnp.bfloat16)
         )
-        operands = (sel_op, codes_t.astype(jnp.int8), lut_flat)
+        operands = [sel_op, codes_t.astype(jnp.int8), lut_flat]
         scratch = [pltpu.VMEM((tile_q, tile_n), jnp.float32)]
+    if with_res:
+        from .sq_kernel import CORR_BLK
+
+        cw = tile_n // CORR_BLK
+        assert corr.shape[1] == n // CORR_BLK and rowadd.shape[0] == n
+        corr_t = jnp.transpose(
+            pad_dim_to(corr.astype(jnp.float32), 0, qp)
+        )[:, :, None]  # [NC, qp, 1]
+        operands += [rowadd.astype(jnp.float32).reshape(1, n), corr_t]
+        in_specs += [
+            pl.BlockSpec(
+                (1, tile_n), lambda i, j, l, s: (0, s[j]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cw, tile_q, 1), lambda i, j, l, s: (s[j], i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
 
     nt_out = -(-nt // SPAN)
     out_idx = lambda i, j, l, s: (i, j // SPAN)  # noqa: E731
@@ -411,7 +465,7 @@ def pq_search_indexed(
         scratch_shapes=scratch,
     )
     vals, idxs = pl.pallas_call(
-        _make_pq_topk_kernel_indexed(tile_n, kc, int8_lut),
+        _make_pq_topk_kernel_indexed(tile_n, kc, int8_lut, with_res),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
@@ -483,6 +537,8 @@ def _make_pq_class_kernel(
 def pq_search_pallas(
     lut: jax.Array,  # f32 [Q, m, 256]
     codes_t: jax.Array,  # int8/uint8 [Mpad, Npad]
+    rowadd: jax.Array = None,  # f32 [Npad] per-row additive (residual IVF)
+    corr: jax.Array = None,  # f32 [Q, Npad/CORR_BLK] per-block additive
     *,
     n_valid: int,
     k: int,
@@ -526,6 +582,14 @@ def pq_search_pallas(
     # shard's data-dependent padding without a per-shard recompile.
     nv = n_valid if n_valid_dyn is None else n_valid_dyn
     nv_op = jnp.asarray(nv, jnp.int32).reshape(1)
+    with_res = corr is not None
+    assert (rowadd is None) == (corr is None), (
+        "residual inputs come as a pair (rowadd carries the pad mask)"
+    )
+    assert not (with_res and mode == "exact"), (
+        "residual additive inputs are approx-path only; exact residual "
+        "selection rides the XLA/blocked path (models/ivf.py)"
+    )
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid cutoff (1,)
@@ -540,7 +604,7 @@ def pq_search_pallas(
     ]
     if int8_lut:
         lut_flat, scale, bias = _quantize_lut(lut, mpad, qp)
-        operands = (nv_op, codes_t.astype(jnp.int8), lut_flat, scale, bias)
+        operands = [nv_op, codes_t.astype(jnp.int8), lut_flat, scale, bias]
         in_specs += [
             pl.BlockSpec(
                 (tile_q, 1), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
@@ -556,13 +620,31 @@ def pq_search_pallas(
             .reshape(qp, mpad * kc)
             .astype(jnp.bfloat16)
         )
-        operands = (nv_op, codes_t.astype(jnp.int8), lut_flat)
+        operands = [nv_op, codes_t.astype(jnp.int8), lut_flat]
         scratch = [pltpu.VMEM((tile_q, TILE_N), jnp.float32)]
+    if with_res:
+        from .sq_kernel import CORR_BLK
+
+        cw = TILE_N // CORR_BLK
+        assert corr.shape[1] == n // CORR_BLK and rowadd.shape[0] == n
+        corr_t = jnp.transpose(
+            pad_dim_to(corr.astype(jnp.float32), 0, qp)
+        )[:, :, None]  # [NC, qp, 1]
+        operands += [rowadd.astype(jnp.float32).reshape(1, n), corr_t]
+        in_specs += [
+            pl.BlockSpec(
+                (1, TILE_N), lambda i, j, l: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (cw, tile_q, 1), lambda i, j, l: (j, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
 
     if approx:
         nt_out = -(-nt // SPAN)
         out_idx = lambda i, j, l: (i, j // SPAN)  # noqa: E731
-        kernel = _make_pq_topk_kernel(TILE_N, kc, int8_lut)
+        kernel = _make_pq_topk_kernel(TILE_N, kc, int8_lut, with_res)
         vals, idxs = pl.pallas_call(
             kernel,
             grid=(qp // tile_q, nt, mpad // M_BLK),

@@ -45,6 +45,44 @@ L1_TILE_N = 256
 L1_TILE_Q = 32
 _L1_DB = 128  # D-block width per grid step (bounds the broadcast cube)
 
+# Per-(query, corpus-block) additive correction granularity: one f32 per
+# CORR_BLK consecutive corpus rows. The residual-IVF search (models/ivf.py)
+# scores inner-product codes of RESIDUALS (v - bucket_center) and needs the
+# query-dependent bucket term q . c_b added BEFORE in-tile top-k extraction
+# — a per-row offset (voff) can't carry it (it varies per query) and a
+# post-hoc add can't (selection already happened). Buckets are CORR_BLK-
+# aligned by construction, so one column per 512 rows is exact.
+CORR_BLK = 512
+
+
+def _apply_corr(scores, corr_ref):
+    """scores [TQ, TN] += corr block [TN/CORR_BLK, TQ, 1] repeated
+    lane-wise. The corr operand is TRANSPOSED 3-D ([N/CORR_BLK, Qpad, 1]):
+    Mosaic requires a block's last two dims be (8, 128)-divisible or
+    full-size, which rules out a [TQ, <=4]-lane block — the per-block
+    column rides the leading (grid-mapped) dim instead, and the block's
+    last two dims are the always-legal (TQ, 1). TN/CORR_BLK is a small
+    static count (<= 4): unrolled slice adds lower as VPU broadcasts."""
+    cb = corr_ref[:]
+    c = cb.shape[0]
+    if c == 1:
+        return scores + cb[0]
+    blk = scores.shape[1] // c
+    return jnp.concatenate(
+        [scores[:, i * blk : (i + 1) * blk] + cb[i] for i in range(c)],
+        axis=1,
+    )
+
+
+def _corr_cols(corr, b0, b1):
+    """XLA-path twin of _apply_corr for blocked fallbacks: the additive
+    column for corpus rows [b0, b1) (b0 CORR_BLK-aligned; b1 may be a
+    ragged tail)."""
+    cc = jax.lax.slice_in_dim(
+        corr, b0 // CORR_BLK, -(-b1 // CORR_BLK), axis=1
+    )
+    return jnp.repeat(cc, CORR_BLK, axis=1)[:, : b1 - b0]
+
 
 def _dot_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
     acc = jax.lax.dot_general(
@@ -85,11 +123,15 @@ def _l1_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
         out_ref[:] = mult_ref[0] * out_ref[:] + qoff_ref[:] + voff_ref[:]
 
 
-def _make_dot_topk_kernel(n_valid: int, tile_n: int):
+def _make_dot_topk_kernel(n_valid: int, tile_n: int, with_corr: bool = False):
     """Approx kernel: queries outer, so the revisited slot block sees
     consecutive corpus tiles (SPAN max-merging)."""
 
-    def kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, outv_ref, outi_ref):
+    def kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, *rest):
+        if with_corr:
+            corr_ref, outv_ref, outi_ref = rest
+        else:
+            outv_ref, outi_ref = rest
         j = pl.program_id(1)
         acc = jax.lax.dot_general(
             q_ref[:],
@@ -100,6 +142,8 @@ def _make_dot_topk_kernel(n_valid: int, tile_n: int):
         scores = (
             mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
         )
+        if with_corr:
+            scores = _apply_corr(scores, corr_ref)
         base = j * tile_n
         gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(gid < n_valid, scores, NEG)
@@ -109,15 +153,18 @@ def _make_dot_topk_kernel(n_valid: int, tile_n: int):
     return kernel
 
 
-def _make_dot_topk_kernel_indexed(tile_n: int):
+def _make_dot_topk_kernel_indexed(tile_n: int, with_corr: bool = False):
     """Approx kernel over a SELECTED tile set: the corpus block for grid
     step j is tile ``sel_ref[j]`` (scalar-prefetch index map), so the DMA
     pipeline streams only the probed buckets from HBM — an IVF scan pays
     the probed fraction of the full-scan stream with NO compaction copy.
     Emitted ids are global corpus rows (sel*tile_n + lane)."""
 
-    def kernel(sel_ref, mult_ref, q_ref, c_ref, qoff_ref, voff_ref,
-               outv_ref, outi_ref):
+    def kernel(sel_ref, mult_ref, q_ref, c_ref, qoff_ref, voff_ref, *rest):
+        if with_corr:
+            corr_ref, outv_ref, outi_ref = rest
+        else:
+            outv_ref, outi_ref = rest
         j = pl.program_id(1)
         acc = jax.lax.dot_general(
             q_ref[:],
@@ -128,6 +175,8 @@ def _make_dot_topk_kernel_indexed(tile_n: int):
         scores = (
             mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
         )
+        if with_corr:
+            scores = _apply_corr(scores, corr_ref)
         base = sel_ref[j] * tile_n
         vals, idx = extract_approx_tile(scores, base)
         combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
@@ -135,13 +184,19 @@ def _make_dot_topk_kernel_indexed(tile_n: int):
     return kernel
 
 
-def _make_dot_class_kernel_indexed(tile_n: int, span: int, r: int):
+def _make_dot_class_kernel_indexed(
+    tile_n: int, span: int, r: int, with_corr: bool = False
+):
     """Exact-selection variant of the indexed kernel (class-top-r ladder,
     see _make_dot_class_kernel); selected tiles hold only valid rows, so
     no n_valid mask is needed."""
 
     def kernel(sel_ref, mult_ref, q_ref, c_ref, qoff_ref, voff_ref,
-               *out_refs):
+               *rest):
+        if with_corr:
+            corr_ref, out_refs = rest[0], rest[1:]
+        else:
+            out_refs = rest
         j = pl.program_id(1)
         acc = jax.lax.dot_general(
             q_ref[:],
@@ -152,6 +207,8 @@ def _make_dot_class_kernel_indexed(tile_n: int, span: int, r: int):
         scores = (
             mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
         )
+        if with_corr:
+            scores = _apply_corr(scores, corr_ref)
         base = sel_ref[j] * tile_n
         ms, is_, spill = extract_class_topr_ids(scores, base, r)
         combine_class_topr_ids(out_refs, ms, is_, spill, r, j % span == 0)
@@ -159,11 +216,17 @@ def _make_dot_class_kernel_indexed(tile_n: int, span: int, r: int):
     return kernel
 
 
-def _make_dot_class_kernel(n_valid: int, tile_n: int, span: int, r: int):
+def _make_dot_class_kernel(
+    n_valid: int, tile_n: int, span: int, r: int, with_corr: bool = False
+):
     """Exact kernel: queries outer with the class-top-r-with-ids ladder
     extraction (max/min chains + eq-reused selects; see ktile)."""
 
-    def kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, *out_refs):
+    def kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, *rest):
+        if with_corr:
+            corr_ref, out_refs = rest[0], rest[1:]
+        else:
+            out_refs = rest
         j = pl.program_id(1)
         acc = jax.lax.dot_general(
             q_ref[:],
@@ -174,6 +237,8 @@ def _make_dot_class_kernel(n_valid: int, tile_n: int, span: int, r: int):
         scores = (
             mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
         )
+        if with_corr:
+            scores = _apply_corr(scores, corr_ref)
         base = j * tile_n
         gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(gid < n_valid, scores, NEG)
@@ -193,6 +258,7 @@ def sq_search_pallas(
     codes: jax.Array,  # int8 [Npad, D] (rows >= n_valid are zero)
     voff: jax.Array,  # f32 [Npad]
     multiplier: jax.Array,  # f32 scalar
+    corr: jax.Array = None,  # f32 [Q, N/CORR_BLK] per-block additive, opt.
     *,
     distance_type: DistanceType,
     n_valid: int,
@@ -211,7 +277,11 @@ def sq_search_pallas(
     corpus-blocked exact scan in the same program (lax.cond) on the rare
     violation.
     ``mode="approx"``: one-pass strided segment-max (approx_max_k-grade
-    recall, any k <= APPROX_K_MAX)."""
+    recall, any k <= APPROX_K_MAX).
+
+    ``corr``: optional per-(query, CORR_BLK-row-block) additive term,
+    applied BEFORE extraction in both modes (the residual-IVF bucket
+    correction — see CORR_BLK above)."""
     assert distance_type != DistanceType.L1
     assert k <= FUSED_K_MAX or mode == "approx", (
         f"exact fused search caps k at {FUSED_K_MAX}, got {k}"
@@ -241,10 +311,28 @@ def sq_search_pallas(
     approx = mode == "approx"
     qt = qp // tile_q
     mult_op = multiplier.reshape(1).astype(jnp.float32)
+    with_corr = corr is not None
+    cw = tile_n // CORR_BLK
+    if with_corr:
+        assert corr.shape[1] == n // CORR_BLK, (
+            f"corr needs one column per {CORR_BLK} padded rows: "
+            f"{corr.shape[1]} != {n // CORR_BLK}"
+        )
+        corr_p = pad_dim_to(corr.astype(jnp.float32), 0, qp)
+        corr_ops = (jnp.transpose(corr_p)[:, :, None],)  # [NC, qp, 1]
+        corr_specs = [
+            pl.BlockSpec(
+                (cw, tile_q, 1),
+                lambda i, j: (j, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    else:
+        corr_ops, corr_specs = (), []
 
     if approx:
         nt_out = -(-nt // SPAN)
-        kernel = _make_dot_topk_kernel(n_valid, tile_n)
+        kernel = _make_dot_topk_kernel(n_valid, tile_n, with_corr)
         vals, idxs = pl.pallas_call(
             kernel,
             grid=(qt, nt),
@@ -262,7 +350,8 @@ def sq_search_pallas(
                 pl.BlockSpec(
                     (1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
                 ),
-            ],
+            ]
+            + corr_specs,
             out_specs=[
                 pl.BlockSpec(
                     (tile_q, SLOT),
@@ -286,6 +375,7 @@ def sq_search_pallas(
             codes,
             qoff2.astype(jnp.float32),
             voff2.astype(jnp.float32),
+            *corr_ops,
         )
         return merge_tile_topk_all(vals[:q], idxs[:q], k)
 
@@ -300,11 +390,14 @@ def sq_search_pallas(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            return (
+            s = (
                 multiplier.astype(jnp.float32) * acc.astype(jnp.float32)
                 + qoff.reshape(-1, 1)
                 + jax.lax.slice_in_dim(voff, b0, b1, axis=0)[None, :]
             )
+            if with_corr:
+                s = s + _corr_cols(corr, b0, b1)
+            return s
 
         return blocked_topk(score_block, n_valid, k)
 
@@ -315,7 +408,7 @@ def sq_search_pallas(
     if k > r * width:
         # Tiny corpus relative to k: the candidate pool can't cover k.
         return fallback()
-    kernel = _make_dot_class_kernel(n_valid, tile_n, span, r)
+    kernel = _make_dot_class_kernel(n_valid, tile_n, span, r, with_corr)
     block = lambda i, j: (i, j // span)  # noqa: E731
     dts = [jnp.float32, jnp.int32] * r + [jnp.float32]
     outs = pl.pallas_call(
@@ -335,7 +428,8 @@ def sq_search_pallas(
             pl.BlockSpec(
                 (1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
             ),
-        ],
+        ]
+        + corr_specs,
         out_specs=[
             pl.BlockSpec((tile_q, SLOT), block, memory_space=pltpu.VMEM)
             for _ in dts
@@ -350,6 +444,7 @@ def sq_search_pallas(
         codes,
         qoff2.astype(jnp.float32),
         voff2.astype(jnp.float32),
+        *corr_ops,
     )
     return merge_classes_verified(
         [outs[2 * j][:q] for j in range(r)],
@@ -369,6 +464,7 @@ def sq_search_indexed(
     voff: jax.Array,  # f32 [Npad]
     multiplier: jax.Array,  # f32 scalar
     tile_sel: jax.Array,  # i32 [T] tile ids (tile t = rows [t*tile_n, ...))
+    corr: jax.Array = None,  # f32 [Q, Npad/CORR_BLK] GLOBAL layout, opt.
     *,
     distance_type: DistanceType,
     k: int,
@@ -405,6 +501,24 @@ def sq_search_indexed(
     mult_op = multiplier.reshape(1).astype(jnp.float32)
     sel_op = tile_sel.astype(jnp.int32)
     approx = mode == "approx"
+    with_corr = corr is not None
+    cw = tile_n // CORR_BLK
+    if with_corr:
+        assert corr.shape[1] == n // CORR_BLK, (
+            f"corr needs one column per {CORR_BLK} padded rows: "
+            f"{corr.shape[1]} != {n // CORR_BLK}"
+        )
+        corr_p = pad_dim_to(corr.astype(jnp.float32), 0, qp)
+        corr_ops = (jnp.transpose(corr_p)[:, :, None],)  # [NC, qp, 1]
+        corr_specs = [
+            pl.BlockSpec(
+                (cw, tile_q, 1),
+                lambda i, j, s: (s[j], i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    else:
+        corr_ops, corr_specs = (), []
 
     def fallback():
         # Exact-verification rerun: gather the selected tiles (the rare
@@ -417,6 +531,10 @@ def sq_search_indexed(
         gv = jnp.take(
             voff.reshape(n // tile_n, tile_n), sel_op, axis=0
         ).reshape(nt * tile_n)
+        if with_corr:
+            gc = jnp.take(
+                corr.reshape(q, n // tile_n, cw), sel_op, axis=1
+            ).reshape(q, nt * cw)
 
         def score_block(b0, b1):
             acc = jax.lax.dot_general(
@@ -425,11 +543,14 @@ def sq_search_indexed(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            return (
+            s = (
                 multiplier.astype(jnp.float32) * acc.astype(jnp.float32)
                 + qoff.reshape(-1, 1)
                 + jax.lax.slice_in_dim(gv, b0, b1, axis=0)[None, :]
             )
+            if with_corr:
+                s = s + _corr_cols(gc, b0, b1)
+            return s
 
         vals, loc = blocked_topk(score_block, nt * tile_n, k)
         ids = (
@@ -452,7 +573,7 @@ def sq_search_indexed(
         pl.BlockSpec(
             (1, tile_n), lambda i, j, s: (0, s[j]), memory_space=pltpu.VMEM
         ),
-    ]
+    ] + corr_specs
 
     if approx:
         nt_out = -(-nt // SPAN)
@@ -471,14 +592,14 @@ def sq_search_indexed(
             out_specs=out_specs,
         )
         vals, idxs = pl.pallas_call(
-            _make_dot_topk_kernel_indexed(tile_n),
+            _make_dot_topk_kernel_indexed(tile_n, with_corr),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
                 jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
             ],
             interpret=interpret,
-        )(sel_op, mult_op, qcodes_p, codes, qoff2, voff2)
+        )(sel_op, mult_op, qcodes_p, codes, qoff2, voff2, *corr_ops)
         return merge_tile_topk_all(vals[:q], idxs[:q], k)
 
     # ------------------------------------------------------------- exact
@@ -507,11 +628,11 @@ def sq_search_indexed(
         ],
     )
     outs = pl.pallas_call(
-        _make_dot_class_kernel_indexed(tile_n, span, r),
+        _make_dot_class_kernel_indexed(tile_n, span, r, with_corr),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((qp, width), dt) for dt in dts],
         interpret=interpret,
-    )(sel_op, mult_op, qcodes_p, codes, qoff2, voff2)
+    )(sel_op, mult_op, qcodes_p, codes, qoff2, voff2, *corr_ops)
     return merge_classes_verified(
         [outs[2 * j][:q] for j in range(r)],
         [outs[2 * j + 1][:q] for j in range(r)],
