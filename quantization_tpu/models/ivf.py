@@ -50,6 +50,18 @@ from ..ops import sq as sq_ops
 NEG = np.float32(-3.0e38)  # plain scalar: no device init at import time
 
 
+@dataclass
+class _ResidualQueryU8:
+    """Signed zero-centered query codes for residual-SQ scoring (see
+    IVFIndex.encode_query): int8 [Q, Dpad] in [-127, 127] + f32 [Q]
+    offset + the per-BATCH effective multiplier A*aq*ar (a traced
+    scalar — aq depends on the query batch)."""
+
+    codes: jax.Array
+    offsets: jax.Array
+    mult: jax.Array
+
+
 def _registry():
     from .bq import BinaryQuantizer
     from .pq import ProductQuantizer
@@ -71,6 +83,7 @@ class IVFMetadata:
     nbuckets: int
     vector_parameters: VectorParameters  # the ORIGINAL corpus (count = N)
     nscan: Optional[int] = None  # default batch-union width (None: 4*nprobe)
+    residual: bool = False  # inner codes encode v - bucket_center
 
     def to_json(self) -> dict:
         out = {
@@ -83,6 +96,8 @@ class IVFMetadata:
         }
         if self.nscan is not None:
             out["nscan"] = self.nscan
+        if self.residual:
+            out["residual"] = True
         return out
 
     @classmethod
@@ -99,6 +114,7 @@ class IVFMetadata:
             nscan=(
                 int(obj["nscan"]) if obj.get("nscan") is not None else None
             ),
+            residual=bool(obj.get("residual", False)),
         )
 
 
@@ -130,17 +146,25 @@ def _bucket_priority(q, means, dt, invert, p):
 
 def _scan_buckets_compact(
     kind, eq, inner, union, *, nb, s, dt, invert, dim, use_fused,
-    kk2, method,
+    kk2, method, corr=None, rowadd=None,
 ):
     """Gather the union's buckets — whole contiguous [S, bytes] blocks —
     into one compact sub-corpus and scan it with the family's own kernel
     (fused search when ``use_fused``, XLA score + select otherwise).
     ``inner`` arrays must hold exactly ``nb`` buckets' rows along the
     corpus axis (callers slice). Returns (sv [Q, kk2], loc [Q, kk2]) with
-    ``loc`` a position in union-slot space [0, U*s) or -1."""
+    ``loc`` a position in union-slot space [0, U*s) or -1.
+
+    ``corr`` (residual indexes): per-(query, union bucket) additive
+    [Q, U], expanded to the kernels' CORR_BLK granularity here;
+    ``rowadd`` a per-slot additive [nb*s] (PQ only — SQ's rides voff)."""
     u = union.shape[0]
     width = u * s
     kernel_mode = "approx" if method == "approx" else "exact"
+    if corr is not None:
+        from ..ops.pallas.sq_kernel import CORR_BLK
+
+        corr_c = jnp.repeat(corr, s // CORR_BLK, axis=1)  # [Q, width/512]
 
     if kind == "sq":
         qcodes, qoff = eq
@@ -158,10 +182,16 @@ def _scan_buckets_compact(
             npadc = -(-width // SQ_TILE) * SQ_TILE
             g = jnp.pad(g, ((0, npadc - width), (0, 0)))
             gv = jnp.pad(gv, ((0, npadc - width),))
-            from ..ops.pallas.sq_kernel import sq_search_pallas
+            from ..ops.pallas.sq_kernel import CORR_BLK, sq_search_pallas
 
+            corr_k = None
+            if corr is not None:
+                corr_k = jnp.pad(
+                    corr_c,
+                    ((0, 0), (0, (npadc - width) // CORR_BLK)),
+                )
             sv, loc = sq_search_pallas(
-                qcodes, qoff, g, gv, mult,
+                qcodes, qoff, g, gv, mult, corr_k,
                 distance_type=dt, n_valid=width, k=kk2,
                 mode=kernel_mode,
             )
@@ -169,6 +199,10 @@ def _scan_buckets_compact(
             scores = sq_ops.score_batch_xla(
                 qcodes, qoff, g, gv, mult, distance_type=dt
             )
+            if corr is not None:
+                from ..ops.pallas.sq_kernel import CORR_BLK
+
+                scores = scores + jnp.repeat(corr_c, CORR_BLK, axis=1)
     elif kind == "bq":
         (qplanes,) = eq
         (planes,) = inner
@@ -198,6 +232,10 @@ def _scan_buckets_compact(
         g = jnp.take(
             codes[: nb * s].reshape(nb, s * m), union, axis=0
         ).reshape(width, m)
+        if rowadd is not None:
+            ra_g = jnp.take(
+                rowadd[: nb * s].reshape(nb, s), union, axis=0
+            ).reshape(width)
         if use_fused:
             from ..ops.pallas.pq_kernel import M_BLK
             from ..ops.pallas.pq_kernel import TILE_N as PQ_TILE
@@ -212,12 +250,30 @@ def _scan_buckets_compact(
                 jnp.transpose(g),
                 ((0, mpad - m), (0, npadc - width)),
             )
+            ra_k = corr_k = None
+            if corr is not None:
+                from ..ops.pallas.sq_kernel import CORR_BLK
+
+                ra_k = jnp.pad(ra_g, ((0, npadc - width),))
+                corr_k = jnp.pad(
+                    corr_c,
+                    ((0, 0), (0, (npadc - width) // CORR_BLK)),
+                )
             sv, loc = pq_search_pallas(
-                lut, ct, n_valid=width, k=kk2, mode=kernel_mode,
+                lut, ct, ra_k, corr_k,
+                n_valid=width, k=kk2, mode=kernel_mode,
                 precision=_lut_precision(),
             )
         else:
             scores = pq_ops.score_lut_xla(lut, g)
+            if corr is not None:
+                from ..ops.pallas.sq_kernel import CORR_BLK
+
+                scores = (
+                    scores
+                    + ra_g[None, :]
+                    + jnp.repeat(corr_c, CORR_BLK, axis=1)
+                )
 
     if not use_fused:
         if method == "approx" and width >= 4 * kk2:
@@ -236,7 +292,7 @@ def _scan_buckets_compact(
     ),
 )
 def _ivf_search(
-    q, eq, means, slot_ids, inner,
+    q, eq, means, slot_ids, inner, resid=None,
     *, kind, k, p, u, method, dt, invert, s, dim, use_fused,
     indexed=False, kk2=None, itile=0,
 ):
@@ -259,7 +315,13 @@ def _ivf_search(
     2k-wide select is deduped by id.
 
     ``eq`` / ``inner`` are per-family array tuples (see
-    ``IVFIndex._family_arrays``); everything else is static."""
+    ``IVFIndex._family_arrays``); everything else is static.
+
+    ``resid`` (residual indexes, metadata.residual): ``(corr_scale,)``
+    for SQ or ``(corr_scale, rowadd)`` for PQ — the inner codes score
+    q . (v - c_b), and the bucket term corr_scale * (q . c_b) is computed
+    here (one [Q, B] matmul against the probe means) and added in-kernel
+    before extraction."""
     nq = q.shape[0]
     nb = means.shape[0]
     prio = _bucket_priority(q, means, dt, invert, p)
@@ -267,10 +329,36 @@ def _ivf_search(
     if kk2 is None:  # dedupe margin: pad slots duplicate rows
         kk2 = min(2 * k, u * s)
 
+    qc = rowadd = None
+    if resid is not None:
+        qc = (q @ means.T) * resid[0]  # [Q, B]
+        if len(resid) > 1:
+            rowadd = resid[1]
+
     if indexed:
+        corr_g = None
+        if qc is not None:
+            from ..ops.pallas.sq_kernel import CORR_BLK
+
+            # GLOBAL per-512-row-block layout (the indexed kernels walk
+            # global tiles); pad columns for any kernel-pad rows past
+            # nb*s (their scores are masked by rowadd/voff = NEG).
+            corr_g = jnp.repeat(qc, s // CORR_BLK, axis=1)
+            nrows = inner[0].shape[1] if kind == "pq" else inner[0].shape[0]
+            corr_g = jnp.pad(
+                corr_g,
+                ((0, 0), (0, nrows // CORR_BLK - corr_g.shape[1])),
+            )
+            if rowadd is not None and rowadd.shape[0] < nrows:
+                # Kernel-pad rows past nb*s: mask them outright.
+                rowadd = jnp.pad(
+                    rowadd, (0, nrows - rowadd.shape[0]),
+                    constant_values=NEG,
+                )
         sv, gloc = _scan_buckets_indexed(
             kind, eq, inner, union, s=s, itile=itile, dt=dt,
             invert=invert, dim=dim, kk2=kk2, method=method,
+            corr=corr_g, rowadd=rowadd,
         )
         out_ids = jnp.take(slot_ids.reshape(-1), jnp.maximum(gloc, 0))
         out_ids = jnp.where(gloc >= 0, out_ids, -1)
@@ -279,6 +367,10 @@ def _ivf_search(
     sv, loc = _scan_buckets_compact(
         kind, eq, inner, union, nb=nb, s=s, dt=dt, invert=invert,
         dim=dim, use_fused=use_fused, kk2=kk2, method=method,
+        corr=(
+            None if qc is None else jnp.take(qc, union, axis=1)
+        ),
+        rowadd=rowadd,
     )
     gids = jnp.take(slot_ids, union, axis=0).reshape(-1)  # [U*S]
     out_ids = jnp.take(gids, jnp.maximum(loc, 0))
@@ -288,13 +380,16 @@ def _ivf_search(
 
 def _scan_buckets_indexed(
     kind, eq, inner, union, *, s, itile, dt, invert, dim, kk2, method,
+    corr=None, rowadd=None,
 ):
     """In-place probed scan: the fused kernel's corpus grid walks the
     union's tiles via a scalar-prefetch index map — only the selected
     buckets' code columns stream from HBM, no compaction copy. ``union``
     indexes buckets of the arrays in ``inner`` (full corpus single-device,
     a shard's local slice inside shard_map). Returns (sv [Q, kk2],
-    gloc [Q, kk2]) with ``gloc`` a slot position in those arrays or -1."""
+    gloc [Q, kk2]) with ``gloc`` a slot position in those arrays or -1.
+    ``corr`` / ``rowadd``: residual additive terms in GLOBAL layout (see
+    _ivf_search)."""
     kernel_mode = "approx" if method == "approx" else "exact"
     tpb = s // itile
     tiles = (
@@ -306,7 +401,7 @@ def _scan_buckets_indexed(
         qcodes, qoff = eq
         codes, voff, mult = inner
         return sq_search_indexed(
-            qcodes, qoff, codes, voff, mult, tiles,
+            qcodes, qoff, codes, voff, mult, tiles, corr,
             distance_type=dt, k=kk2, mode=kernel_mode, tile_n=itile,
         )
     if kind == "bq":
@@ -325,8 +420,8 @@ def _scan_buckets_indexed(
     (lut,) = eq
     (codes_t,) = inner
     return pq_search_indexed(
-        lut, codes_t, tiles, k=kk2, precision=_lut_precision(),
-        tile_n=itile,
+        lut, codes_t, tiles, rowadd, corr,
+        k=kk2, precision=_lut_precision(), tile_n=itile,
     )
 
 
@@ -434,6 +529,80 @@ class IVFIndex:
         self._slot_ids_dev = jnp.asarray(slot_ids)
         self._means_dev = jnp.asarray(self.bucket_means)
         self._codes_t_cache = None  # lazy [Mpad, Npad] for indexed PQ
+        if metadata.residual:
+            self._init_residual()
+        else:
+            self._resid_sq = self._resid_pq = None
+
+    def _init_residual(self):
+        """Derive the residual search's effective arrays from the inner
+        DOT scorer via dot-expansion (the inner quantizer approximates
+        q . r^ with r = v - c_b, v^ = c_b + r^ the decoded point):
+
+          DOT:  S = s * (q.v^)          = s*inner + s*(q.c_b)
+          L2:   S = s * |q - v^|^2      = -2s*inner - 2s*(q.c_b)
+                                          + s*|q|^2 + s*|v^|^2
+          (s = -1 when ``invert`` else +1 — matching the non-residual
+          quantizers' sign convention, ops/sq.py multiplier_for)
+
+        so: A (the coefficient on the inner score and on q.c_b) rescales
+        the inner multiplier / LUT and the corr term; |q|^2 folds into
+        the query offset (SQ) or one LUT chunk (PQ); |v^|^2 — the
+        DECODED norm, recomputed from the codes on device here (nothing
+        extra to checkpoint; see ops/ivf.py sq_decoded_rowterm on why it
+        must be the decoded norm, not the exact one) — folds into voff
+        (SQ) or the per-row kernel additive (PQ). Pad slots get NEG
+        there, masking them (their residuals are vs a foreign bucket's
+        mean and would score garbage)."""
+        dt, inv = self.params.distance_type, self.params.invert
+        s_sign = -1.0 if inv else 1.0
+        if dt == DistanceType.DOT:
+            a, rowcoef = s_sign, 0.0
+        else:  # L2 (L1 is rejected at encode)
+            a, rowcoef = -2.0 * s_sign, s_sign
+        self._res_a, self._res_rowcoef = a, rowcoef
+        self._corr_scale_dev = jnp.float32(a)
+        pad = self.bucket_ids.reshape(-1) < 0
+        nslots = self.bucket_ids.size
+        s = self.metadata.bucket_size
+        qz = self.quantizer
+        if self.metadata.kind == "sq":
+            # The query side does NOT reuse the inner [0,127] affine (a
+            # data-scale query would clip against the residual range):
+            # encode_query builds zero-centered SIGNED codes q^ = aq * Q,
+            # so q.r^ = aq*ar*(Q.C) + off_r*sum(q) — no per-row cross
+            # term at all. voff carries only s*|v^|^2 and the pad mask;
+            # the per-batch multiplier A*aq*ar rides the kernel's traced
+            # scalar (_ResidualQueryU8.mult).
+            meta = qz.metadata
+            ve = np.zeros(np.asarray(qz.voffsets).shape[0], np.float32)
+            if rowcoef != 0.0:
+                rt = np.asarray(
+                    ivf_ops.sq_decoded_rowterm(
+                        qz.codes, meta.alpha, meta.offset,
+                        self._means_dev, s, self.params.dim,
+                    )
+                )
+                ve[:nslots] = rowcoef * rt
+            ve[:nslots][pad] = NEG
+            ve[nslots:] = NEG
+            self._resid_sq = jnp.asarray(ve)
+            self._resid_pq = None
+        else:  # pq
+            ra = np.zeros(qz.codes.shape[0], np.float32)
+            if rowcoef != 0.0:
+                rt = np.asarray(
+                    ivf_ops.pq_decoded_rowterm(
+                        qz.codes, qz._c_chunks, qz._rot,
+                        self._means_dev, s,
+                        qz.metadata.vector_division,
+                    )
+                )
+                ra[:nslots] = rowcoef * rt
+            ra[:nslots][pad] = NEG
+            ra[nslots:] = NEG
+            self._resid_pq = jnp.asarray(ra)
+            self._resid_sq = None
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -448,6 +617,7 @@ class IVFIndex:
         nprobe: int = 32,
         nscan: Optional[int] = None,
         seed: int = 0,
+        residual: bool = False,
         stop_condition=None,
         **quantizer_kwargs,
     ) -> "IVFIndex":
@@ -459,7 +629,17 @@ class IVFIndex:
         the quantizer classes; extra kwargs (quantile, chunk_size, bits,
         rotation, ...) pass through to its ``encode``. The inner corpus is
         padded to nbuckets * bucket_size rows with duplicates of real
-        rows (<= one bucket per cluster is partial), masked at search."""
+        rows (<= one bucket per cluster is partial), masked at search.
+
+        ``residual=True`` (SQ/PQ, DOT/L2): the inner quantizer encodes
+        r = v - bucket_center as a plain DOT scorer — residuals span a
+        far smaller ball than the data, so the same code budget spends
+        its resolution where the ranking signal lives (the IVF-PQ
+        recipe; no reference counterpart). The bucket term q . c_b is
+        restored in-kernel at search (see _ivf_search). Needs
+        bucket_size to be a multiple of the kernels' CORR_BLK (512);
+        BQ is excluded (its Hamming scale can't absorb an absolute
+        additive term), as is L1 (no dot-expansion)."""
         registry = _registry()
         if isinstance(quantizer, str):
             if quantizer not in registry:
@@ -493,6 +673,23 @@ class IVFIndex:
             raise ArgumentsError("nlist and bucket_size must be >= 1")
         if params.count < 1:
             raise ArgumentsError("IVFIndex needs a non-empty corpus")
+        if residual:
+            from ..ops.pallas.sq_kernel import CORR_BLK
+
+            if kind not in ("sq", "pq"):
+                raise ArgumentsError(
+                    "residual=True supports quantizer 'sq' or 'pq' (BQ's "
+                    "Hamming scale can't absorb the bucket term)"
+                )
+            if params.distance_type == DistanceType.L1:
+                raise ArgumentsError(
+                    "residual=True needs DOT or L2 (dot-expansion)"
+                )
+            if bucket_size % CORR_BLK:
+                raise ArgumentsError(
+                    f"residual=True needs bucket_size to be a multiple "
+                    f"of {CORR_BLK}, got {bucket_size}"
+                )
         check_stop(stop_condition)
 
         n = params.count
@@ -516,17 +713,25 @@ class IVFIndex:
         perm, bucket_ids = ivf_ops.build_buckets(assignments, bucket_size)
         means = ivf_ops.bucket_means(data, perm, bucket_ids)
         check_stop(stop_condition)
-        inner_params = VectorParameters(
-            params.dim, perm.shape[0], params.distance_type, params.invert
-        )
+        permuted = data[perm]
+        if residual:
+            ivf_ops.residualize_inplace(permuted, means, bucket_ids)
+            inner_params = VectorParameters(
+                params.dim, perm.shape[0], DistanceType.DOT, False
+            )
+        else:
+            inner_params = VectorParameters(
+                params.dim, perm.shape[0],
+                params.distance_type, params.invert,
+            )
         inner = qcls.encode(
-            data[perm], inner_params, stop_condition=stop_condition,
+            permuted, inner_params, stop_condition=stop_condition,
             **quantizer_kwargs,
         )
         meta = IVFMetadata(
             nlist=nlist, bucket_size=bucket_size, nprobe=nprobe,
             kind=kind, nbuckets=bucket_ids.shape[0],
-            vector_parameters=params, nscan=nscan,
+            vector_parameters=params, nscan=nscan, residual=residual,
         )
         return cls(inner, bucket_ids, means, meta)
 
@@ -543,7 +748,35 @@ class IVFIndex:
             raise ArgumentsError(
                 f"query dim {q.shape[1]} != corpus dim {self.params.dim}"
             )
-        return q, self.quantizer.encode_query(np.asarray(q))
+        if not self.metadata.residual:
+            return q, self.quantizer.encode_query(np.asarray(q))
+        # Residual index: fold the dot-expansion's query-side terms in
+        # here (see _init_residual). A rescales, |q|^2 (L2 only) adds.
+        a, rc = self._res_a, self._res_rowcoef
+        qn = jnp.sum(q * q, axis=1)
+        if self.metadata.kind == "sq":
+            # Zero-centered signed query codes with their OWN per-batch
+            # scale (the inner [0,127] affine spans the residual range —
+            # a data-scale query would clip against it): q^ = aq * Q,
+            # Q in [-127, 127], aq = max|q| / 127. Then
+            #   q . r^ = aq*ar*(Q . C) + off_r * sum(q)
+            # (exact-f32 second term; padded dims hit Q = 0).
+            meta = self.quantizer.metadata
+            dpad = self.quantizer.codes.shape[1]
+            aq = jnp.maximum(jnp.max(jnp.abs(q)) / 127.0, 1e-30)
+            qc = jnp.clip(jnp.round(q / aq), -127, 127).astype(jnp.int8)
+            qc = jnp.pad(qc, ((0, 0), (0, dpad - qc.shape[1])))
+            qoff = a * meta.offset * jnp.sum(q, axis=1) + rc * qn
+            return q, _ResidualQueryU8(
+                qc, qoff, jnp.float32(a * meta.alpha) * aq
+            )
+        from .pq import EncodedQueryPQ
+
+        eq = self.quantizer.encode_query(np.asarray(q))
+        lut = a * eq.lut
+        if rc != 0.0:
+            lut = lut.at[:, 0, :].add(rc * qn[:, None])
+        return q, EncodedQueryPQ(lut)
 
     def _pq_codes_t(self):
         """Lazy TRANSPOSED code matrix [Mpad, Npad] for the indexed PQ
@@ -568,6 +801,11 @@ class IVFIndex:
         kind = self.metadata.kind
         qz = self.quantizer
         if kind == "sq":
+            if self.metadata.residual:
+                return (
+                    (eq_inner.codes, eq_inner.offsets),
+                    (qz.codes, self._resid_sq, eq_inner.mult),
+                )
             return (
                 (eq_inner.codes, eq_inner.offsets),
                 (qz.codes, qz.voffsets, qz._mult_dev),
@@ -623,6 +861,14 @@ class IVFIndex:
                 self.metadata.kind == "sq"
                 and self.params.distance_type == DistanceType.L1
             )
+            # Fused exact PQ extracts from the packed int accumulator,
+            # which can't absorb the residual additive terms — exact
+            # residual-PQ selection rides the XLA score + top_k path.
+            and not (
+                self.metadata.residual
+                and self.metadata.kind == "pq"
+                and method != "approx"
+            )
         )
         if scan not in ("auto", "indexed", "compact"):
             raise ArgumentsError(f"unknown scan strategy {scan!r}")
@@ -645,8 +891,15 @@ class IVFIndex:
         eq, inner = self._family_arrays(eq_inner)
         if indexed and kind == "pq":
             inner = (self._pq_codes_t(),)
+        resid = None
+        if self.metadata.residual:
+            resid = (
+                (self._corr_scale_dev,)
+                if kind == "sq"
+                else (self._corr_scale_dev, self._resid_pq)
+            )
         return _ivf_search(
-            q, eq, self._means_dev, self._slot_ids_dev, inner,
+            q, eq, self._means_dev, self._slot_ids_dev, inner, resid,
             kind=kind, k=int(k), p=p, u=u, method=method,
             dt=self.params.distance_type, invert=self.params.invert,
             s=s, dim=self.params.dim,
@@ -669,7 +922,9 @@ class IVFIndex:
         pair — loadable standalone as a plain full-scan index over the
         permuted padded corpus — plus ``<data_path>.ivf`` (bucket_ids +
         bucket_means, raw little-endian bytes) and
-        ``<meta_path>.ivf.json``."""
+        ``<meta_path>.ivf.json``. Residual indexes need nothing extra:
+        their effective arrays are re-derived from codes + means at
+        load (_init_residual)."""
         self.quantizer.save(data_path, meta_path)
         with open(f"{os.fspath(meta_path)}.ivf.json", "w") as f:
             json.dump(self.metadata.to_json(), f)
@@ -682,16 +937,23 @@ class IVFIndex:
         cls, data_path, meta_path, params: VectorParameters
     ) -> "IVFIndex":
         """``params`` describes the ORIGINAL corpus (count = N); the inner
-        quantizer is loaded with the padded count from the IVF meta."""
+        quantizer is loaded with the padded count from the IVF meta (and,
+        for residual indexes, the inner DOT scoring parameters — the
+        outer metric is reconstructed by dot-expansion, _init_residual)."""
         try:
             with open(f"{os.fspath(meta_path)}.ivf.json") as f:
                 meta = IVFMetadata.from_json(json.load(f))
         except (OSError, KeyError, ValueError) as e:
             raise StorageIOError(f"cannot read IVF metadata: {e}") from e
         b, s, d = meta.nbuckets, meta.bucket_size, params.dim
-        inner_params = VectorParameters(
-            params.dim, b * s, params.distance_type, params.invert
-        )
+        if meta.residual:
+            inner_params = VectorParameters(
+                params.dim, b * s, DistanceType.DOT, False
+            )
+        else:
+            inner_params = VectorParameters(
+                params.dim, b * s, params.distance_type, params.invert
+            )
         inner = _registry()[meta.kind].load(
             data_path, meta_path, inner_params
         )

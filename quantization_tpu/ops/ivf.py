@@ -24,7 +24,8 @@ TPU-native formulation (vs the CPU IVF idiom of per-list pointer chasing):
 
 from __future__ import annotations
 
-from typing import Tuple
+from functools import partial
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -163,3 +164,106 @@ def bucket_means(
             (rows * valid).sum(axis=1) / valid.sum(axis=1)
         ).astype(np.float32)
     return out
+
+
+def residualize_inplace(
+    permuted: np.ndarray,
+    means: np.ndarray,
+    bucket_ids: np.ndarray,
+    *,
+    block_buckets: int = 1024,
+) -> None:
+    """Turn the S-aligned permuted corpus into RESIDUALS in place
+    (row -= its bucket's mean). Pad slots (bucket_ids < 0) get residual
+    0 — they are score-masked at search, and zeroing keeps the inner
+    quantizer's calibration on genuine residuals only. Blocked so the
+    only full-size array touched is ``permuted`` itself."""
+    nb, s = bucket_ids.shape
+    for b0 in range(0, nb, block_buckets):
+        b1 = min(b0 + block_buckets, nb)
+        permuted[b0 * s : b1 * s] -= np.repeat(means[b0:b1], s, axis=0)
+    pad = bucket_ids.reshape(-1) < 0
+    if pad.any():
+        permuted[pad] = 0.0
+
+
+def sq_decoded_rowterm(
+    codes: jax.Array,  # int8 [Npad, Dpad] (inner SQ codes over residuals)
+    alpha: float,
+    offset: float,
+    means: jax.Array,  # f32 [B, dim]
+    bucket_size: int,
+    dim: int,
+    *,
+    block_buckets: int = 64,
+) -> jax.Array:
+    """f32[B*S] squared norms of the DECODED points |c_b + r^|^2 over the
+    real dims (r^ = alpha*code + offset). The residual L2 score must pair
+    the quantized cross term with the norm of the SAME decoded point —
+    S = 2 q.v^ - |q|^2 - |v^|^2 = -|q - v^|^2 is a true metric on the
+    decoded corpus, so per-row code errors cancel in ranking exactly as
+    they do in the non-residual quantizer's self-consistent score. Using
+    the EXACT |v|^2 instead adds an uncancelled norm-mismatch term that
+    measurably destroys nearest-first ranking. Blocked on device."""
+    nb = means.shape[0]
+    s = bucket_size
+
+    @partial(jax.jit, static_argnames=("bb",))
+    def blk(cb, mb, bb):
+        v = cb[:, :dim].astype(jnp.float32) * alpha + offset
+        vhat = v + jnp.repeat(mb, s, axis=0)
+        return jnp.sum(vhat * vhat, axis=1)
+
+    parts = []
+    for b0 in range(0, nb, block_buckets):
+        b1 = min(b0 + block_buckets, nb)
+        parts.append(
+            blk(codes[b0 * s : b1 * s], means[b0:b1], b1 - b0)
+        )
+    return jnp.concatenate(parts) if parts else jnp.zeros((0,), jnp.float32)
+
+
+def pq_decoded_rowterm(
+    codes: jax.Array,  # uint8 [Npad, Mpad] (inner PQ codes over residuals)
+    c_chunks: jax.Array,  # f32 [m, k, dmax] chunked codebook
+    rot: Optional[jax.Array],  # OPQ rotation (decode space = x @ rot)
+    means: jax.Array,  # f32 [B, dim]
+    bucket_size: int,
+    division,
+    *,
+    block_buckets: int = 64,
+) -> jax.Array:
+    """PQ twin of ``sq_decoded_rowterm``: |c_b + r^|^2 with
+    r^ = concat of the rows' chunk centroids (rotated back for OPQ —
+    norms are rotation-invariant, the cross term uses rotated means).
+    Per bucket block: T2[b, chunk, code] = 2 (R c_b)_chunk . cent +
+    |cent|^2, gathered by the rows' codes and summed over chunks."""
+    from .pq import chunk_rows_device
+
+    nb = means.shape[0]
+    s = bucket_size
+    m = len(division)
+    mr = means if rot is None else means @ rot
+    mean_norm = jnp.sum(means * means, axis=1)  # [B]
+    cent_norm = jnp.sum(c_chunks * c_chunks, axis=2)  # [m, k]
+
+    @partial(jax.jit, static_argnames=("bb",))
+    def blk(codes_b, mrb, mnb, bb):
+        mc = chunk_rows_device(mrb, division)  # [m, bb, dmax]
+        t2 = 2.0 * jnp.einsum(
+            "mbd,mkd->bmk", mc, c_chunks,
+            preferred_element_type=jnp.float32,
+        ) + cent_norm[None]  # [bb, m, k]
+        ct = jnp.transpose(
+            codes_b[:, :m].reshape(bb, s, m).astype(jnp.int32), (0, 2, 1)
+        )  # [bb, m, s]
+        g = jnp.take_along_axis(t2, ct, axis=2)  # [bb, m, s]
+        return (jnp.sum(g, axis=1) + mnb[:, None]).reshape(bb * s)
+
+    parts = []
+    for b0 in range(0, nb, block_buckets):
+        b1 = min(b0 + block_buckets, nb)
+        parts.append(
+            blk(codes[b0 * s : b1 * s], mr[b0:b1], mean_norm[b0:b1], b1 - b0)
+        )
+    return jnp.concatenate(parts) if parts else jnp.zeros((0,), jnp.float32)

@@ -63,27 +63,49 @@ from .sharded import make_mesh
     ),
 )
 def _ivf_sharded_search(
-    q, eq, means, slot_ids, inner,
+    q, eq, means, slot_ids, inner, resid=None,
     *, mesh, axis, kind, k, p, u_loc, b_loc, method, dt, invert, s,
     dim, use_fused, kk2, itile=0,
 ):
     """One-dispatch sharded IVF search: replicated probe/priority, local
     top-``u_loc`` bucket quota per shard, per-shard scan with the family's
     fused kernel (scalar-prefetch INDEXED when ``itile``, compact gather
-    otherwise), one tiled all_gather, replicated dedupe."""
+    otherwise), one tiled all_gather, replicated dedupe.
+
+    ``resid`` (residual indexes): ``(corr_scale,)`` for SQ or
+    ``(corr_scale, rowadd)`` for PQ — the bucket term corr_scale *
+    (q . c_b) is computed per shard against the replicated (reordered)
+    means and sliced to the shard's own buckets; ``rowadd`` arrives
+    already bucket-sharded (one slice per shard inside shard_map)."""
     nq = q.shape[0]
 
-    def local(q, eq, means, sid_loc, inner):
+    def local(q, eq, means, sid_loc, inner, resid):
         prio = _bucket_priority(q, means, dt, invert, p)  # [B_pad], repl.
         sidx = jax.lax.axis_index(axis)
         my = jax.lax.dynamic_slice(prio, (sidx * b_loc,), (b_loc,))
         _, union_loc = jax.lax.top_k(my, u_loc)  # LOCAL bucket indices
+        my_qc = rowadd_loc = None
+        if resid is not None:
+            qc = (q @ means.T) * resid[0]  # [Q, B_pad] replicated
+            my_qc = jax.lax.dynamic_slice(
+                qc, (0, sidx * b_loc), (nq, b_loc)
+            )
+            if len(resid) > 1:
+                rowadd_loc = resid[1]  # this shard's [b_loc*s] slice
         if itile:
             # In-place probed scan over this shard's slice; gloc is a
             # slot position in the LOCAL arrays -> local slot-id map.
+            corr_g = None
+            if my_qc is not None:
+                from ..ops.pallas.sq_kernel import CORR_BLK
+
+                # Local rows are exactly b_loc*s (bucket_size % 512 == 0
+                # is enforced at residual encode, so no kernel-pad rows).
+                corr_g = jnp.repeat(my_qc, s // CORR_BLK, axis=1)
             sv, loc = _scan_buckets_indexed(
                 kind, eq, inner, union_loc, s=s, itile=itile, dt=dt,
                 invert=invert, dim=dim, kk2=kk2, method=method,
+                corr=corr_g, rowadd=rowadd_loc,
             )
             gids = sid_loc.reshape(-1)
         else:
@@ -91,6 +113,11 @@ def _ivf_sharded_search(
                 kind, eq, inner, union_loc, nb=b_loc, s=s, dt=dt,
                 invert=invert, dim=dim, use_fused=use_fused, kk2=kk2,
                 method=method,
+                corr=(
+                    None if my_qc is None
+                    else jnp.take(my_qc, union_loc, axis=1)
+                ),
+                rowadd=rowadd_loc,
             )
             gids = jnp.take(sid_loc, union_loc, axis=0).reshape(-1)
         out_ids = jnp.where(
@@ -110,14 +137,20 @@ def _ivf_sharded_search(
     else:  # pq
         eq_spec = (P(),)
         inner_spec = (P(axis, None),)
+    if resid is None:
+        resid_spec = None
+    elif len(resid) > 1:
+        resid_spec = (P(), P(axis))
+    else:
+        resid_spec = (P(),)
 
     sv_all, ids_all = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), eq_spec, P(), P(axis, None), inner_spec),
+        in_specs=(P(), eq_spec, P(), P(axis, None), inner_spec, resid_spec),
         out_specs=(P(), P()),
         check_vma=False,
-    )(q, eq, means, slot_ids, inner)
+    )(q, eq, means, slot_ids, inner, resid)
     return _dedupe_select(sv_all, ids_all, nq, k, sv_all.shape[1])
 
 
@@ -171,15 +204,21 @@ class ShardedIVF:
         ridx = (old[:, None] * s + np.arange(s)[None, :]).reshape(-1)
         kind = ivf.metadata.kind
         qz = ivf.quantizer
+        self._rowadd_dev = None
         if kind == "sq":
             codes = np.asarray(qz.codes)[ridx]
-            voff = np.asarray(qz.voffsets)[ridx]
+            # Residual indexes: the per-row term is the derived
+            # |decoded|^2-or-NEG array, not the inner DOT voffsets
+            # (models/ivf.py _init_residual); the multiplier is the
+            # per-batch traced scalar and joins the tuple at call time.
+            voff = np.asarray(
+                ivf._resid_sq if ivf.metadata.residual else qz.voffsets
+            )[ridx]
             self._inner = (
                 jax.device_put(
                     codes, NamedSharding(self.mesh, P(axis, None))
                 ),
                 jax.device_put(voff, NamedSharding(self.mesh, P(axis))),
-                qz._mult_dev,
             )
         elif kind == "bq":
             planes = np.asarray(qz.planes)[:, ridx]
@@ -195,6 +234,11 @@ class ShardedIVF:
                     codes, NamedSharding(self.mesh, P(axis, None))
                 ),
             )
+            if ivf.metadata.residual:
+                self._rowadd_dev = jax.device_put(
+                    np.asarray(ivf._resid_pq)[ridx],
+                    NamedSharding(self.mesh, P(axis)),
+                )
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -262,6 +306,11 @@ class ShardedIVF:
                 meta.kind == "sq"
                 and self.params.distance_type == DistanceType.L1
             )
+            # Fused exact PQ extracts from the packed int accumulator,
+            # which can't absorb the residual additives (models/ivf.py).
+            and not (
+                meta.residual and meta.kind == "pq" and method != "approx"
+            )
         )
         if scan not in ("auto", "indexed", "compact"):
             raise ArgumentsError(f"unknown scan strategy {scan!r}")
@@ -283,8 +332,22 @@ class ShardedIVF:
                 "(approx) BQ — sharded PQ scans compact"
             )
         eq, _ = self._ivf._family_arrays(eq_inner)
+        inner = self._inner
+        resid = None
+        if meta.kind == "sq":
+            mult = (
+                eq_inner.mult if meta.residual
+                else self._ivf.quantizer._mult_dev
+            )
+            inner = (*self._inner, mult)
+        if meta.residual:
+            resid = (
+                (self._ivf._corr_scale_dev,)
+                if meta.kind == "sq"
+                else (self._ivf._corr_scale_dev, self._rowadd_dev)
+            )
         return _ivf_sharded_search(
-            q, eq, self._means_dev, self._slot_ids_dev, self._inner,
+            q, eq, self._means_dev, self._slot_ids_dev, inner, resid,
             mesh=self.mesh, axis=self.axis, kind=meta.kind, k=int(k),
             p=p, u_loc=u_loc, b_loc=self._b_loc, method=method,
             dt=self.params.distance_type, invert=self.params.invert,

@@ -246,6 +246,131 @@ def test_stop_condition(rng):
         )
 
 
+# -------------------------------------------------------------- residual
+
+
+def res_corpus(rng, count, dim, queries=8):
+    """Strongly clustered corpus (the residual regime: per-bucket spread
+    well below the data scale) + near-duplicate queries."""
+    centers = rng.standard_normal((6, dim)).astype(np.float32) * 3
+    assign = rng.integers(0, 6, count)
+    data = (
+        centers[assign]
+        + 0.3 * rng.standard_normal((count, dim)).astype(np.float32)
+    ).astype(np.float32)
+    qs = data[rng.choice(count, queries, replace=False)]
+    qs = qs + 0.05 * rng.standard_normal(qs.shape).astype(np.float32)
+    return data, qs.astype(np.float32)
+
+
+def _res_pair(rng, kind, dt, invert, count=3000, nlist=6):
+    data, queries = res_corpus(rng, count, DIM)
+    params = VectorParameters(DIM, count, dt, invert)
+    kw = {"chunk_size": 2} if kind == "pq" else {}
+    out = {}
+    for residual in (False, True):
+        out[residual] = IVFIndex.encode(
+            data, params, quantizer=kind, nlist=nlist, bucket_size=512,
+            nprobe=nlist, residual=residual, seed=0, **kw,
+        )
+    return data, queries, params, out
+
+
+@pytest.mark.parametrize(
+    "kind,dt,invert",
+    [
+        ("sq", DistanceType.DOT, False),
+        ("sq", DistanceType.DOT, True),
+        ("sq", DistanceType.L2, False),
+        ("sq", DistanceType.L2, True),
+        ("pq", DistanceType.DOT, False),
+        ("pq", DistanceType.L2, True),
+    ],
+)
+def test_residual_cuts_score_error(rng, kind, dt, invert):
+    # residual=True re-spends the inner code budget on v - bucket_center:
+    # on clustered data the returned scores must approximate the exact
+    # metric MUCH better than plain inner codes, without losing recall.
+    # Mean (not max) error: the max is dominated by points whose coarse
+    # cell merged two true clusters (their residuals sit at data scale
+    # regardless of codec), a property of the coarse k-means, not of
+    # residual coding.
+    data, queries, params, idx = _res_pair(rng, kind, dt, invert)
+    gt_s = np.asarray(pairwise_score(queries, data, dt, invert))
+    gt = np.argsort(-gt_s, axis=1)[:, :K]
+    res = {}
+    for residual, ivf in idx.items():
+        sv, ids = ivf.top_k(
+            ivf.encode_query(queries), K, method="exact",
+            nscan=ivf.metadata.nbuckets,
+        )
+        assert (ids >= 0).all()
+        assert all(len(set(r.tolist())) == K for r in ids)
+        err = np.mean(np.abs(sv - np.take_along_axis(gt_s, ids, axis=1)))
+        res[residual] = (recall(ids, gt), err)
+    assert res[True][1] <= res[False][1] * 0.7, res
+    assert res[True][0] >= res[False][0] - 0.02, res
+
+
+def test_residual_save_load_roundtrip(rng, tmp_path):
+    # Nothing residual-specific is persisted beyond the metadata flag:
+    # the effective search arrays (decoded row norms, corr scale) are
+    # re-derived from codes + means at load and must reproduce scores
+    # exactly.
+    for kind in ("sq", "pq"):
+        data, queries, params, idx = _res_pair(
+            rng, kind, DistanceType.L2, True, count=2000, nlist=4
+        )
+        ivf = idx[True]
+        ivf.save(tmp_path / f"{kind}.bin", tmp_path / f"{kind}.json")
+        back = IVFIndex.load(
+            tmp_path / f"{kind}.bin", tmp_path / f"{kind}.json", params
+        )
+        assert back.metadata.residual
+        a_s, a_i = ivf.top_k(ivf.encode_query(queries), K)
+        b_s, b_i = back.top_k(back.encode_query(queries), K)
+        np.testing.assert_allclose(
+            np.asarray(a_s), np.asarray(b_s), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+
+
+def test_residual_argument_errors(rng):
+    data, _ = res_corpus(rng, 1500, DIM)
+    mk = lambda dt, inv: VectorParameters(DIM, 1500, dt, inv)  # noqa: E731
+    with pytest.raises(ArgumentsError):  # BQ can't absorb the additive
+        IVFIndex.encode(
+            data, mk(DistanceType.DOT, False), quantizer="bq",
+            nlist=2, bucket_size=512, residual=True,
+        )
+    with pytest.raises(ArgumentsError):  # L1 has no dot-expansion
+        IVFIndex.encode(
+            data, mk(DistanceType.L1, True), quantizer="sq",
+            nlist=2, bucket_size=512, residual=True,
+        )
+    with pytest.raises(ArgumentsError):  # bucket % CORR_BLK
+        IVFIndex.encode(
+            data, mk(DistanceType.DOT, False), quantizer="sq",
+            nlist=2, bucket_size=256, residual=True,
+        )
+
+
+def test_residual_as_two_stage_coarse(rng):
+    # The serving shape: residual coarse -> exact f32 rescore.
+    data, queries = res_corpus(rng, 3000, DIM, queries=16)
+    params = VectorParameters(DIM, 3000, DistanceType.L2, True)
+    gt = gt_topk(queries, data, DistanceType.L2, True)
+    ivf = IVFIndex.encode(
+        data, params, quantizer="pq", nlist=6, bucket_size=512,
+        nprobe=4, chunk_size=2, residual=True,
+    )
+    two = TwoStageIndex(
+        ivf, ExactRescorer(data, DistanceType.L2, True), oversampling=6
+    )
+    r2 = recall(two.top_k(two.encode_query(queries), K)[1], gt)
+    assert r2 > 0.9
+
+
 @pytest.fixture
 def force_pallas(monkeypatch):
     monkeypatch.setenv("QTPU_FORCE_PALLAS", "1")
@@ -350,3 +475,76 @@ def test_ivf_fused_path_matches_xla(rng, force_pallas, monkeypatch, kind):
         np.asarray(fused_s), np.asarray(xla_s), rtol=1e-4, atol=0.08
     )
     assert np.all(np.asarray(fused_i) >= 0)
+
+
+@pytest.mark.parametrize(
+    "kind,method",
+    [("sq", "exact"), ("sq", "approx"), ("pq", "approx")],
+)
+def test_residual_fused_matches_xla(
+    rng, force_pallas, monkeypatch, kind, method
+):
+    # The in-kernel additive correction (scores += corr block before
+    # extraction, ops/pallas CORR_BLK) must reproduce the XLA path's
+    # post-hoc add. PQ exact fused is gated off (packed int accumulator
+    # can't absorb the additive) — approx only there.
+    if kind == "pq":
+        monkeypatch.setenv("QTPU_PQ_LUT", "bf16")
+    data, queries, params, idx = _res_pair(
+        rng, kind, DistanceType.L2, True, count=2500, nlist=4
+    )
+    ivf = idx[True]
+    eq = ivf.encode_query(queries)
+    fused_s, fused_i = ivf.top_k(eq, K, method=method, nprobe=4)
+    for r in range(len(fused_i)):
+        row = np.asarray(fused_i)[r]
+        assert len(set(row.tolist())) == len(row)
+    monkeypatch.setenv("QTPU_DISABLE_PALLAS", "1")
+    monkeypatch.delenv("QTPU_FORCE_PALLAS", raising=False)
+    xla_s, xla_i = ivf.top_k(eq, K, method=method, nprobe=4)
+    if method == "exact":
+        np.testing.assert_allclose(
+            np.asarray(fused_s), np.asarray(xla_s), rtol=1e-4, atol=0.05
+        )
+    else:
+        overlap = np.mean([
+            len(set(np.asarray(fused_i)[r].tolist())
+                & set(np.asarray(xla_i)[r].tolist())) / K
+            for r in range(len(fused_i))
+        ])
+        assert overlap >= 0.8
+    assert np.all(np.asarray(fused_i) >= 0)
+
+
+@pytest.mark.parametrize(
+    "kind,method", [("sq", "exact"), ("sq", "approx"), ("pq", "approx")]
+)
+def test_residual_indexed_scan_matches_compact(
+    rng, force_pallas, monkeypatch, kind, method
+):
+    # Residual corrections ride the scalar-prefetch indexed scan too: the
+    # GLOBAL per-512-block corr layout must agree with the compact scan's
+    # per-union layout.
+    if kind == "pq":
+        monkeypatch.setenv("QTPU_PQ_LUT", "bf16")
+    data, queries, params, idx = _res_pair(
+        rng, kind, DistanceType.L2, True, count=2500, nlist=4
+    )
+    ivf = idx[True]
+    eq = ivf.encode_query(queries)
+    i_s, i_i = ivf.top_k(eq, K, method=method, scan="indexed", nprobe=4)
+    c_s, c_i = ivf.top_k(eq, K, method=method, scan="compact", nprobe=4)
+    if kind == "sq":  # same tile width: scores must match
+        np.testing.assert_allclose(
+            np.asarray(i_s), np.asarray(c_s), rtol=1e-5, atol=1e-4
+        )
+    else:  # derated PQ indexed tile: id overlap
+        overlap = np.mean([
+            len(set(np.asarray(i_i)[r].tolist())
+                & set(np.asarray(c_i)[r].tolist())) / K
+            for r in range(len(i_i))
+        ])
+        assert overlap >= 0.8
+    for r in range(len(i_i)):
+        row = np.asarray(i_i)[r]
+        assert len(set(row.tolist())) == len(row)
