@@ -76,7 +76,14 @@ def main():
                     help="IVF cluster count")
     ap.add_argument("--ivf-bucket", type=int, default=512,
                     help="IVF bucket size S (rows per probe)")
+    ap.add_argument("--ivf-residual", action="store_true",
+                    help="additionally build + bench RESIDUAL inner codes "
+                    "over the same bucket layout (models/ivf.py "
+                    "residual=True — the IVF-PQ/IVFADC recipe): "
+                    "residual-calibrated SQ and residual-trained OPQ, "
+                    "coarse + ->f32-rescore rows (implies --ivf)")
     args = ap.parse_args()
+    args.ivf = args.ivf or args.ivf_residual
 
     import jax
     import jax.numpy as jnp
@@ -596,10 +603,13 @@ def main():
 
     def encode_permuted(appenders, enc_fn):
         """Stream gen_rows(perm) blocks through enc_fn into appenders,
-        trimming the final partial block."""
+        trimming the final partial block. ``enc_fn(pids, slot0)`` also
+        receives the block's first PERMUTED-SLOT index (traced i32) so
+        residual encoders can map each row to its bucket (slot // S)."""
         for i in range(rows_pad // B):
             outs = enc_fn(
-                jnp.asarray(perm_enc[i * B : (i + 1) * B], jnp.int32)
+                jnp.asarray(perm_enc[i * B : (i + 1) * B], jnp.int32),
+                jnp.int32(i * B),
             )
             outs = outs if isinstance(outs, tuple) else (outs,)
             left = total_rows - i * B
@@ -613,7 +623,7 @@ def main():
     isq_voff = DeviceAppender((npad_i,), jnp.float32)
     encode_permuted(
         (isq_codes, isq_voff),
-        jax.jit(lambda pids: quantize_sq(gen_rows(pids))),
+        jax.jit(lambda pids, _s0: quantize_sq(gen_rows(pids))),
     )
     sq_inner = qt.ScalarQuantizerU8(
         isq_codes.finish(), isq_voff.finish(),
@@ -680,7 +690,9 @@ def main():
     # this is the candidate ceiling of the qps-at-high-recall frontier.
     t0 = time.perf_counter()
     ibq_planes = DeviceAppender((npad_i, w8), jnp.uint32)
-    encode_permuted((ibq_planes,), jax.jit(lambda pids: pack_bq(gen_rows(pids))))
+    encode_permuted(
+        (ibq_planes,), jax.jit(lambda pids, _s0: pack_bq(gen_rows(pids)))
+    )
     bq_inner = qt.BinaryQuantizer(
         jnp.transpose(ibq_planes.finish()), BQMetadata(params_inner)
     )
@@ -718,7 +730,7 @@ def main():
     rot_dev = jnp.asarray(rot_i)
     ci_dev = jnp.asarray(pq_ops.centroids_to_chunks(cents_i, division))
 
-    def enc_opq_rows(pids):
+    def enc_opq_rows(pids, _s0):
         xr = gen_rows(pids) @ rot_dev
         xc = jnp.transpose(xr.reshape(-1, m, args.chunk_size), (1, 0, 2))
         return pq_ops.encode_batch(xc, ci_dev).astype(jnp.uint8)
@@ -750,6 +762,140 @@ def main():
         report(
             f"2s IVF-OPQ->f32 R={rr} p={p} nscan={u}",
             ivf_f32(ivf_opq, eq_o, rr, p, u), gt,
+        )
+    del ivf_opq, opq_inner, eq_o, iopq_codes
+
+    if not args.ivf_residual:
+        return
+
+    # --- residual inner codes over the SAME bucket layout (the
+    # IVF-PQ/IVFADC recipe, models/ivf.py residual=True): the code budget
+    # is re-spent on r = v - bucket_mean, whose range is the within-
+    # bucket spread rather than the data scale — quantization noise
+    # shrinks by that ratio at bit-identical scan cost (the bucket term
+    # q.c_b rides the kernels' additive-correction path). ---
+    from quantization_tpu.ops.pallas.sq_kernel import CORR_BLK
+
+    if S % CORR_BLK:
+        print(f"--ivf-residual needs --ivf-bucket % {CORR_BLK} == 0; skip",
+              flush=True)
+        return
+
+    # Residual calibration sample: each sample row minus its assigned
+    # CLUSTER center (bucket means of a cluster all sit at the cluster
+    # mean, so the center is the right residual origin for range
+    # estimation without materializing the permuted corpus).
+    smp_assign = np.asarray(
+        jnp.argmin(
+            ccn[None, :] - 2.0 * (jnp.asarray(smp) @ cents_dev.T), axis=1
+        )
+    )
+    r_smp = smp - ivf_centers[smp_assign]
+    means_enc = np.zeros((-(-rows_pad // S), D), np.float32)
+    means_enc[:nbk] = means
+    means_enc_dev = jnp.asarray(means_enc)
+
+    # ---- residual IVF-SQ ----
+    # Quantile calibration, not min/max: residuals are concentrated with
+    # heavy tails (cluster outliers), so the min/max affine wastes the
+    # code range on a handful of extreme elements (measured: only 1.2x
+    # finer than the data affine at 1M). A two-sided 0.99 cut clips those
+    # tails (codes saturate at 0/127) and spends the 7-bit budget on the
+    # bulk of the residual mass — the reference's --quantile option
+    # applied where it matters most.
+    from quantization_tpu.ops.quantile import find_quantile_interval
+
+    qi = find_quantile_interval(r_smp, N, 0.99)
+    mn_r, mx_r = qi if qi is not None else (
+        float(r_smp.min()), float(r_smp.max())
+    )
+    alpha_r, offset_r = sq_ops.alpha_offset_from_min_max(mn_r, mx_r)
+    mult_r = sq_ops.multiplier_for(qt.DistanceType.DOT, False, alpha_r)
+    print(f"residual SQ affine (q=0.99): alpha {alpha_r:.2e} vs data "
+          f"{alpha:.2e} ({alpha/alpha_r:.1f}x finer)", flush=True)
+
+    def quantize_sq_res(pids, slot0):
+        x = gen_rows(pids)
+        b = (slot0 + jnp.arange(x.shape[0], dtype=jnp.int32)) // S
+        r = x - means_enc_dev[b]
+        return sq_ops.quantize_batch(
+            r, alpha=alpha_r, offset=offset_r,
+            distance_type=qt.DistanceType.DOT, invert=False, dpad=actual,
+            lane=lane,
+        )
+
+    t0 = time.perf_counter()
+    isqr_codes = DeviceAppender((npad_i, lane), jnp.int8)
+    isqr_voff = DeviceAppender((npad_i,), jnp.float32)
+    encode_permuted((isqr_codes, isqr_voff), jax.jit(quantize_sq_res))
+    sqr_inner = qt.ScalarQuantizerU8(
+        isqr_codes.finish(), isqr_voff.finish(),
+        SQMetadata(actual, alpha_r, offset_r, mult_r, params_inner),
+    )
+    print(f"IVF-SQ residual encode: {time.perf_counter()-t0:.0f}s",
+          flush=True)
+    ivf_sqr = IVFIndex(
+        sqr_inner, bucket_ids, means,
+        IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
+                    kind="sq", nbuckets=nbk,
+                    vector_parameters=params_dot, residual=True),
+    )
+    eq_sqr = ivf_sqr.encode_query(queries)
+    for p, u in ((64, 1024), (64, 2560), (64, 5120)):
+        report(
+            f"IVF-SQr p={p} nscan={u}",
+            lambda p=p, u=u: ivf_sqr.top_k_device(
+                eq_sqr, K, method="approx", nprobe=p, nscan=u
+            ), gt,
+        )
+    for rr, p, u in ((40, 64, 2560), (40, 64, 5120)):
+        report(
+            f"2s IVF-SQr->f32 R={rr} p={p} nscan={u}",
+            ivf_f32(ivf_sqr, eq_sqr, rr, p, u), gt,
+        )
+    del ivf_sqr, sqr_inner, eq_sqr, isqr_codes, isqr_voff
+
+    # ---- residual IVF-OPQ (rotation + codebooks trained on residuals) --
+    t0 = time.perf_counter()
+    rot_r, cents_r = train_opq(
+        r_smp[:20_000], division, pq_ops.CENTROIDS_COUNT
+    )
+    rotr_dev = jnp.asarray(rot_r)
+    cr_dev = jnp.asarray(pq_ops.centroids_to_chunks(cents_r, division))
+
+    def enc_opqr_rows(pids, slot0):
+        x = gen_rows(pids)
+        b = (slot0 + jnp.arange(x.shape[0], dtype=jnp.int32)) // S
+        xr = (x - means_enc_dev[b]) @ rotr_dev
+        xc = jnp.transpose(xr.reshape(-1, m, args.chunk_size), (1, 0, 2))
+        return pq_ops.encode_batch(xc, cr_dev).astype(jnp.uint8)
+
+    iopqr_codes = DeviceAppender((npad_i, m), jnp.uint8)
+    encode_permuted((iopqr_codes,), jax.jit(enc_opqr_rows))
+    opqr_inner = qt.ProductQuantizer(
+        iopqr_codes.finish(),
+        PQMetadata(cents_r, division, params_inner, rotation=rot_r),
+    )
+    print(f"IVF-OPQ residual train+encode: {time.perf_counter()-t0:.0f}s",
+          flush=True)
+    ivf_opqr = IVFIndex(
+        opqr_inner, bucket_ids, means,
+        IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
+                    kind="pq", nbuckets=nbk,
+                    vector_parameters=params_dot, residual=True),
+    )
+    eq_or = ivf_opqr.encode_query(queries)
+    for p, u in ((64, 1024), (64, 2560), (64, 5120)):
+        report(
+            f"IVF-OPQr p={p} nscan={u}",
+            lambda p=p, u=u: ivf_opqr.top_k_device(
+                eq_or, K, method="approx", nprobe=p, nscan=u
+            ), gt,
+        )
+    for rr, p, u in ((40, 64, 2560), (40, 64, 5120), (160, 64, 5120)):
+        report(
+            f"2s IVF-OPQr->f32 R={rr} p={p} nscan={u}",
+            ivf_f32(ivf_opqr, eq_or, rr, p, u), gt,
         )
 
 
