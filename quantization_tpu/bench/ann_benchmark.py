@@ -91,7 +91,7 @@ def build_index(method: str, data: AnnBenchmarkData, args):
         index = IVFIndex.encode(
             data.train, params, quantizer=kind, nlist=args.nlist,
             bucket_size=args.bucket_size, nprobe=args.nprobe,
-            nscan=args.nscan, **kw,
+            nscan=args.nscan, residual=args.residual, **kw,
         )
         if method.endswith("-f32"):
             fine = ExactRescorer(data.train, data.distance_type, invert)
@@ -257,6 +257,10 @@ def main(argv=None):
     p.add_argument("--nscan", type=int, default=None,
                    help="IVF batch-union scanned buckets "
                    "(default 4 * nprobe)")
+    p.add_argument("--residual", action="store_true",
+                   help="IVF inner codes over v - bucket_center (the "
+                   "IVF-PQ/IVFADC recipe; ivf-sq / ivf-pq, DOT/L2, "
+                   "bucket-size multiple of 512)")
     p.add_argument("--oversampling", type=float, default=4.0)
     p.add_argument("--test-acc", action="store_true")
     p.add_argument("--bench", action="store_true")
