@@ -79,6 +79,18 @@ def test_cli_ivf_pq_f32_two_stage():
     assert res[0]["same_10"] > 0.6
 
 
+def test_cli_ivf_residual():
+    """--residual wires residual inner codes (v - bucket_center, the
+    IVFADC recipe) through the ivf-* CLI methods; needs bucket-size to
+    be a multiple of the kernels' correction block (512)."""
+    res = _run([
+        "--dataset", "sift", "--method", "ivf-sq", "--residual",
+        "--test-acc", "--synthetic-count", "3000", "--query-batch", "64",
+        "--nlist", "4", "--bucket-size", "512", "--nprobe", "4",
+    ])
+    assert res[0]["same_10"] > 0.4
+
+
 def test_cli_sharded_bench_search_path():
     """--bench on a sharded index (no dense score_batch) measures the
     search path instead of silently skipping."""
