@@ -270,6 +270,10 @@ def main(argv=None):
     p.add_argument("--data-dir", default="test_data")
     p.add_argument("--synthetic-count", type=int, default=100_000)
     p.add_argument("--topk-method", default="exact", choices=["exact", "approx"])
+    p.add_argument("--recall-target", type=float, default=None,
+                   help="approx mode: the fused search's final-merge "
+                   "recall/speed dial (default 0.95; lower = faster "
+                   "partial-reduce select, higher = closer to exact)")
     p.add_argument("--sharded", action="store_true",
                    help="shard the corpus over all available devices")
     p.add_argument("--json", action="store_true", help="emit JSON results")
@@ -289,6 +293,7 @@ def main(argv=None):
             res = test_knn(
                 data, index, query_batch=args.query_batch,
                 topk_method=args.topk_method,
+                recall_target=args.recall_target,
             )
             timings = res.timings()
             print(

@@ -184,6 +184,7 @@ def test_knn(
     index,
     query_batch: int = 1,
     topk_method: str = "exact",
+    recall_target=None,
 ) -> KnnResult:
     """Full-scan top-30 per query; recall@10/20/30 vs exact ground truth +
     per-batch latency (the reference's per-query loop,
@@ -196,7 +197,12 @@ def test_knn(
         q = data.test[start : start + query_batch]
         t0 = time.perf_counter()
         eq = index.encode_query(q)
-        _, idx = index.top_k(eq, 30, method=topk_method)
+        if recall_target is None:
+            _, idx = index.top_k(eq, 30, method=topk_method)
+        else:
+            _, idx = index.top_k(
+                eq, 30, method=topk_method, recall_target=recall_target
+            )
         idx = np.asarray(idx)
         latencies.append((time.perf_counter() - t0) * 1e6 / q.shape[0])
         all_idx.append(idx)

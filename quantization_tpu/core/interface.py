@@ -158,13 +158,21 @@ class EncodedVectors(abc.ABC):
         return _topk(scores, k, method=method)
 
     def top_k(
-        self, equery, k: int, method: str = "exact"
+        self, equery, k: int, method: str = "exact", recall_target=None
     ) -> Tuple[np.ndarray, np.ndarray]:
         """(scores[Q, k], indices[Q, k]) of the best-scoring points.
 
         "Best" always means largest score — callers encode their ranking
         direction via ``invert`` exactly as in the reference contract.
         ``method``: "exact" or "approx" (TPU approx_max_k).
+        ``recall_target`` (approx only, default 0.95) is the fused search's
+        final-merge recall/speed dial — forwarded to ``top_k_device`` only
+        when set, so subclasses without the knob keep working.
         """
-        s, i = self.top_k_device(equery, k, method=method)
+        if recall_target is None:
+            s, i = self.top_k_device(equery, k, method=method)
+        else:
+            s, i = self.top_k_device(
+                equery, k, method=method, recall_target=recall_target
+            )
         return np.asarray(s), np.asarray(i)

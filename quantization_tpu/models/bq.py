@@ -210,7 +210,10 @@ class BinaryQuantizer(EncodedVectors):
             dim=self.params.dim,
         )
 
-    def top_k_device(self, equery: EncodedQueryBin, k: int, method: str = "exact"):
+    def top_k_device(
+        self, equery: EncodedQueryBin, k: int, method: str = "exact",
+        recall_target: float = None,
+    ):
         """Fused MXU search on TPU: bit unpack + int8 matmul + in-tile
         top-k, no [Q, N] score matrix (the coarse stage of two-stage
         retrieval scans the full corpus, so this is where the score-matrix
@@ -239,6 +242,9 @@ class BinaryQuantizer(EncodedVectors):
                 n_valid=self.count,
                 k=k,
                 mode=method,
+                recall_target=(
+                    0.95 if recall_target is None else float(recall_target)
+                ),
             )
         from ..ops.topk import BLOCK_ROWS, blocked_topk
 

@@ -146,7 +146,7 @@ def _bucket_priority(q, means, dt, invert, p):
 
 def _scan_buckets_compact(
     kind, eq, inner, union, *, nb, s, dt, invert, dim, use_fused,
-    kk2, method, corr=None, rowadd=None,
+    kk2, method, corr=None, rowadd=None, precision=None, rt=0.95,
 ):
     """Gather the union's buckets — whole contiguous [S, bytes] blocks —
     into one compact sub-corpus and scan it with the family's own kernel
@@ -193,7 +193,7 @@ def _scan_buckets_compact(
             sv, loc = sq_search_pallas(
                 qcodes, qoff, g, gv, mult, corr_k,
                 distance_type=dt, n_valid=width, k=kk2,
-                mode=kernel_mode,
+                mode=kernel_mode, recall_target=rt,
             )
         else:
             scores = sq_ops.score_batch_xla(
@@ -220,6 +220,7 @@ def _scan_buckets_compact(
                 qplanes, g,
                 distance_type=dt, invert=invert, dim=dim,
                 n_valid=width, k=kk2, mode=kernel_mode,
+                recall_target=rt,
             )
         else:
             scores = bq_ops.score_batch_xla(
@@ -239,10 +240,7 @@ def _scan_buckets_compact(
         if use_fused:
             from ..ops.pallas.pq_kernel import M_BLK
             from ..ops.pallas.pq_kernel import TILE_N as PQ_TILE
-            from ..ops.pallas.pq_kernel import (
-                _lut_precision,
-                pq_search_pallas,
-            )
+            from ..ops.pallas.pq_kernel import pq_search_pallas
 
             npadc = -(-width // PQ_TILE) * PQ_TILE
             mpad = -(-m // M_BLK) * M_BLK
@@ -262,7 +260,7 @@ def _scan_buckets_compact(
             sv, loc = pq_search_pallas(
                 lut, ct, ra_k, corr_k,
                 n_valid=width, k=kk2, mode=kernel_mode,
-                precision=_lut_precision(),
+                precision=precision, recall_target=rt,
             )
         else:
             scores = pq_ops.score_lut_xla(lut, g)
@@ -277,7 +275,7 @@ def _scan_buckets_compact(
 
     if not use_fused:
         if method == "approx" and width >= 4 * kk2:
-            sv, loc = jax.lax.approx_max_k(scores, kk2)
+            sv, loc = jax.lax.approx_max_k(scores, kk2, recall_target=rt)
             loc = loc.astype(jnp.int32)
         else:
             sv, loc = jax.lax.top_k(scores, kk2)
@@ -288,13 +286,13 @@ def _scan_buckets_compact(
     jax.jit,
     static_argnames=(
         "kind", "k", "p", "u", "method", "dt", "invert", "s", "dim",
-        "use_fused", "indexed", "kk2", "itile",
+        "use_fused", "indexed", "kk2", "itile", "precision", "rt",
     ),
 )
 def _ivf_search(
     q, eq, means, slot_ids, inner, resid=None,
     *, kind, k, p, u, method, dt, invert, s, dim, use_fused,
-    indexed=False, kk2=None, itile=0,
+    indexed=False, kk2=None, itile=0, precision=None, rt=0.95,
 ):
     """One-dispatch IVF search, batch-union compaction strategy.
 
@@ -358,7 +356,7 @@ def _ivf_search(
         sv, gloc = _scan_buckets_indexed(
             kind, eq, inner, union, s=s, itile=itile, dt=dt,
             invert=invert, dim=dim, kk2=kk2, method=method,
-            corr=corr_g, rowadd=rowadd,
+            corr=corr_g, rowadd=rowadd, precision=precision, rt=rt,
         )
         out_ids = jnp.take(slot_ids.reshape(-1), jnp.maximum(gloc, 0))
         out_ids = jnp.where(gloc >= 0, out_ids, -1)
@@ -370,7 +368,7 @@ def _ivf_search(
         corr=(
             None if qc is None else jnp.take(qc, union, axis=1)
         ),
-        rowadd=rowadd,
+        rowadd=rowadd, precision=precision, rt=rt,
     )
     gids = jnp.take(slot_ids, union, axis=0).reshape(-1)  # [U*S]
     out_ids = jnp.take(gids, jnp.maximum(loc, 0))
@@ -380,7 +378,7 @@ def _ivf_search(
 
 def _scan_buckets_indexed(
     kind, eq, inner, union, *, s, itile, dt, invert, dim, kk2, method,
-    corr=None, rowadd=None,
+    corr=None, rowadd=None, precision=None, rt=0.95,
 ):
     """In-place probed scan: the fused kernel's corpus grid walks the
     union's tiles via a scalar-prefetch index map — only the selected
@@ -403,6 +401,7 @@ def _scan_buckets_indexed(
         return sq_search_indexed(
             qcodes, qoff, codes, voff, mult, tiles, corr,
             distance_type=dt, k=kk2, mode=kernel_mode, tile_n=itile,
+            recall_target=rt,
         )
     if kind == "bq":
         from ..ops.pallas.bq_kernel import bq_search_indexed
@@ -412,16 +411,16 @@ def _scan_buckets_indexed(
         return bq_search_indexed(
             qplanes, planes, tiles,
             distance_type=dt, invert=invert, dim=dim, k=kk2,
-            tile_n=itile,
+            tile_n=itile, recall_target=rt,
         )
     # pq, over the CACHED transposed codes (IVFIndex._pq_codes_t)
-    from ..ops.pallas.pq_kernel import _lut_precision, pq_search_indexed
+    from ..ops.pallas.pq_kernel import pq_search_indexed
 
     (lut,) = eq
     (codes_t,) = inner
     return pq_search_indexed(
         lut, codes_t, tiles, rowadd, corr,
-        k=kk2, precision=_lut_precision(), tile_n=itile,
+        k=kk2, precision=precision, tile_n=itile, recall_target=rt,
     )
 
 
@@ -822,9 +821,16 @@ class IVFIndex:
         nprobe: Optional[int] = None,
         nscan: Optional[int] = None,
         scan: str = "auto",
+        recall_target: Optional[float] = None,
     ):
         """Probe + probed-bucket scan + select, one jitted device dispatch
         (see ``_ivf_search``).
+
+        ``recall_target`` (approx mode, default 0.95) is the final merge's
+        recall/speed dial, forwarded to the kernels' partial-reduce select
+        (ops/pallas/ktile.py merge_tile_topk_all) — it prices only the
+        merge's own loss, on top of the probe loss and the extraction's
+        strided-collision loss.
 
         ``nprobe`` = per-query probe votes; ``nscan`` = batch-shared
         scanned buckets (default ``4 * nprobe``, capped at the bucket
@@ -891,6 +897,14 @@ class IVFIndex:
         eq, inner = self._family_arrays(eq_inner)
         if indexed and kind == "pq":
             inner = (self._pq_codes_t(),)
+        # PQ LUT precision is resolved HERE (an explicit static jit arg of
+        # _ivf_search, like models/pq.py:top_k_device) so flipping
+        # QTPU_PQ_LUT between calls retraces instead of silently no-oping.
+        precision = None
+        if kind == "pq" and use_fused:
+            from ..ops.pallas.pq_kernel import _lut_precision
+
+            precision = _lut_precision()
         resid = None
         if self.metadata.residual:
             resid = (
@@ -904,15 +918,18 @@ class IVFIndex:
             dt=self.params.distance_type, invert=self.params.invert,
             s=s, dim=self.params.dim,
             use_fused=use_fused, indexed=indexed, kk2=kk2, itile=itile,
+            precision=precision,
+            rt=(0.95 if recall_target is None else float(recall_target)),
         )
 
     def top_k(
         self, equery, k: int, method: str = "exact",
         nprobe: Optional[int] = None, nscan: Optional[int] = None,
-        scan: str = "auto",
+        scan: str = "auto", recall_target: Optional[float] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         sv, ids = self.top_k_device(
-            equery, k, method=method, nprobe=nprobe, nscan=nscan, scan=scan
+            equery, k, method=method, nprobe=nprobe, nscan=nscan, scan=scan,
+            recall_target=recall_target,
         )
         return np.asarray(sv), np.asarray(ids)
 

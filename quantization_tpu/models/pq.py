@@ -328,7 +328,10 @@ class ProductQuantizer(EncodedVectors):
             equery.lut, self.codes[: self.count, : self.num_chunks]
         )
 
-    def top_k_device(self, equery: EncodedQueryPQ, k: int, method: str = "exact"):
+    def top_k_device(
+        self, equery: EncodedQueryPQ, k: int, method: str = "exact",
+        recall_target: float = None,
+    ):
         """Fused PQ search on TPU: one-hot MXU accumulation in VMEM scratch
         + in-tile top-k — no [Q, N] score matrix.
 
@@ -355,6 +358,9 @@ class ProductQuantizer(EncodedVectors):
                 k=k,
                 mode=method,
                 precision=_lut_precision(),
+                recall_target=(
+                    0.95 if recall_target is None else float(recall_target)
+                ),
             )
         from ..ops.topk import BLOCK_ROWS, blocked_topk
 

@@ -347,7 +347,10 @@ class ScalarQuantizerU8(EncodedVectors):
             distance_type=self.params.distance_type,
         )
 
-    def top_k_device(self, equery: EncodedQueryU8, k: int, method: str = "exact"):
+    def top_k_device(
+        self, equery: EncodedQueryU8, k: int, method: str = "exact",
+        recall_target: float = None,
+    ):
         """Fused Pallas search on TPU for DOT/L2: int8 MXU scoring with
         in-tile top-k extraction — the [Q, N] score matrix never touches
         HBM. L1 (no matmul structure — it rides the VPU through XLA's
@@ -378,6 +381,9 @@ class ScalarQuantizerU8(EncodedVectors):
                 n_valid=self.count,
                 k=k,
                 mode=method,
+                recall_target=(
+                    0.95 if recall_target is None else float(recall_target)
+                ),
             )
         if self.count > L1_BLOCK_ROWS:
             # Any non-fused search at large N reroutes through the blocked

@@ -175,6 +175,7 @@ def indexed_tile_n(dp: int, bucket_size: int) -> int:
     jax.jit,
     static_argnames=(
         "distance_type", "invert", "dim", "k", "tile_n", "interpret",
+        "recall_target",
     ),
 )
 def bq_search_indexed(
@@ -188,6 +189,7 @@ def bq_search_indexed(
     k: int,
     tile_n: int,
     interpret: bool = None,
+    recall_target: float = 0.95,
 ):
     """Fused BQ search over a SELECTED set of tile_n-column tiles (the IVF
     probe scan, approx selection): the corpus axis of the grid walks
@@ -244,7 +246,7 @@ def bq_search_indexed(
         ],
         interpret=interpret,
     )(tile_sel.astype(jnp.int32), mult, qs_p, planes, qb_p)
-    return merge_tile_topk_all(vals[:q], idxs[:q], k)
+    return merge_tile_topk_all(vals[:q], idxs[:q], k, recall_target)
 
 
 def _make_mxu_packed_kernel(tile_n: int, span: int, sign: int, r: int):
@@ -307,7 +309,8 @@ def _metric_affine(distance_type, invert, dim, pq):
 @partial(
     jax.jit,
     static_argnames=(
-        "distance_type", "invert", "dim", "n_valid", "k", "mode", "interpret",
+        "distance_type", "invert", "dim", "n_valid", "k", "mode",
+        "interpret", "recall_target",
     ),
 )
 def bq_search_mxu(
@@ -322,6 +325,7 @@ def bq_search_mxu(
     mode: str = "exact",
     interpret: bool = None,
     n_valid_dyn: jax.Array = None,
+    recall_target: float = 0.95,
 ):
     """Fused BQ search: on-chip bit unpack + int8 MXU scoring + in-tile
     top-k — (scores f32[Q, k], indices i32[Q, k]) without a [Q, N] matrix.
@@ -400,7 +404,7 @@ def bq_search_mxu(
             ],
             interpret=interpret,
         )(nv_op, mult, qs_p, planes, qb_p)
-        return merge_tile_topk_all(vals[:q], idxs[:q], k)
+        return merge_tile_topk_all(vals[:q], idxs[:q], k, recall_target)
 
     # ------------------------------------------------------------- exact
     qs0, qb0 = qs[:q], qb[:q]

@@ -435,13 +435,23 @@ def combine_slots(outv_ref, outi_ref, vals, idx, is_first):
         outi_ref[:] = jnp.where(upd, idx, outi_ref[:])
 
 
-def merge_tile_topk_all(vals, idxs, k: int):
+def merge_tile_topk_all(vals, idxs, k: int, recall_target: float = 0.95):
     """Merge variant for the approx extraction: every slot is live, and the
     final selection uses the TPU partial-reduce top-k (approx_max_k) — at
     10M points the candidate width is ~156k and an exact lax.top_k merge
     costs 13.7 ms (measured, k=80) vs <1 ms for the partial reduce; the
-    extraction feeding it is already approximate by construction."""
-    return _merge(vals, idxs, k, live=SLOT, approx_select=True)
+    extraction feeding it is already approximate by construction.
+
+    ``recall_target`` is approx_max_k's per-call recall/speed dial
+    (measured at [256, 6272], k=10: whole-search 0.345 ms at 0.95 vs
+    0.474 at 0.99 — a 0.99 target forces a reduction as large as the
+    exact sort); it prices ONLY the merge's own loss, on top of the
+    extraction's strided-collision loss. Callers reach it through the
+    model-layer ``top_k_device(..., recall_target=)`` knob."""
+    return _merge(
+        vals, idxs, k, live=SLOT, approx_select=True,
+        recall_target=recall_target,
+    )
 
 
 # Candidate widths beyond this merge block-by-block, capping the flat
@@ -451,7 +461,8 @@ def merge_tile_topk_all(vals, idxs, k: int):
 _MERGE_BLOCK = 1 << 20
 
 
-def _merge(vals, idxs, k: int, live: int, approx_select: bool = False):
+def _merge(vals, idxs, k: int, live: int, approx_select: bool = False,
+           recall_target: float = 0.95):
     q = vals.shape[0]
     nt = vals.shape[1] // SLOT
     if live == SLOT:
@@ -481,7 +492,7 @@ def _merge(vals, idxs, k: int, live: int, approx_select: bool = False):
     # advisor note) is bounded by the extraction's own strided-collision
     # loss and covered by the recall tests (>=0.8 overlap at 100k).
     if approx_select and v.shape[1] >= 4 * kk:
-        s, pos = jax.lax.approx_max_k(v, kk, recall_target=0.95)
+        s, pos = jax.lax.approx_max_k(v, kk, recall_target=recall_target)
         pos = pos.astype(jnp.int32)
     else:
         s, pos = jax.lax.top_k(v, kk)

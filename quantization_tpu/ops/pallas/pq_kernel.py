@@ -354,7 +354,8 @@ def _make_pq_topk_kernel_indexed(
 
 
 @partial(
-    jax.jit, static_argnames=("k", "interpret", "precision", "tile_n")
+    jax.jit,
+    static_argnames=("k", "interpret", "precision", "tile_n", "recall_target"),
 )
 def pq_search_indexed(
     lut: jax.Array,  # f32 [Q, m, 256] (or [Q, m, 16] for 4-bit)
@@ -367,6 +368,7 @@ def pq_search_indexed(
     interpret: bool = None,
     precision: str = None,
     tile_n: int = TILE_N,
+    recall_target: float = 0.95,
 ):
     """Fused PQ search over a SELECTED set of tile_n-column tiles (the IVF
     probe scan, approx selection): the corpus axis of the grid walks
@@ -473,7 +475,7 @@ def pq_search_indexed(
         ],
         interpret=interpret,
     )(*operands)
-    return merge_tile_topk_all(vals[:q], idxs[:q], k)
+    return merge_tile_topk_all(vals[:q], idxs[:q], k, recall_target)
 
 
 def _make_pq_class_kernel(
@@ -532,7 +534,10 @@ def _make_pq_class_kernel(
 
 
 @partial(
-    jax.jit, static_argnames=("n_valid", "k", "mode", "interpret", "precision")
+    jax.jit,
+    static_argnames=(
+        "n_valid", "k", "mode", "interpret", "precision", "recall_target",
+    ),
 )
 def pq_search_pallas(
     lut: jax.Array,  # f32 [Q, m, 256]
@@ -546,6 +551,7 @@ def pq_search_pallas(
     interpret: bool = None,
     precision: str = None,
     n_valid_dyn: jax.Array = None,
+    recall_target: float = 0.95,
 ):
     """Fused PQ search: one-hot MXU accumulation into a VMEM scratch tile +
     in-tile top-k — (scores f32[Q, k], indices i32[Q, k]) without the
@@ -660,7 +666,7 @@ def pq_search_pallas(
             scratch_shapes=scratch,
             interpret=interpret,
         )(*operands)
-        return merge_tile_topk_all(vals[:q], idxs[:q], k)
+        return merge_tile_topk_all(vals[:q], idxs[:q], k, recall_target)
 
     # ------------------------------------------------------------- exact
     def fallback():

@@ -250,7 +250,10 @@ def _make_dot_class_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("distance_type", "n_valid", "k", "mode", "interpret"),
+    static_argnames=(
+        "distance_type", "n_valid", "k", "mode", "interpret",
+        "recall_target",
+    ),
 )
 def sq_search_pallas(
     qcodes: jax.Array,  # int8 [Q, D]  (D lane-aligned)
@@ -265,6 +268,7 @@ def sq_search_pallas(
     k: int,
     mode: str = "exact",
     interpret: bool = None,
+    recall_target: float = 0.95,
 ):
     """Fused SQ search: int8 MXU scoring + in-tile top-k, never
     materializing the [Q, N] score matrix (SURVEY.md §7 hard part 2).
@@ -377,7 +381,7 @@ def sq_search_pallas(
             voff2.astype(jnp.float32),
             *corr_ops,
         )
-        return merge_tile_topk_all(vals[:q], idxs[:q], k)
+        return merge_tile_topk_all(vals[:q], idxs[:q], k, recall_target)
 
     # ------------------------------------------------------------- exact
     def fallback():
@@ -455,7 +459,10 @@ def sq_search_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("distance_type", "k", "mode", "interpret", "tile_n"),
+    static_argnames=(
+        "distance_type", "k", "mode", "interpret", "tile_n",
+        "recall_target",
+    ),
 )
 def sq_search_indexed(
     qcodes: jax.Array,  # int8 [Q, D]  (D lane-aligned)
@@ -471,6 +478,7 @@ def sq_search_indexed(
     mode: str = "approx",
     interpret: bool = None,
     tile_n: int = TILE_N,
+    recall_target: float = 0.95,
 ):
     """Fused SQ search over a SELECTED set of tile_n-row tiles (the IVF
     probe scan): the corpus axis of the grid walks ``tile_sel`` through a
@@ -600,7 +608,7 @@ def sq_search_indexed(
             ],
             interpret=interpret,
         )(sel_op, mult_op, qcodes_p, codes, qoff2, voff2, *corr_ops)
-        return merge_tile_topk_all(vals[:q], idxs[:q], k)
+        return merge_tile_topk_all(vals[:q], idxs[:q], k, recall_target)
 
     # ------------------------------------------------------------- exact
     assert k <= FUSED_K_MAX, (

@@ -59,13 +59,13 @@ from .sharded import make_mesh
     jax.jit,
     static_argnames=(
         "mesh", "axis", "kind", "k", "p", "u_loc", "b_loc", "method",
-        "dt", "invert", "s", "dim", "use_fused", "kk2", "itile",
+        "dt", "invert", "s", "dim", "use_fused", "kk2", "itile", "rt",
     ),
 )
 def _ivf_sharded_search(
     q, eq, means, slot_ids, inner, resid=None,
     *, mesh, axis, kind, k, p, u_loc, b_loc, method, dt, invert, s,
-    dim, use_fused, kk2, itile=0,
+    dim, use_fused, kk2, itile=0, rt=0.95,
 ):
     """One-dispatch sharded IVF search: replicated probe/priority, local
     top-``u_loc`` bucket quota per shard, per-shard scan with the family's
@@ -105,7 +105,7 @@ def _ivf_sharded_search(
             sv, loc = _scan_buckets_indexed(
                 kind, eq, inner, union_loc, s=s, itile=itile, dt=dt,
                 invert=invert, dim=dim, kk2=kk2, method=method,
-                corr=corr_g, rowadd=rowadd_loc,
+                corr=corr_g, rowadd=rowadd_loc, rt=rt,
             )
             gids = sid_loc.reshape(-1)
         else:
@@ -117,7 +117,7 @@ def _ivf_sharded_search(
                     None if my_qc is None
                     else jnp.take(my_qc, union_loc, axis=1)
                 ),
-                rowadd=rowadd_loc,
+                rowadd=rowadd_loc, rt=rt,
             )
             gids = jnp.take(sid_loc, union_loc, axis=0).reshape(-1)
         out_ids = jnp.where(
@@ -270,6 +270,7 @@ class ShardedIVF:
         nprobe: Optional[int] = None,
         nscan: Optional[int] = None,
         scan: str = "auto",
+        recall_target: Optional[float] = None,
     ):
         """Probe + per-shard probed-bucket scan + gather-merge, one jitted
         dispatch. ``nscan`` is the GLOBAL scanned-bucket budget; each
@@ -353,15 +354,17 @@ class ShardedIVF:
             dt=self.params.distance_type, invert=self.params.invert,
             s=s, dim=self.params.dim,
             use_fused=use_fused, kk2=kk2, itile=itile,
+            rt=(0.95 if recall_target is None else float(recall_target)),
         )
 
     def top_k(
         self, equery, k: int, method: str = "exact",
         nprobe: Optional[int] = None, nscan: Optional[int] = None,
-        scan: str = "auto",
+        scan: str = "auto", recall_target: Optional[float] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         sv, ids = self.top_k_device(
-            equery, k, method=method, nprobe=nprobe, nscan=nscan, scan=scan
+            equery, k, method=method, nprobe=nprobe, nscan=nscan, scan=scan,
+            recall_target=recall_target,
         )
         return np.asarray(sv), np.asarray(ids)
 

