@@ -751,6 +751,15 @@ class IVFIndex:
             return q, self.quantizer.encode_query(np.asarray(q))
         # Residual index: fold the dot-expansion's query-side terms in
         # here (see _init_residual). A rescales, |q|^2 (L2 only) adds.
+        #
+        # NOTE (residual-SQ batch coupling): the signed query codes below
+        # share ONE scale aq = max|q| over the whole batch (the kernel
+        # takes a single scalar multiplier), so a query's quantization —
+        # and therefore its returned scores — depends on which other
+        # queries share the batch; one large-magnitude query coarsens
+        # every other query's codes. Scores stay within the SQ error
+        # envelope as long as batch magnitudes are within ~100x of each
+        # other; split wildly mixed-magnitude batches if recall dips.
         a, rc = self._res_a, self._res_rowcoef
         qn = jnp.sum(q * q, axis=1)
         if self.metadata.kind == "sq":
@@ -936,12 +945,17 @@ class IVFIndex:
     # ----------------------------------------------------------- storage
     def save(self, data_path, meta_path) -> None:
         """Four files: the inner quantizer's own (data_path, meta_path)
-        pair — loadable standalone as a plain full-scan index over the
-        permuted padded corpus — plus ``<data_path>.ivf`` (bucket_ids +
-        bucket_means, raw little-endian bytes) and
-        ``<meta_path>.ivf.json``. Residual indexes need nothing extra:
-        their effective arrays are re-derived from codes + means at
-        load (_init_residual)."""
+        pair plus ``<data_path>.ivf`` (bucket_ids + bucket_means, raw
+        little-endian bytes) and ``<meta_path>.ivf.json``.
+
+        For non-residual indexes the inner pair is loadable standalone
+        as a plain full-scan index over the permuted padded corpus. For
+        RESIDUAL indexes it is format-valid but scores residuals
+        ``v - bucket_center`` under DOT parameters, NOT the corpus —
+        reusing those two files without the ``.ivf`` sidecars gives
+        meaningless scores. Residual indexes still need nothing extra
+        saved: their effective arrays are re-derived from codes + means
+        at load (_init_residual)."""
         self.quantizer.save(data_path, meta_path)
         with open(f"{os.fspath(meta_path)}.ivf.json", "w") as f:
             json.dump(self.metadata.to_json(), f)
