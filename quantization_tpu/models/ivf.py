@@ -118,6 +118,61 @@ class IVFMetadata:
         )
 
 
+def _derive_slot_ids(bucket_ids: np.ndarray, n: int):
+    """``(slot_ids [B, S], max_dup)`` from the id mask: pad slots hold the
+    id of the row they duplicate. ``build_buckets`` fills pads from a GLOBAL
+    cyclic cursor over 0..N-1 in bucket order, so the mapping is derivable
+    and needs no extra storage. ``max_dup`` is the worst-case slots per
+    original id (1 + pad copies — the cursor wraps at most ceil(pads/N)
+    times): the dedupe margin must fetch k * max_dup slots to guarantee k
+    distinct ids."""
+    slot_ids = np.asarray(bucket_ids, np.int32).reshape(
+        np.asarray(bucket_ids).shape
+    ).copy()
+    nn = max(int(n), 1)
+    pad_mask = slot_ids < 0
+    total_pads = int(pad_mask.sum())
+    if total_pads:
+        slot_ids[pad_mask] = (
+            np.arange(total_pads, dtype=np.int64) % nn
+        ).astype(np.int32)
+    max_dup = 1 + (-(-total_pads // nn) if total_pads else 0)
+    return slot_ids, max_dup
+
+
+def _residual_coeffs(dt: DistanceType, invert: bool):
+    """Dot-expansion coefficients ``(a, rowcoef)`` for residual search (see
+    IVFIndex._init_residual): ``a`` scales the inner score and the q.c_b
+    bucket term, ``rowcoef`` the |v^|^2 per-row term (0 for DOT)."""
+    s_sign = -1.0 if invert else 1.0
+    if dt == DistanceType.DOT:
+        return s_sign, 0.0
+    return -2.0 * s_sign, s_sign  # L2 (L1 is rejected at encode)
+
+
+def _residual_query_sq(q, alpha, offset, dpad, a, rc) -> _ResidualQueryU8:
+    """Residual-SQ query codes (see IVFIndex.encode_query): zero-centered
+    SIGNED codes with their own per-batch scale, |q|^2 folded into the
+    offset, the effective multiplier A*aq*ar a traced scalar."""
+    qn = jnp.sum(q * q, axis=1)
+    aq = jnp.maximum(jnp.max(jnp.abs(q)) / 127.0, 1e-30)
+    qc = jnp.clip(jnp.round(q / aq), -127, 127).astype(jnp.int8)
+    qc = jnp.pad(qc, ((0, 0), (0, dpad - qc.shape[1])))
+    qoff = a * offset * jnp.sum(q, axis=1) + rc * qn
+    return _ResidualQueryU8(qc, qoff, jnp.float32(a * alpha) * aq)
+
+
+def _residual_query_pq(q, lut, a, rc):
+    """Residual-PQ query LUT: A rescales, rc*|q|^2 rides chunk 0."""
+    from .pq import EncodedQueryPQ
+
+    lut = a * lut
+    if rc != 0.0:
+        qn = jnp.sum(q * q, axis=1)
+        lut = lut.at[:, 0, :].add(rc * qn[:, None])
+    return EncodedQueryPQ(lut)
+
+
 def _bucket_priority(q, means, dt, invert, p):
     """Rank-fair batch-union priority per bucket [B]: a bucket's key rank
     is the best (lowest) probe rank ANY query gave it, so every query's
@@ -508,23 +563,11 @@ class IVFIndex:
         self.bucket_means = np.asarray(bucket_means, np.float32)
         # slot_ids: the original id whose CODE each slot holds — equals
         # bucket_ids on real slots; pad slots hold the id of the row they
-        # duplicate (build_buckets fills pads from a GLOBAL cyclic cursor
-        # over 0..N-1 in bucket order, so the mapping is derivable and
-        # needs no extra storage).
-        slot_ids = self.bucket_ids.copy()
-        n = max(int(self.params.count), 1)
-        pad_mask = slot_ids < 0
-        total_pads = int(pad_mask.sum())
-        if total_pads:
-            slot_ids[pad_mask] = (
-                np.arange(total_pads, dtype=np.int64) % n
-            ).astype(np.int32)
-        # Worst-case slots per original id (1 + pad copies — the global
-        # cursor wraps at most ceil(pads/N) times): the dedupe margin
-        # must fetch k * max_dup slots to guarantee k distinct ids (any
-        # slot outranking id_i is a copy of a better-scoring id, and
-        # there are < k * max_dup of those).
-        self._max_dup = 1 + (-(-total_pads // n) if total_pads else 0)
+        # duplicate (derivable, _derive_slot_ids). max_dup bounds slots
+        # per id for the search's dedupe margin.
+        slot_ids, self._max_dup = _derive_slot_ids(
+            self.bucket_ids, self.params.count
+        )
         self._slot_ids_dev = jnp.asarray(slot_ids)
         self._means_dev = jnp.asarray(self.bucket_means)
         self._codes_t_cache = None  # lazy [Mpad, Npad] for indexed PQ
@@ -553,12 +596,9 @@ class IVFIndex:
         (SQ) or the per-row kernel additive (PQ). Pad slots get NEG
         there, masking them (their residuals are vs a foreign bucket's
         mean and would score garbage)."""
-        dt, inv = self.params.distance_type, self.params.invert
-        s_sign = -1.0 if inv else 1.0
-        if dt == DistanceType.DOT:
-            a, rowcoef = s_sign, 0.0
-        else:  # L2 (L1 is rejected at encode)
-            a, rowcoef = -2.0 * s_sign, s_sign
+        a, rowcoef = _residual_coeffs(
+            self.params.distance_type, self.params.invert
+        )
         self._res_a, self._res_rowcoef = a, rowcoef
         self._corr_scale_dev = jnp.float32(a)
         pad = self.bucket_ids.reshape(-1) < 0
@@ -761,7 +801,6 @@ class IVFIndex:
         # envelope as long as batch magnitudes are within ~100x of each
         # other; split wildly mixed-magnitude batches if recall dips.
         a, rc = self._res_a, self._res_rowcoef
-        qn = jnp.sum(q * q, axis=1)
         if self.metadata.kind == "sq":
             # Zero-centered signed query codes with their OWN per-batch
             # scale (the inner [0,127] affine spans the residual range —
@@ -770,21 +809,12 @@ class IVFIndex:
             #   q . r^ = aq*ar*(Q . C) + off_r * sum(q)
             # (exact-f32 second term; padded dims hit Q = 0).
             meta = self.quantizer.metadata
-            dpad = self.quantizer.codes.shape[1]
-            aq = jnp.maximum(jnp.max(jnp.abs(q)) / 127.0, 1e-30)
-            qc = jnp.clip(jnp.round(q / aq), -127, 127).astype(jnp.int8)
-            qc = jnp.pad(qc, ((0, 0), (0, dpad - qc.shape[1])))
-            qoff = a * meta.offset * jnp.sum(q, axis=1) + rc * qn
-            return q, _ResidualQueryU8(
-                qc, qoff, jnp.float32(a * meta.alpha) * aq
+            return q, _residual_query_sq(
+                q, meta.alpha, meta.offset, self.quantizer.codes.shape[1],
+                a, rc,
             )
-        from .pq import EncodedQueryPQ
-
         eq = self.quantizer.encode_query(np.asarray(q))
-        lut = a * eq.lut
-        if rc != 0.0:
-            lut = lut.at[:, 0, :].add(rc * qn[:, None])
-        return q, EncodedQueryPQ(lut)
+        return q, _residual_query_pq(q, eq.lut, a, rc)
 
     def _pq_codes_t(self):
         """Lazy TRANSPOSED code matrix [Mpad, Npad] for the indexed PQ

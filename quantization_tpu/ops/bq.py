@@ -71,6 +71,10 @@ def rows_to_planes(rows: np.ndarray) -> np.ndarray:
     pad = (-b) % 4
     if pad:
         rows = np.pad(rows, ((0, 0), (0, pad)))
+    # np.asarray over a DEVICE array can hand back an F-ordered view
+    # (observed on the TPU-tunnel platform); the u32 view needs a
+    # contiguous last axis.
+    rows = np.ascontiguousarray(rows)
     words = rows.reshape(n, -1, 4).view(np.uint32).reshape(n, -1)  # LE combine
     return np.ascontiguousarray(words.T)
 

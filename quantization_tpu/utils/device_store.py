@@ -78,3 +78,73 @@ class DeviceAppender:
         buf = self._buf
         self._buf = None  # donated away; guard reuse
         return buf
+
+
+class DeviceScatter:
+    """Scatter-commit sibling of ``DeviceAppender``: batches land at
+    ARBITRARY row positions of the preallocated (optionally sharded)
+    buffer, not at a running cursor.
+
+    This is the ingestion path for permuted layouts (the sharded IVF
+    build): each streamed host batch is encoded and committed straight to
+    its rows' final bucket slots — under a sharding, GSPMD lowers the
+    scatter to a per-shard masked update, so the full code array never
+    materializes on one device. ``add`` accumulates instead of setting
+    (bucket-mean sums); ``fill_from`` copies already-committed rows into
+    duplicate slots (IVF pad slots / round-robin pad buckets) with one
+    on-device gather+scatter."""
+
+    def __init__(self, shape, dtype, fill=0, sharding=None, axis: int = 0):
+        if axis not in (0, 1):
+            raise ValueError("DeviceScatter supports axis 0 or 1")
+        self._axis = axis
+        mk = lambda: jnp.full(shape, fill, dtype)  # noqa: E731
+        self._buf = (
+            jax.jit(mk, out_shardings=sharding)() if sharding is not None
+            else mk()
+        )
+
+        def upd(buf, rows, idx):
+            at = buf.at[idx] if axis == 0 else buf.at[:, idx]
+            return at.set(rows)
+
+        def upd_add(buf, rows, idx):
+            at = buf.at[idx] if axis == 0 else buf.at[:, idx]
+            return at.add(rows)
+
+        def fill_from(buf, dst, src):
+            vals = jnp.take(buf, src, axis=axis)
+            at = buf.at[dst] if axis == 0 else buf.at[:, dst]
+            return at.set(vals)
+
+        jkw = dict(donate_argnums=(0,))
+        if sharding is not None:
+            jkw["out_shardings"] = sharding
+        self._upd = jax.jit(upd, **jkw)
+        self._upd_add = jax.jit(upd_add, **jkw)
+        self._fill = jax.jit(fill_from, **jkw)
+
+    def _commit(self, fn, rows, idx) -> None:
+        if rows.dtype != self._buf.dtype:
+            rows = rows.astype(self._buf.dtype)
+        self._buf = fn(self._buf, rows, jnp.asarray(idx, jnp.int32))
+
+    def scatter(self, rows: jax.Array, idx) -> None:
+        self._commit(self._upd, rows, idx)
+
+    def add(self, rows: jax.Array, idx) -> None:
+        self._commit(self._upd_add, rows, idx)
+
+    def fill_from(self, dst, src) -> None:
+        """buf[dst] = buf[src] (along the scatter axis), one device op."""
+        if len(dst):
+            self._buf = self._fill(
+                self._buf,
+                jnp.asarray(dst, jnp.int32),
+                jnp.asarray(src, jnp.int32),
+            )
+
+    def finish(self) -> jax.Array:
+        buf = self._buf
+        self._buf = None  # donated away; guard reuse
+        return buf

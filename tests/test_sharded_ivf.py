@@ -193,6 +193,118 @@ def test_save_load_roundtrip(rng, mesh, tmp_path):
     np.testing.assert_array_equal(ids1, ids2)
 
 
+@pytest.mark.parametrize("kind", ["sq", "pq", "bq"])
+def test_streaming_build_and_interop_with_single_device(
+    rng, mesh, kind, tmp_path
+):
+    # Sharded-NATIVE build: a one-shot stream factory (never a
+    # materialized array inside the class), codes land straight in
+    # per-shard buffers, and the four-file checkpoint is bidirectional
+    # with the single-device IVFIndex (same bytes semantics).
+    count = 1500
+    data = clustered(rng, count, DIM, clusters=12)
+    queries = clustered(rng, 8, DIM, clusters=12)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    kw = {"chunk_size": 2} if kind == "pq" else {}
+
+    def stream():
+        for s0 in range(0, count, 256):
+            yield data[s0 : s0 + 256]
+
+    sharded = ShardedIVF.encode(
+        stream, params, mesh=mesh, quantizer=kind, nlist=12,
+        bucket_size=64, nprobe=12, **kw,
+    )
+    # No device holds more than its bucket share of code rows.
+    ns = sharded.n_shards
+    b_loc = -(-sharded.metadata.nbuckets // ns)
+    axis_dim = 1 if kind == "bq" else 0
+    for shard in sharded._inner[0].addressable_shards:
+        assert shard.data.shape[axis_dim] <= b_loc * 64
+    # Search quality. SQ/PQ: full union ~= f32 ground truth. BQ: sign
+    # codes cannot rank WITHIN a tight cluster (every member shares the
+    # code), so f32-GT recall is structurally ~K/cluster_size there —
+    # pin instead that the full union returns EXACTLY the top-K of an
+    # independent numpy Hamming oracle over the packed corpus.
+    eq = sharded.encode_query(queries)
+    sv, ids = sharded.top_k(eq, K, nscan=10**9)
+    if kind == "bq":
+        from quantization_tpu.ops import bq as bq_ops
+
+        rb = bq_ops.storage_bytes(DIM)
+        packs = np.unpackbits(
+            bq_ops.pack_rows(data, rb), axis=1, bitorder="little"
+        ).astype(np.int32)
+        qpacks = np.unpackbits(
+            bq_ops.pack_rows(queries, rb), axis=1, bitorder="little"
+        ).astype(np.int32)
+        ham = (qpacks[:, None, :] != packs[None, :, :]).sum(axis=2)
+        scores = DIM - 2.0 * ham  # DOT mapping, encoded_vectors_binary.rs
+        oracle = -np.sort(-scores, axis=1)[:, :K]
+        np.testing.assert_array_equal(np.sort(sv, axis=1)[:, ::-1], oracle)
+    else:
+        gt = gt_topk(queries, data)
+        assert recall(ids, gt) > 0.8
+    for row in ids:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+    # Sharded save -> single-device load: identical full-union values.
+    dp, mp = tmp_path / "ivf.data", tmp_path / "ivf.meta"
+    sharded.save(dp, mp)
+    single = IVFIndex.load(dp, mp, params)
+    sv1, ids1 = single.top_k(single.encode_query(queries), K, nscan=10**9)
+    np.testing.assert_allclose(sv1, sv, rtol=1e-5, atol=1e-4)
+    # Single-device save -> per-shard sharded load: identical again.
+    dp2, mp2 = tmp_path / "ivf2.data", tmp_path / "ivf2.meta"
+    single.save(dp2, mp2)
+    back = ShardedIVF.load(dp2, mp2, params, mesh=mesh)
+    sv2, ids2 = back.top_k(back.encode_query(queries), K, nscan=10**9)
+    np.testing.assert_allclose(sv2, sv, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["sq", "pq"])
+def test_residual_streaming_build_and_load(rng, mesh, kind, tmp_path):
+    # Residual sharded-native build: means/calibration/codes all from the
+    # stream; the per-shard load re-derives the residual row terms on
+    # device and reproduces the builder's scores exactly.
+    count = 3000
+    centers = rng.standard_normal((6, DIM)).astype(np.float32) * 3
+    assign = rng.integers(0, 6, count)
+    data = (
+        centers[assign]
+        + 0.3 * rng.standard_normal((count, DIM)).astype(np.float32)
+    ).astype(np.float32)
+    queries = data[rng.choice(count, 8, replace=False)].astype(np.float32)
+    params = VectorParameters(DIM, count, DistanceType.L2, True)
+    kw = {"chunk_size": 2} if kind == "pq" else {}
+
+    def stream():
+        for s0 in range(0, count, 512):
+            yield data[s0 : s0 + 512]
+
+    sharded = ShardedIVF.encode(
+        stream, params, mesh=mesh, quantizer=kind, nlist=6,
+        bucket_size=512, nprobe=6, residual=True, **kw,
+    )
+    eq = sharded.encode_query(queries)
+    sv, ids = sharded.top_k(eq, K, nscan=10**9)
+    gt = gt_topk(queries, (data - queries[:1] * 0) @ np.eye(DIM))  # DOT gt
+    # L2-invert near-duplicate queries: the query itself must rank top-1.
+    qid = np.asarray(
+        [np.flatnonzero((data == q).all(axis=1))[0] for q in queries]
+    )
+    assert np.all(ids[:, 0] == qid)
+    dp, mp = tmp_path / "rivf.data", tmp_path / "rivf.meta"
+    sharded.save(dp, mp)
+    back = ShardedIVF.load(dp, mp, params, mesh=mesh)
+    sv2, ids2 = back.top_k(back.encode_query(queries), K, nscan=10**9)
+    np.testing.assert_allclose(sv2, sv, rtol=1e-4, atol=1e-3)
+    # ... and the single-device loader agrees on the same files.
+    single = IVFIndex.load(dp, mp, params)
+    sv3, _ = single.top_k(single.encode_query(queries), K, nscan=10**9)
+    np.testing.assert_allclose(sv3, sv, rtol=1e-4, atol=1e-3)
+
+
 @pytest.mark.parametrize("kind", ["sq", "pq"])
 def test_residual_full_union_matches_single_device(rng, mesh, kind):
     # Residual indexes on the mesh: the per-shard scan applies the same
