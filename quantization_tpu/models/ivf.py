@@ -162,15 +162,16 @@ def _residual_query_sq(q, alpha, offset, dpad, a, rc) -> _ResidualQueryU8:
     return _ResidualQueryU8(qc, qoff, jnp.float32(a * alpha) * aq)
 
 
-def _residual_query_pq(q, lut, a, rc):
-    """Residual-PQ query LUT: A rescales, rc*|q|^2 rides chunk 0."""
+def _residual_query_pq(lut, a):
+    """Residual-PQ query LUT: ``a`` rescales the inner DOT entries. The
+    per-query rc*|q|^2 term is NOT folded into the LUT — it used to ride
+    chunk 0, but a data-scale constant (~|q|^2) sitting on residual-scale
+    entries destroys the kernel LUTs' precision (bf16 ulp at 300 is ~2;
+    the int8 per-query scale blows up the step). It joins the f32 ``corr``
+    additive inside the search instead (applied post-dequant, exact)."""
     from .pq import EncodedQueryPQ
 
-    lut = a * lut
-    if rc != 0.0:
-        qn = jnp.sum(q * q, axis=1)
-        lut = lut.at[:, 0, :].add(rc * qn[:, None])
-    return EncodedQueryPQ(lut)
+    return EncodedQueryPQ(a * lut)
 
 
 def _bucket_priority(q, means, dt, invert, p):
@@ -385,6 +386,12 @@ def _ivf_search(
     qc = rowadd = None
     if resid is not None:
         qc = (q @ means.T) * resid[0]  # [Q, B]
+        if kind == "pq":
+            # PQ carries rc*|q|^2 here (f32, exact) rather than on LUT
+            # chunk 0 — see _residual_query_pq. SQ folds it into qoff.
+            _, rc = _residual_coeffs(dt, invert)
+            if rc != 0.0:
+                qc = qc + rc * jnp.sum(q * q, axis=1)[:, None]
         if len(resid) > 1:
             rowadd = resid[1]
 
@@ -814,7 +821,7 @@ class IVFIndex:
                 a, rc,
             )
         eq = self.quantizer.encode_query(np.asarray(q))
-        return q, _residual_query_pq(q, eq.lut, a, rc)
+        return q, _residual_query_pq(eq.lut, a)
 
     def _pq_codes_t(self):
         """Lazy TRANSPOSED code matrix [Mpad, Npad] for the indexed PQ
@@ -939,11 +946,13 @@ class IVFIndex:
         # PQ LUT precision is resolved HERE (an explicit static jit arg of
         # _ivf_search, like models/pq.py:top_k_device) so flipping
         # QTPU_PQ_LUT between calls retraces instead of silently no-oping.
+        # Residual indexes default to bf16 (see _lut_precision: the int8
+        # step can exceed the residual-scale top-k spread).
         precision = None
         if kind == "pq" and use_fused:
             from ..ops.pallas.pq_kernel import _lut_precision
 
-            precision = _lut_precision()
+            precision = _lut_precision(residual=self.metadata.residual)
         resid = None
         if self.metadata.residual:
             resid = (

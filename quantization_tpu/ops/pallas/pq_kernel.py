@@ -76,16 +76,30 @@ K4 = 16  # centroids per chunk (4-bit codes, Quick-ADC style)
 GRP4 = 8  # 4-bit chunks fused per MXU matmul: 8 x 16 = one 128-wide one-hot
 
 
-def _lut_precision() -> str:
+def _lut_precision(residual: bool = False) -> str:
     """LUT dtype for the one-hot MXU path. ``int8`` (default) quantizes the
     per-query LUT to int8 with per-(query, chunk) mid-range centering and a
     per-query scale, riding the v5e int8 MXU at 2x the bf16 rate (394 vs
     197 TOPS) — the centering keeps the quantization step at
     max|centered entry|/127, well inside the reference's dim*0.05 bound.
-    ``QTPU_PQ_LUT=bf16`` restores the bf16 path."""
+    ``QTPU_PQ_LUT=bf16`` restores the bf16 path.
+
+    ``residual`` (residual-IVF LUTs): defaults to ``bf16x2`` — the LUT is
+    split into two bf16 words (hi = bf16(lut), lo = bf16(lut - hi)) and
+    accumulated with two MXU passes per one-hot, recovering f32-equivalent
+    entries (error ~ entry * 2^-17) at 2x the LUT-matmul cost. Residual
+    indexes rank by residual-scale score deltas while the LUT entries stay
+    at full data scale (q . centroid dot products), so int8's step —
+    max|centered|/127 PER QUERY across all chunks — and even plain bf16's
+    ulp can rival the entire top-k spread (measured on clustered L2 data:
+    GT recall 0.69 f32 / 0.59 bf16 / worse int8). An explicit QTPU_PQ_LUT
+    still wins."""
     import os
 
-    return os.environ.get("QTPU_PQ_LUT", "int8")
+    env = os.environ.get("QTPU_PQ_LUT")
+    if env is not None:
+        return env
+    return "bf16x2" if residual else "int8"
 
 
 def _quantize_lut(lut: jax.Array, mpad: int, qp: int):
@@ -215,6 +229,47 @@ def _accumulate_block4_i8(codes_ref, lut_ref, acc):
     return acc
 
 
+def _accumulate_block_x2(codes_ref, hi_ref, lo_ref, acc):
+    """Two-word bf16 LUT (hi + lo = f32 entry to ~2^-17): one one-hot
+    build per chunk, TWO MXU passes into the same f32 accumulator. The
+    residual-IVF precision path — see _lut_precision(residual=True)."""
+    codes = codes_ref[:].astype(jnp.int32) & 0xFF  # [M_BLK, TILE_N]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    for m_local in range(M_BLK):
+        onehot_t = (codes[m_local, :][None, :] == iota_k).astype(jnp.bfloat16)
+        for lref in (hi_ref, lo_ref):
+            acc = acc + jax.lax.dot_general(
+                lref[:, m_local * K : (m_local + 1) * K],
+                onehot_t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    return acc
+
+
+def _accumulate_block4_x2(codes_ref, hi_ref, lo_ref, acc):
+    """4-bit twin of _accumulate_block_x2 (block-diagonal grouped)."""
+    codes = codes_ref[:].astype(jnp.int32) & 0xF  # [M_BLK, TILE_N]
+    tn = codes.shape[1]
+    for g0 in range(0, codes.shape[0], GRP4):
+        oh = _block_diag_onehot4(codes, g0, tn).astype(jnp.bfloat16)
+        for lref in (hi_ref, lo_ref):
+            acc = acc + jax.lax.dot_general(
+                lref[:, g0 * K4 : g0 * K4 + GRP4 * K4],
+                oh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    return acc
+
+
+def _split_lut_bf16x2(lut_flat_f32):
+    """f32 [qp, mpad*kc] -> (hi bf16, lo bf16) with hi + lo ~= entry."""
+    hi = lut_flat_f32.astype(jnp.bfloat16)
+    lo = (lut_flat_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _accumulate_block4(codes_ref, lut_ref, acc):
     """4-bit variant: GRP4 chunks share one [128, TILE_N] block-diagonal
     one-hot (chunk g of the group occupies rows [16g, 16g+16)), so a single
@@ -252,7 +307,7 @@ def _apply_corr(scores, corr_ref):
 
 def _make_pq_topk_kernel(
     tile_n: int, kc: int = K, int8_lut: bool = False,
-    with_res: bool = False,
+    with_res: bool = False, lut2: bool = False,
 ):
     """Approx kernel: grid (q-tiles, corpus tiles, m-blocks), m innermost;
     SPAN-merged slot extraction on the last m step. Validity cutoff via
@@ -260,14 +315,19 @@ def _make_pq_topk_kernel(
     data-dependent count (sharded.py). ``with_res``: residual-IVF inputs —
     per-row additive (rowadd, carries s*|v|^2 and the pad mask) and
     per-(query, CORR_BLK-block) additive (corr, the bucket term), both
-    applied after dequantize, before extraction."""
+    applied after dequantize, before extraction. ``lut2``: two-word bf16
+    LUT (a second lo-word operand follows the LUT)."""
     if int8_lut:
         accumulate = _accumulate_block_i8 if kc == K else _accumulate_block4_i8
+    elif lut2:
+        accumulate = _accumulate_block_x2 if kc == K else _accumulate_block4_x2
     else:
         accumulate = _accumulate_block if kc == K else _accumulate_block4
 
     def kernel(nv_ref, codes_ref, lut_ref, *rest):
         rest = list(rest)
+        if lut2:
+            lut_lo_ref = rest.pop(0)
         if int8_lut:
             scale_ref, bias_ref = rest.pop(0), rest.pop(0)
         if with_res:
@@ -281,7 +341,10 @@ def _make_pq_topk_kernel(
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        acc_ref[:] = accumulate(codes_ref, lut_ref, acc_ref[:])
+        if lut2:
+            acc_ref[:] = accumulate(codes_ref, lut_ref, lut_lo_ref, acc_ref[:])
+        else:
+            acc_ref[:] = accumulate(codes_ref, lut_ref, acc_ref[:])
 
         j = pl.program_id(1)
 
@@ -306,21 +369,25 @@ def _make_pq_topk_kernel(
 
 def _make_pq_topk_kernel_indexed(
     tile_n: int, kc: int = K, int8_lut: bool = False,
-    with_res: bool = False,
+    with_res: bool = False, lut2: bool = False,
 ):
     """Approx kernel over a SELECTED tile set: the corpus block for grid
     step j is tile ``sel_ref[j]`` (scalar-prefetch index map) — the IVF
     probed-bucket scan streams only the selected code columns from HBM.
     Selected tiles hold only valid rows (IVF pads duplicate real rows),
     so no validity cutoff is needed; ids are global corpus rows.
-    ``with_res``: see _make_pq_topk_kernel."""
+    ``with_res`` / ``lut2``: see _make_pq_topk_kernel."""
     if int8_lut:
         accumulate = _accumulate_block_i8 if kc == K else _accumulate_block4_i8
+    elif lut2:
+        accumulate = _accumulate_block_x2 if kc == K else _accumulate_block4_x2
     else:
         accumulate = _accumulate_block if kc == K else _accumulate_block4
 
     def kernel(sel_ref, codes_ref, lut_ref, *rest):
         rest = list(rest)
+        if lut2:
+            lut_lo_ref = rest.pop(0)
         if int8_lut:
             scale_ref, bias_ref = rest.pop(0), rest.pop(0)
         if with_res:
@@ -334,7 +401,10 @@ def _make_pq_topk_kernel_indexed(
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        acc_ref[:] = accumulate(codes_ref, lut_ref, acc_ref[:])
+        if lut2:
+            acc_ref[:] = accumulate(codes_ref, lut_ref, lut_lo_ref, acc_ref[:])
+        else:
+            acc_ref[:] = accumulate(codes_ref, lut_ref, acc_ref[:])
 
         @pl.when(mi == pl.num_programs(2) - 1)
         def _():
@@ -386,6 +456,7 @@ def pq_search_indexed(
     if precision is None:
         precision = _lut_precision()
     int8_lut = precision == "int8"
+    lut2 = precision == "bf16x2"
     q, m, kc = lut.shape
     assert kc in (K, K4)
     mpad, n = codes_t.shape
@@ -427,12 +498,16 @@ def pq_search_indexed(
         ]
         scratch = [pltpu.VMEM((tile_q, tile_n), jnp.int32)]
     else:
-        lut_flat = (
-            pad_dim_to(pad_dim_to(lut, 1, mpad), 0, qp)
-            .reshape(qp, mpad * kc)
-            .astype(jnp.bfloat16)
+        lut_f32 = pad_dim_to(pad_dim_to(lut, 1, mpad), 0, qp).reshape(
+            qp, mpad * kc
         )
-        operands = [sel_op, codes_t.astype(jnp.int8), lut_flat]
+        if lut2:
+            lut_flat, lut_lo = _split_lut_bf16x2(lut_f32)
+            operands = [sel_op, codes_t.astype(jnp.int8), lut_flat, lut_lo]
+            in_specs += [in_specs[1]]  # lo word rides the LUT BlockSpec
+        else:
+            lut_flat = lut_f32.astype(jnp.bfloat16)
+            operands = [sel_op, codes_t.astype(jnp.int8), lut_flat]
         scratch = [pltpu.VMEM((tile_q, tile_n), jnp.float32)]
     if with_res:
         from .sq_kernel import CORR_BLK
@@ -467,7 +542,7 @@ def pq_search_indexed(
         scratch_shapes=scratch,
     )
     vals, idxs = pl.pallas_call(
-        _make_pq_topk_kernel_indexed(tile_n, kc, int8_lut, with_res),
+        _make_pq_topk_kernel_indexed(tile_n, kc, int8_lut, with_res, lut2),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
@@ -569,7 +644,12 @@ def pq_search_pallas(
         interpret = interpret_mode()
     if precision is None:
         precision = _lut_precision()
+    if precision == "bf16x2" and mode == "exact":
+        # The two-word split is an approx-path feature (residual scans);
+        # exact extraction chains key off ONE lut arithmetic.
+        precision = "bf16"
     int8_lut = precision == "int8"
+    lut2 = precision == "bf16x2"
     q, m, kc = lut.shape
     assert kc in (K, K4)
     mpad, n = codes_t.shape
@@ -621,12 +701,16 @@ def pq_search_pallas(
         ]
         scratch = [pltpu.VMEM((tile_q, TILE_N), jnp.int32)]
     else:
-        lut_flat = (
-            pad_dim_to(pad_dim_to(lut, 1, mpad), 0, qp)
-            .reshape(qp, mpad * kc)
-            .astype(jnp.bfloat16)
+        lut_f32 = pad_dim_to(pad_dim_to(lut, 1, mpad), 0, qp).reshape(
+            qp, mpad * kc
         )
-        operands = [nv_op, codes_t.astype(jnp.int8), lut_flat]
+        if lut2:
+            lut_flat, lut_lo = _split_lut_bf16x2(lut_f32)
+            operands = [nv_op, codes_t.astype(jnp.int8), lut_flat, lut_lo]
+            in_specs += [in_specs[2]]  # lo word rides the LUT BlockSpec
+        else:
+            lut_flat = lut_f32.astype(jnp.bfloat16)
+            operands = [nv_op, codes_t.astype(jnp.int8), lut_flat]
         scratch = [pltpu.VMEM((tile_q, TILE_N), jnp.float32)]
     if with_res:
         from .sq_kernel import CORR_BLK
@@ -650,7 +734,7 @@ def pq_search_pallas(
     if approx:
         nt_out = -(-nt // SPAN)
         out_idx = lambda i, j, l: (i, j // SPAN)  # noqa: E731
-        kernel = _make_pq_topk_kernel(TILE_N, kc, int8_lut, with_res)
+        kernel = _make_pq_topk_kernel(TILE_N, kc, int8_lut, with_res, lut2)
         vals, idxs = pl.pallas_call(
             kernel,
             grid=(qp // tile_q, nt, mpad // M_BLK),

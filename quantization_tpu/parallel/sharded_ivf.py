@@ -133,6 +133,12 @@ def _ivf_sharded_search(
         my_qc = rowadd_loc = None
         if resid is not None:
             qc = (q @ means.T) * resid[0]  # [Q, B_pad] replicated
+            if kind == "pq":
+                # rc*|q|^2 rides the f32 corr additive, not LUT chunk 0
+                # (see models/ivf.py _residual_query_pq).
+                _, rc = _residual_coeffs(dt, invert)
+                if rc != 0.0:
+                    qc = qc + rc * jnp.sum(q * q, axis=1)[:, None]
             my_qc = jax.lax.dynamic_slice(
                 qc, (0, sidx * b_loc), (nq, b_loc)
             )
@@ -915,7 +921,7 @@ class ShardedIVF:
             distance_type=DistanceType.DOT,
             invert=False,
         )
-        return q, _residual_query_pq(q, lut, a, rc)
+        return q, _residual_query_pq(lut, a)
 
     def _pq_chunk_query(self, q):
         division = self.inner_meta.vector_division
@@ -1005,12 +1011,13 @@ class ShardedIVF:
             inner = self._inner
         # PQ LUT precision resolved HERE (explicit static jit arg, like
         # models/ivf.py top_k_device) so flipping QTPU_PQ_LUT between
-        # calls retraces instead of silently no-oping.
+        # calls retraces instead of silently no-oping. Residual indexes
+        # default to bf16 (see _lut_precision).
         precision = None
         if kind == "pq" and use_fused:
             from ..ops.pallas.pq_kernel import _lut_precision
 
-            precision = _lut_precision()
+            precision = _lut_precision(residual=meta.residual)
         resid = None
         if meta.residual:
             resid = (

@@ -516,6 +516,60 @@ def test_residual_fused_matches_xla(
     assert np.all(np.asarray(fused_i) >= 0)
 
 
+def test_residual_lut_precision_default():
+    # Residual-PQ resolves the LUT to the two-word bf16x2 split when
+    # QTPU_PQ_LUT is unset: residual top-k spreads are residual-scale
+    # while LUT entries are data-scale, so the int8 step — and even plain
+    # bf16's ulp — can rival the whole spread (measured GT recall
+    # 0.69 f32 / 0.59 bf16 / 0.4-overlap int8). An explicit env override
+    # always wins.
+    from quantization_tpu.ops.pallas.pq_kernel import _lut_precision
+
+    import os
+
+    old = os.environ.pop("QTPU_PQ_LUT", None)
+    try:
+        assert _lut_precision() == "int8"
+        assert _lut_precision(residual=True) == "bf16x2"
+        os.environ["QTPU_PQ_LUT"] = "int8"
+        assert _lut_precision(residual=True) == "int8"
+    finally:
+        if old is None:
+            os.environ.pop("QTPU_PQ_LUT", None)
+        else:
+            os.environ["QTPU_PQ_LUT"] = old
+
+
+@pytest.mark.parametrize("scan", ["compact", "indexed"])
+def test_residual_pq_default_lut(rng, force_pallas, monkeypatch, scan):
+    # The SHIPPED default residual-PQ path with NO QTPU_PQ_LUT override
+    # (resolves to bf16 — see test_residual_lut_precision_default):
+    # dequant + rowadd + corr applied before extraction must track the
+    # XLA f32-LUT path on ids.
+    monkeypatch.delenv("QTPU_PQ_LUT", raising=False)
+    data, queries, params, idx = _res_pair(
+        rng, "pq", DistanceType.L2, True, count=2500, nlist=4
+    )
+    ivf = idx[True]
+    eq = ivf.encode_query(queries)
+    fused_s, fused_i = ivf.top_k(
+        eq, K, method="approx", scan=scan, nprobe=4
+    )
+    for r in range(len(fused_i)):
+        row = np.asarray(fused_i)[r]
+        assert len(set(row.tolist())) == len(row)
+    assert np.all(np.asarray(fused_i) >= 0)
+    monkeypatch.setenv("QTPU_DISABLE_PALLAS", "1")
+    monkeypatch.delenv("QTPU_FORCE_PALLAS", raising=False)
+    xla_s, xla_i = ivf.top_k(eq, K, method="approx", nprobe=4)
+    overlap = np.mean([
+        len(set(np.asarray(fused_i)[r].tolist())
+            & set(np.asarray(xla_i)[r].tolist())) / K
+        for r in range(len(fused_i))
+    ])
+    assert overlap >= 0.8
+
+
 @pytest.mark.parametrize(
     "kind,method", [("sq", "exact"), ("sq", "approx"), ("pq", "approx")]
 )
