@@ -300,8 +300,14 @@ class ProductQuantizer(EncodedVectors):
         if self._rot is not None:
             # OPQ: queries rotate into code space on device (Q x D x D
             # matmul — negligible next to LUT build), then chunk there.
+            # HIGHEST: a default-precision rotation perturbs the query at
+            # data scale, which shifts every LUT entry coherently.
             q_chunks = pq_ops.chunk_rows_device(
-                jnp.asarray(q) @ self._rot, self.metadata.vector_division
+                jnp.matmul(
+                    jnp.asarray(q), self._rot,
+                    precision=jax.lax.Precision.HIGHEST,
+                ),
+                self.metadata.vector_division,
             )
         else:
             q_chunks = jnp.asarray(

@@ -243,7 +243,11 @@ def pq_decoded_rowterm(
     nb = means.shape[0]
     s = bucket_size
     m = len(division)
-    mr = means if rot is None else means @ rot
+    # HIGHEST: these terms are data-scale and feed the per-row residual
+    # additive; TPU's default one-bf16-pass f32 dot (~2^-9) would inject
+    # rowadd noise rivaling residual-scale score deltas.
+    hp = jax.lax.Precision.HIGHEST
+    mr = means if rot is None else jnp.matmul(means, rot, precision=hp)
     mean_norm = jnp.sum(means * means, axis=1)  # [B]
     cent_norm = jnp.sum(c_chunks * c_chunks, axis=2)  # [m, k]
 
@@ -252,7 +256,7 @@ def pq_decoded_rowterm(
         mc = chunk_rows_device(mrb, division)  # [m, bb, dmax]
         t2 = 2.0 * jnp.einsum(
             "mbd,mkd->bmk", mc, c_chunks,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=hp,
         ) + cent_norm[None]  # [bb, m, k]
         ct = jnp.transpose(
             codes_b[:, :m].reshape(bb, s, m).astype(jnp.int32), (0, 2, 1)

@@ -229,44 +229,69 @@ def _accumulate_block4_i8(codes_ref, lut_ref, acc):
     return acc
 
 
+# lo-word prescale for the bf16x2 split (power of two: exact in bf16,
+# keeps the tiny lo values in bf16's well-conditioned range).
+LO_SCALE = 256.0
+
+
 def _accumulate_block_x2(codes_ref, hi_ref, lo_ref, acc):
-    """Two-word bf16 LUT (hi + lo = f32 entry to ~2^-17): one one-hot
-    build per chunk, TWO MXU passes into the same f32 accumulator. The
-    residual-IVF precision path — see _lut_precision(residual=True)."""
+    """Two-word bf16 LUT (hi + lo/LO_SCALE = f32 entry to ~2^-17): one
+    one-hot build per chunk, hi and lo MXU passes into SEPARATE f32
+    chains, lo folded back once per block. The residual-IVF precision
+    path — see _lut_precision(residual=True) and LO_SCALE."""
     codes = codes_ref[:].astype(jnp.int32) & 0xFF  # [M_BLK, TILE_N]
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    lo_acc = jnp.zeros_like(acc)
     for m_local in range(M_BLK):
         onehot_t = (codes[m_local, :][None, :] == iota_k).astype(jnp.bfloat16)
-        for lref in (hi_ref, lo_ref):
-            acc = acc + jax.lax.dot_general(
-                lref[:, m_local * K : (m_local + 1) * K],
-                onehot_t,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    return acc
+        dn = (((1,), (0,)), ((), ()))
+        acc = acc + jax.lax.dot_general(
+            hi_ref[:, m_local * K : (m_local + 1) * K], onehot_t,
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+        )
+        lo_acc = lo_acc + jax.lax.dot_general(
+            lo_ref[:, m_local * K : (m_local + 1) * K], onehot_t,
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+        )
+    return acc + (1.0 / LO_SCALE) * lo_acc
 
 
 def _accumulate_block4_x2(codes_ref, hi_ref, lo_ref, acc):
     """4-bit twin of _accumulate_block_x2 (block-diagonal grouped)."""
     codes = codes_ref[:].astype(jnp.int32) & 0xF  # [M_BLK, TILE_N]
     tn = codes.shape[1]
+    lo_acc = jnp.zeros_like(acc)
     for g0 in range(0, codes.shape[0], GRP4):
         oh = _block_diag_onehot4(codes, g0, tn).astype(jnp.bfloat16)
-        for lref in (hi_ref, lo_ref):
-            acc = acc + jax.lax.dot_general(
-                lref[:, g0 * K4 : g0 * K4 + GRP4 * K4],
-                oh,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    return acc
+        dn = (((1,), (0,)), ((), ()))
+        acc = acc + jax.lax.dot_general(
+            hi_ref[:, g0 * K4 : g0 * K4 + GRP4 * K4], oh,
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+        )
+        lo_acc = lo_acc + jax.lax.dot_general(
+            lo_ref[:, g0 * K4 : g0 * K4 + GRP4 * K4], oh,
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+        )
+    return acc + (1.0 / LO_SCALE) * lo_acc
 
 
 def _split_lut_bf16x2(lut_flat_f32):
-    """f32 [qp, mpad*kc] -> (hi bf16, lo bf16) with hi + lo ~= entry."""
-    hi = lut_flat_f32.astype(jnp.bfloat16)
-    lo = (lut_flat_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    """f32 [qp, mpad*kc] -> (hi bf16, lo bf16 SCALED by LO_SCALE) with
+    hi + lo/LO_SCALE ~= entry.
+
+    The hi rounding MUST go through ``lax.reduce_precision``, not a
+    dtype cast: this environment compiles with
+    --xla_allow_excess_precision=true, under which XLA may treat a
+    bf16->f32 round-trip as identity — ``lut - f32(bf16(lut))`` then
+    folds to zero and the kernel silently runs hi-only (observed on
+    v5e: scores matched the hi word EXACTLY; interpret mode, which
+    skips that rewrite, was correct). reduce_precision is a semantic
+    rounding op the optimization must respect."""
+    hi_f32 = jax.lax.reduce_precision(
+        lut_flat_f32, exponent_bits=8, mantissa_bits=7
+    )
+    hi = hi_f32.astype(jnp.bfloat16)  # exact: already bf16-rounded
+    lo = ((lut_flat_f32 - hi_f32) * LO_SCALE).astype(jnp.bfloat16)
     return hi, lo
 
 
@@ -555,25 +580,35 @@ def pq_search_indexed(
 
 def _make_pq_class_kernel(
     tile_n: int, span: int, r: int, kc: int = K,
-    int8_lut: bool = False,
+    int8_lut: bool = False, with_res: bool = False, lut2: bool = False,
 ):
     """Exact kernel, extraction on the last m step. int8 LUT: the int32
     accumulator orders identically to the final score (scale > 0), so the
     packed per-class top-3 applies — ids ride the int chains for free.
     f32 LUT: class-top2 + bounded rescue (ktile). With 256-row query
-    tiles the one-hot build is paid ONCE per corpus tile at Q<=256."""
+    tiles the one-hot build is paid ONCE per corpus tile at Q<=256.
+    ``with_res`` (f32-keyed branch only — the packed int chains can't
+    absorb additives): residual rowadd + corr applied to the f32 scores
+    BEFORE extraction, so exact selection runs over corrected scores.
+    ``lut2``: two-word bf16 LUT (residual precision; f32 branch only)."""
+    assert not (with_res and int8_lut)
     if int8_lut:
         accumulate = _accumulate_block_i8 if kc == K else _accumulate_block4_i8
+    elif lut2:
+        accumulate = _accumulate_block_x2 if kc == K else _accumulate_block4_x2
     else:
         accumulate = _accumulate_block if kc == K else _accumulate_block4
     ns = tile_n // SLOT
 
     def kernel(nv_ref, codes_ref, lut_ref, *rest):
+        rest = list(rest)
+        if lut2:
+            lut_lo_ref = rest.pop(0)
         if int8_lut:
-            scale_ref, bias_ref = rest[:2]
-            out_refs, acc_ref = rest[2:-1], rest[-1]
-        else:
-            out_refs, acc_ref = rest[:-1], rest[-1]
+            scale_ref, bias_ref = rest.pop(0), rest.pop(0)
+        if with_res:
+            rowadd_ref, corr_ref = rest.pop(0), rest.pop(0)
+        out_refs, acc_ref = rest[:-1], rest[-1]
         mi = pl.program_id(2)
         j = pl.program_id(1)
         base = j * tile_n  # hoisted out of pl.when (interpret-mode rule)
@@ -583,7 +618,10 @@ def _make_pq_class_kernel(
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        acc_ref[:] = accumulate(codes_ref, lut_ref, acc_ref[:])
+        if lut2:
+            acc_ref[:] = accumulate(codes_ref, lut_ref, lut_lo_ref, acc_ref[:])
+        else:
+            acc_ref[:] = accumulate(codes_ref, lut_ref, acc_ref[:])
 
         @pl.when(last_m)
         def _():
@@ -600,7 +638,10 @@ def _make_pq_class_kernel(
                 combine_class_topr_packed(out_refs, ps, spill, r,
                                           j % span == 0)
             else:
-                scores = jnp.where(gid < nv_ref[0], acc_ref[:], NEG)
+                scores = acc_ref[:]
+                if with_res:
+                    scores = _apply_corr(scores + rowadd_ref[:], corr_ref)
+                scores = jnp.where(gid < nv_ref[0], scores, NEG)
                 ms, is_, spill = extract_class_topr_ids(scores, base, r)
                 combine_class_topr_ids(out_refs, ms, is_, spill, r,
                                        j % span == 0)
@@ -635,8 +676,11 @@ def pq_search_pallas(
     packed per-class top-3 (int8 LUT) or class-top2-with-ids (f32 LUT)
     — value-exact over the kernel's own LUT scores at any
     k <= FUSED_K_MAX, with a corpus-blocked scan (same LUT arithmetic) as
-    the verified fallback. ``precision`` "int8" (default,
-    2x MXU rate) or "bf16"."""
+    the verified fallback. ``precision`` "int8" (default, 2x MXU rate),
+    "bf16", or "bf16x2" (two-word split, f32-equivalent entries — the
+    residual default). Residual additives (rowadd/corr) ride both the
+    approx extraction and the f32-keyed exact class extraction; the int8
+    packed chains can't absorb them (asserted)."""
     assert k <= FUSED_K_MAX or mode == "approx", (
         f"exact fused search caps k at {FUSED_K_MAX}, got {k}"
     )
@@ -644,10 +688,6 @@ def pq_search_pallas(
         interpret = interpret_mode()
     if precision is None:
         precision = _lut_precision()
-    if precision == "bf16x2" and mode == "exact":
-        # The two-word split is an approx-path feature (residual scans);
-        # exact extraction chains key off ONE lut arithmetic.
-        precision = "bf16"
     int8_lut = precision == "int8"
     lut2 = precision == "bf16x2"
     q, m, kc = lut.shape
@@ -672,9 +712,9 @@ def pq_search_pallas(
     assert (rowadd is None) == (corr is None), (
         "residual inputs come as a pair (rowadd carries the pad mask)"
     )
-    assert not (with_res and mode == "exact"), (
-        "residual additive inputs are approx-path only; exact residual "
-        "selection rides the XLA/blocked path (models/ivf.py)"
+    assert not (with_res and mode == "exact" and int8_lut), (
+        "exact residual selection needs an f32-keyed extraction (bf16 / "
+        "bf16x2 LUT) — the packed int chains can't absorb the additives"
     )
 
     in_specs = [
@@ -780,6 +820,14 @@ def pq_search_pallas(
             sc = affine(score_lut_xla(
                 lut_eff, jax.lax.slice_in_dim(codes_nm, b0, b1, axis=0)[:, :m]
             ))
+            if with_res:
+                from .sq_kernel import CORR_BLK
+
+                c0, c1 = b0 // CORR_BLK, -(-b1 // CORR_BLK)
+                add = jnp.repeat(
+                    corr[:, c0:c1].astype(jnp.float32), CORR_BLK, axis=1
+                )[:, : b1 - b0]
+                sc = sc + rowadd[b0:b1].astype(jnp.float32)[None, :] + add
             gid = b0 + jnp.arange(sc.shape[1], dtype=jnp.int32)[None, :]
             return jnp.where(gid < nv, sc, NEG)
 
@@ -796,7 +844,8 @@ def pq_search_pallas(
     if k > r * width:
         return fallback()
     out_idx = lambda i, j, l: (i, j // span)  # noqa: E731
-    kernel = _make_pq_class_kernel(TILE_N, span, r, kc, int8_lut)
+    kernel = _make_pq_class_kernel(TILE_N, span, r, kc, int8_lut,
+                                   with_res, lut2)
     if int8_lut:
         dts = [jnp.int32] * (r + 1)
     else:

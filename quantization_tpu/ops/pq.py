@@ -127,12 +127,18 @@ def build_lut(
 ) -> jax.Array:
     """Per-query lookup table lut[Q, m, k]: exact distance from each query
     sub-vector to each centroid sub-vector (encoded_vectors_pq.rs:525-547),
-    negated under ``invert``."""
+    negated under ``invert``.
 
+    HIGHEST matmul precision: TPU's default f32 dot is a single bf16
+    pass (~2^-9 relative), which on data-scale entries perturbs each LUT
+    cell by ~0.1 — summed over m chunks that rivals residual-scale score
+    deltas. The LUT build is a ~Q*m*k*dmax flop drop next to any scan,
+    so true f32 here is free."""
+    hp = jax.lax.Precision.HIGHEST
     if distance_type == DistanceType.DOT:
         lut = jnp.einsum(
             "mqd,mkd->mqk", q_chunks, c_chunks,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=hp,
         )
     elif distance_type == DistanceType.L1:
         lut = jnp.sum(
@@ -143,7 +149,7 @@ def build_lut(
         c2 = jnp.sum(c_chunks * c_chunks, axis=2)[:, None, :]  # [m, 1, k]
         qc = jnp.einsum(
             "mqd,mkd->mqk", q_chunks, c_chunks,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=hp,
         )
         lut = q2 + c2 - 2.0 * qc
     lut = jnp.moveaxis(lut, 0, 1)

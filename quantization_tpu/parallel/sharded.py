@@ -1195,8 +1195,12 @@ class ShardedProductQuantizer(_ShardedBase):
                 f"query dim {q.shape[1]} != corpus dim {self.params.dim}"
             )
         if getattr(self, "_rot", None) is not None:
+            # HIGHEST: query-side rotation at data scale (models/pq.py).
             q_chunks = pq_ops.chunk_rows_device(
-                jnp.asarray(q, jnp.float32) @ self._rot,
+                jnp.matmul(
+                    jnp.asarray(q, jnp.float32), self._rot,
+                    precision=jax.lax.Precision.HIGHEST,
+                ),
                 self.metadata.vector_division,
             )
         else:

@@ -132,7 +132,11 @@ def _ivf_sharded_search(
         _, union_loc = jax.lax.top_k(my, u_loc)  # LOCAL bucket indices
         my_qc = rowadd_loc = None
         if resid is not None:
-            qc = (q @ means.T) * resid[0]  # [Q, B_pad] replicated
+            # HIGHEST: data-scale bucket term, residual-scale ranking
+            # (see models/ivf.py _ivf_search).
+            qc = jnp.matmul(
+                q, means.T, precision=jax.lax.Precision.HIGHEST
+            ) * resid[0]  # [Q, B_pad] replicated
             if kind == "pq":
                 # rc*|q|^2 rides the f32 corr additive, not LUT chunk 0
                 # (see models/ivf.py _residual_query_pq).
@@ -285,15 +289,20 @@ def _pq_rowterm_sharded(
         else:
             cent_norm = jnp.sum(cc * cc, axis=2)  # [m, k]
 
+            hp = jax.lax.Precision.HIGHEST  # data-scale terms (ops/ivf.py)
+
             def per_bucket(args):
                 cb, mrow = args  # [s, m], [dim]
-                mr1 = mrow if r is None else mrow @ r
+                mr1 = (
+                    mrow if r is None
+                    else jnp.matmul(mrow, r, precision=hp)
+                )
                 mc = pq_ops.chunk_rows_device(
                     mr1[None, :], list(division)
                 )[:, 0, :]  # [m, dmax]
                 t2b = 2.0 * jnp.einsum(
                     "md,mkd->mk", mc, cc,
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=hp,
                 ) + cent_norm
                 g = jnp.take_along_axis(
                     t2b, cb.T.astype(jnp.int32), axis=1
@@ -926,7 +935,13 @@ class ShardedIVF:
     def _pq_chunk_query(self, q):
         division = self.inner_meta.vector_division
         if self._rot is not None:
-            return pq_ops.chunk_rows_device(q @ self._rot, division)
+            # HIGHEST: query-side rotation at data scale (models/pq.py).
+            return pq_ops.chunk_rows_device(
+                jnp.matmul(
+                    q, self._rot, precision=jax.lax.Precision.HIGHEST
+                ),
+                division,
+            )
         return jnp.asarray(pq_ops.chunk_tensor(np.asarray(q), division))
 
     def top_k_device(
@@ -966,6 +981,14 @@ class ShardedIVF:
         from ..ops.pallas.ktile import APPROX_K_MAX, FUSED_K_MAX
 
         cap = APPROX_K_MAX if method == "approx" else FUSED_K_MAX
+        # Resolve the PQ LUT precision up front (feeds the fused gate AND
+        # travels as a static jit arg — see models/ivf.py top_k_device;
+        # residual indexes default to the two-word bf16x2 split).
+        precision = None
+        if meta.kind == "pq":
+            from ..ops.pallas.pq_kernel import _lut_precision
+
+            precision = _lut_precision(residual=meta.residual)
         use_fused = bool(
             dispatch.use_pallas()
             and kk2 <= cap
@@ -973,10 +996,11 @@ class ShardedIVF:
                 meta.kind == "sq"
                 and self.params.distance_type == DistanceType.L1
             )
-            # Fused exact PQ extracts from the packed int accumulator,
-            # which can't absorb the residual additives (models/ivf.py).
+            # Exact residual-PQ rides the f32-keyed class extraction; the
+            # int8 packed chains can't absorb the additives (models/ivf.py).
             and not (
                 meta.residual and meta.kind == "pq" and method != "approx"
+                and precision == "int8"
             )
         )
         if scan not in ("auto", "indexed", "compact"):
@@ -1009,15 +1033,8 @@ class ShardedIVF:
         else:
             eq = (eq_inner.lut,)
             inner = self._inner
-        # PQ LUT precision resolved HERE (explicit static jit arg, like
-        # models/ivf.py top_k_device) so flipping QTPU_PQ_LUT between
-        # calls retraces instead of silently no-oping. Residual indexes
-        # default to bf16 (see _lut_precision).
-        precision = None
-        if kind == "pq" and use_fused:
-            from ..ops.pallas.pq_kernel import _lut_precision
-
-            precision = _lut_precision(residual=meta.residual)
+        if not use_fused:
+            precision = None  # XLA path scores the raw f32 LUT
         resid = None
         if meta.residual:
             resid = (

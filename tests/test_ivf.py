@@ -479,17 +479,20 @@ def test_ivf_fused_path_matches_xla(rng, force_pallas, monkeypatch, kind):
 
 @pytest.mark.parametrize(
     "kind,method",
-    [("sq", "exact"), ("sq", "approx"), ("pq", "approx")],
+    [("sq", "exact"), ("sq", "approx"), ("pq", "approx"), ("pq", "exact")],
 )
 def test_residual_fused_matches_xla(
     rng, force_pallas, monkeypatch, kind, method
 ):
     # The in-kernel additive correction (scores += corr block before
     # extraction, ops/pallas CORR_BLK) must reproduce the XLA path's
-    # post-hoc add. PQ exact fused is gated off (packed int accumulator
-    # can't absorb the additive) — approx only there.
-    if kind == "pq":
+    # post-hoc add. PQ exact rides the f32-keyed class extraction with
+    # the additives applied pre-extraction (bf16x2 LUT by default; the
+    # int8 packed chains can't absorb additives and fall back to XLA).
+    if kind == "pq" and method == "approx":
         monkeypatch.setenv("QTPU_PQ_LUT", "bf16")
+    elif kind == "pq":
+        monkeypatch.delenv("QTPU_PQ_LUT", raising=False)  # bf16x2 default
     data, queries, params, idx = _res_pair(
         rng, kind, DistanceType.L2, True, count=2500, nlist=4
     )
