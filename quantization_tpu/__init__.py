@@ -20,10 +20,11 @@ from .core.distances import distance, pairwise, pairwise_score, score
 from .core.interface import EncodedVectors, validate_vector_parameters
 from .core.storage import EncodedStorage, EncodedStorageBuilder
 from .models.bq import BinaryQuantizer, EncodedQueryBin, EncodedVectorsBin
-from .models.ivf import IVFIndex
+from .models.ivf import IVFIndex, auto_geometry
 from .models.pipeline import ExactRescorer, TwoStageIndex
 from .models.pq import EncodedQueryPQ, EncodedVectorsPQ, ProductQuantizer
 from .models.sq import EncodedQueryU8, EncodedVectorsU8, ScalarQuantizerU8
+from .policy import ServingPlan, exact_topk, recall_at_k, recommend
 
 __all__ = [
     "ArgumentsError",
@@ -44,13 +45,18 @@ __all__ = [
     "ProductQuantizer",
     "QuantizationError",
     "ScalarQuantizerU8",
+    "ServingPlan",
     "StoppedError",
     "StorageIOError",
     "TwoStageIndex",
     "VectorParameters",
+    "auto_geometry",
     "distance",
+    "exact_topk",
     "pairwise",
     "pairwise_score",
+    "recall_at_k",
+    "recommend",
     "score",
     "validate_vector_parameters",
 ]

@@ -248,11 +248,17 @@ def main(argv=None):
                    help="PQ code width: 8 = reference parity, 4 = Quick-ADC")
     p.add_argument("--opq", action="store_true",
                    help="learn an OPQ rotation before PQ chunking")
-    p.add_argument("--nlist", type=int, default=1024,
-                   help="IVF cluster count (ivf-* methods)")
+    p.add_argument("--auto-config", type=float, default=None,
+                   metavar="TARGET_RECALL",
+                   help="calibrate a serving plan to this recall@10 on a "
+                   "query sample (policy.recommend) instead of hand-picked "
+                   "--nscan/--oversampling")
+    p.add_argument("--nlist", type=int, default=None,
+                   help="IVF cluster count (ivf-* methods; "
+                   "default: auto_geometry)")
     p.add_argument("--nprobe", type=int, default=32,
                    help="IVF probed buckets per query (ivf-* methods)")
-    p.add_argument("--bucket-size", type=int, default=512,
+    p.add_argument("--bucket-size", type=int, default=None,
                    help="IVF rows per bucket (ivf-* methods)")
     p.add_argument("--nscan", type=int, default=None,
                    help="IVF batch-union scanned buckets "
@@ -288,6 +294,25 @@ def main(argv=None):
         )
         data.preprocess_cosine()
         index = build_index(args.method, data, args)
+        if args.auto_config is not None:
+            # Calibrated serving plan (policy.recommend): sweep the
+            # nscan/rescore ladder on a query sample against the exact
+            # f32 oracle until the target recall is met, then serve
+            # through the plan — no hand-picked --nscan/--oversampling.
+            from ..models.pipeline import TwoStageIndex
+            from ..policy import recommend
+
+            base = index.coarse if isinstance(index, TwoStageIndex) else index
+            plan = recommend(
+                base, args.auto_config, queries=data.test[:32],
+                data=data.train, q_batch=args.query_batch,
+            )
+            index = plan.build(base, data.train)
+            print(
+                f"[{data.name}] auto-config: nscan={plan.nscan} "
+                f"oversampling={plan.oversampling} "
+                f"measured_recall={plan.expected_recall:.3f} ({plan.notes})"
+            )
         entry = {"dataset": data.name, "method": args.method}
         if args.test_acc:
             res = test_knn(

@@ -174,6 +174,24 @@ def _residual_query_pq(lut, a):
     return EncodedQueryPQ(a * lut)
 
 
+def auto_geometry(count: int, residual: bool = False):
+    """``(nlist, bucket_size)`` from the measured geometry rules
+    (BASELINE "Bucket-size leg" + padding rule): bucket_size is the
+    widest tile the families' indexed scans ride (1024 — PQ's full
+    kernel tile engages there and SQ's widened tile is near dense-scan
+    parity; 2048 over-pads at sane nlist), halved for small corpora so
+    the index keeps >= ~8 buckets of probing headroom; then
+    nlist * bucket_size ~ count / 3 (several buckets per k-means cell,
+    bounded pad waste). ``residual`` floors bucket_size at the kernels'
+    CORR_BLK (512)."""
+    s = 1024
+    while s > 32 and count < 3 * 8 * s:
+        s //= 2
+    if residual:
+        s = max(s, 512)
+    return max(1, count // (3 * s)), s
+
+
 def _bucket_priority(q, means, dt, invert, p):
     """Rank-fair batch-union priority per bucket [B]: a bucket's key rank
     is the best (lowest) probe rank ANY query gave it, so every query's
@@ -663,8 +681,8 @@ class IVFIndex:
         params: VectorParameters,
         *,
         quantizer: str = "sq",
-        nlist: int = 1024,
-        bucket_size: int = 512,
+        nlist: Optional[int] = None,
+        bucket_size: Optional[int] = None,
         nprobe: int = 32,
         nscan: Optional[int] = None,
         seed: int = 0,
@@ -673,6 +691,11 @@ class IVFIndex:
         **quantizer_kwargs,
     ) -> "IVFIndex":
         """Cluster + permute + inner-encode.
+
+        ``nlist`` / ``bucket_size`` default to ``auto_geometry`` (the
+        measured rules: S = the widest indexed-kernel tile the corpus
+        supports, nlist * S ~ count/3); pass either explicitly to pin
+        it (the other is still derived).
 
         ``data`` must be a materialized [count, dim] array (the build
         permutes it cluster-major; streaming callables are the full-scan
@@ -720,10 +743,14 @@ class IVFIndex:
                 f"data shape {data.shape} does not match vector "
                 f"parameters ({params.count}, {params.dim})"
             )
-        if bucket_size < 1 or nlist < 1:
-            raise ArgumentsError("nlist and bucket_size must be >= 1")
         if params.count < 1:
             raise ArgumentsError("IVFIndex needs a non-empty corpus")
+        if bucket_size is None:
+            bucket_size = auto_geometry(params.count, residual)[1]
+        if nlist is None:
+            nlist = max(1, params.count // (3 * bucket_size))
+        if bucket_size < 1 or nlist < 1:
+            raise ArgumentsError("nlist and bucket_size must be >= 1")
         if residual:
             from ..ops.pallas.sq_kernel import CORR_BLK
 

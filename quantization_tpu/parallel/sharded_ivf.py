@@ -80,6 +80,7 @@ from ..models.ivf import (
     NEG,
     IVFIndex,
     IVFMetadata,
+    auto_geometry as _auto_geometry,
     _bucket_priority,
     _dedupe_select,
     _derive_slot_ids,
@@ -475,8 +476,8 @@ class ShardedIVF:
         mesh: Optional[Mesh] = None,
         axis: str = "shard",
         quantizer: str = "sq",
-        nlist: int = 1024,
-        bucket_size: int = 512,
+        nlist: Optional[int] = None,
+        bucket_size: Optional[int] = None,
         nprobe: int = 32,
         nscan: Optional[int] = None,
         seed: int = 0,
@@ -535,10 +536,15 @@ class ShardedIVF:
                 )
         else:
             kind = quantizer
-        if bucket_size < 1 or nlist < 1:
-            raise ArgumentsError("nlist and bucket_size must be >= 1")
         if params.count < 1:
             raise ArgumentsError("ShardedIVF needs a non-empty corpus")
+        # Geometry defaults mirror IVFIndex.encode (auto_geometry rules).
+        if bucket_size is None:
+            bucket_size = _auto_geometry(params.count, residual)[1]
+        if nlist is None:
+            nlist = max(1, params.count // (3 * bucket_size))
+        if bucket_size < 1 or nlist < 1:
+            raise ArgumentsError("nlist and bucket_size must be >= 1")
         if residual:
             from ..ops.pallas.sq_kernel import CORR_BLK
 

