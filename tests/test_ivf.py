@@ -478,21 +478,32 @@ def test_ivf_fused_path_matches_xla(rng, force_pallas, monkeypatch, kind):
 
 
 @pytest.mark.parametrize(
-    "kind,method",
-    [("sq", "exact"), ("sq", "approx"), ("pq", "approx"), ("pq", "exact")],
+    "kind,method,lut",
+    [
+        ("sq", "exact", None),
+        ("sq", "approx", None),
+        ("pq", "approx", "bf16"),
+        ("pq", "exact", None),  # bf16x2 default
+        # The SHIPPED defaults and the explicit quantized override
+        # (advisor r3 #1: the non-bf16 residual scan — per-chunk-mid
+        # dequant folding |q|^2 into bias, rowadd + corr pre-extraction
+        # — must be pinned, not just the exactness-friendly bf16 paths).
+        ("pq", "approx", None),  # bf16x2 default
+        ("pq", "approx", "int8"),
+    ],
 )
 def test_residual_fused_matches_xla(
-    rng, force_pallas, monkeypatch, kind, method
+    rng, force_pallas, monkeypatch, kind, method, lut
 ):
     # The in-kernel additive correction (scores += corr block before
     # extraction, ops/pallas CORR_BLK) must reproduce the XLA path's
     # post-hoc add. PQ exact rides the f32-keyed class extraction with
     # the additives applied pre-extraction (bf16x2 LUT by default; the
     # int8 packed chains can't absorb additives and fall back to XLA).
-    if kind == "pq" and method == "approx":
-        monkeypatch.setenv("QTPU_PQ_LUT", "bf16")
-    elif kind == "pq":
-        monkeypatch.delenv("QTPU_PQ_LUT", raising=False)  # bf16x2 default
+    if lut is not None:
+        monkeypatch.setenv("QTPU_PQ_LUT", lut)
+    else:
+        monkeypatch.delenv("QTPU_PQ_LUT", raising=False)
     data, queries, params, idx = _res_pair(
         rng, kind, DistanceType.L2, True, count=2500, nlist=4
     )
@@ -515,7 +526,12 @@ def test_residual_fused_matches_xla(
                 & set(np.asarray(xla_i)[r].tolist())) / K
             for r in range(len(fused_i))
         ])
-        assert overlap >= 0.8
+        # int8 LUT on residual-scale scores is a known lossy override
+        # (the reason bf16x2 is the residual default — see
+        # test_residual_lut_precision_default): its step can rival the
+        # residual top-k spread, so the bar only pins "still ranks"
+        # (measured 0.625 here), not near-parity.
+        assert overlap >= (0.5 if lut == "int8" else 0.8)
     assert np.all(np.asarray(fused_i) >= 0)
 
 

@@ -56,10 +56,12 @@ def main():
                     "aligned. Recall numbers on it anchor the engine "
                     "against the adversarial synthetic (VERDICT r2 "
                     "missing #1).")
-    ap.add_argument("--only", choices=("all", "sq", "bq", "pq"),
+    ap.add_argument("--only", choices=("all", "sq", "bq", "pq", "none"),
                     default="all",
                     help="bench only one quantizer family (skips the other "
-                    "encode passes — for shard-size scaling curves)")
+                    "encode passes — for shard-size scaling curves); "
+                    "'none' skips every FULL-SCAN leg (GT still streams) "
+                    "so --ivf* runs measure only the probe-limited index")
     ap.add_argument("--k-sweep", action="store_true",
                     help="additionally time SQ fused exact at k=64 and "
                     "k=256 (the exact-selection k-scaling bar)")
@@ -76,6 +78,18 @@ def main():
                     help="IVF cluster count")
     ap.add_argument("--ivf-bucket", type=int, default=512,
                     help="IVF bucket size S (rows per probe)")
+    ap.add_argument("--ivf-base", choices=("all", "sq", "bq", "none"),
+                    default="all",
+                    help="which NON-residual IVF inner-code legs to run "
+                    "(sq+bq+opq = all). 'none' skips them — pair with "
+                    "--ivf-residual for a residual-only run, or 'bq' for "
+                    "the capacity configuration at --n >= 50M where the "
+                    "other families' codes no longer fit in HBM")
+    ap.add_argument("--sync-latency", action="store_true",
+                    help="additionally report per-call BLOCKED latency "
+                    "(block_until_ready every call) next to the chained-"
+                    "dispatch number — the Q=1 serving-latency leg, with "
+                    "and without the tunnel's dispatch floor")
     ap.add_argument("--ivf-residual", action="store_true",
                     help="additionally build + bench RESIDUAL inner codes "
                     "over the same bucket layout (models/ivf.py "
@@ -286,13 +300,29 @@ def main():
             for r in range(Q)
         ]))
 
+    def timeit_sync(fn, iters=10):
+        """Per-call BLOCKED latency: drain after every call, so each
+        iteration pays the full dispatch + tunnel round-trip. The delta
+        vs ``timeit`` (chained dispatch) is the host-side floor a Q=1
+        serving loop would see through this tunnel."""
+        jax.block_until_ready(fn())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            jax.block_until_ready(fn())
+        return (time.perf_counter() - t0) / iters
+
     def report(name, fn, gt):
         try:
             t = timeit(fn)
+            extra = ""
+            if args.sync_latency:
+                ts = timeit_sync(fn)
+                extra = (f"  [sync {ts*1e6/Q:,.0f} us/q, "
+                         f"chained {t*1e6/Q:,.0f} us/q]")
             _, ids = fn()
             print(
                 f"{name:18s}: {Q/t:10.0f} qps  ({t*1e3:7.2f} ms/batch)  "
-                f"recall@{K} vs exact = {recall(ids, gt):.3f}",
+                f"recall@{K} vs exact = {recall(ids, gt):.3f}{extra}",
                 flush=True,
             )
         except Exception as e:  # noqa: BLE001
@@ -428,103 +458,104 @@ def main():
                 report(f"2s OPQ->f32 ov={ov:g}", opq_f32_two_stage(ov * K), gt)
             del opq, eq_opq
 
-    if not want_sq:
+    if not want_sq and not args.ivf:
         return
 
-    # --- pass B: SQ codes (7.9GB) ---
-    sq_codes = DeviceAppender((npad, lane), jnp.int8)
-    sq_voff = DeviceAppender((npad,), jnp.float32)
-    sq_enc = jax.jit(lambda k: quantize_sq(gen_dev(k)))
-    t0 = time.perf_counter()
-    for i in range(nb):
-        c, v = sq_enc(keys[i])
-        sq_codes.append(c)
-        sq_voff.append(v)
-    print(f"pass B (SQ encode): {time.perf_counter()-t0:.0f}s "
-          f"({N/(time.perf_counter()-t0):,.0f} vec/s)", flush=True)
-    sq = qt.ScalarQuantizerU8(
-        sq_codes.finish(), sq_voff.finish(),
-        SQMetadata(actual, alpha, offset, mult, params_dot),
-    )
-    eq_sq = sq.encode_query(queries)
-    report("SQ fused exact", lambda: sq.top_k_device(eq_sq, K), gt)
-    report("SQ fused approx", lambda: sq.top_k_device(eq_sq, K, method="approx"), gt)
-    if args.k_sweep:
-        # k-scaling of the streaming exact selection (extraction cost is
-        # k-independent; only the final merge width grows).
-        for kk in (64, 256):
-            report(
-                f"SQ fused exact k={kk}",
-                lambda kk=kk: sq.top_k_device(eq_sq, kk), gt,
-            )
+    if want_sq:
+        # --- pass B: SQ codes (7.9GB) ---
+        sq_codes = DeviceAppender((npad, lane), jnp.int8)
+        sq_voff = DeviceAppender((npad,), jnp.float32)
+        sq_enc = jax.jit(lambda k: quantize_sq(gen_dev(k)))
+        t0 = time.perf_counter()
+        for i in range(nb):
+            c, v = sq_enc(keys[i])
+            sq_codes.append(c)
+            sq_voff.append(v)
+        print(f"pass B (SQ encode): {time.perf_counter()-t0:.0f}s "
+              f"({N/(time.perf_counter()-t0):,.0f} vec/s)", flush=True)
+        sq = qt.ScalarQuantizerU8(
+            sq_codes.finish(), sq_voff.finish(),
+            SQMetadata(actual, alpha, offset, mult, params_dot),
+        )
+        eq_sq = sq.encode_query(queries)
+        report("SQ fused exact", lambda: sq.top_k_device(eq_sq, K), gt)
+        report("SQ fused approx", lambda: sq.top_k_device(eq_sq, K, method="approx"), gt)
+        if args.k_sweep:
+            # k-scaling of the streaming exact selection (extraction cost is
+            # k-independent; only the final merge width grows).
+            for kk in (64, 256):
+                report(
+                    f"SQ fused exact k={kk}",
+                    lambda kk=kk: sq.top_k_device(eq_sq, kk), gt,
+                )
 
-    # --- two-stage: SQ-approx coarse -> ORIGINAL-VECTOR (f32) rescore ---
-    # The reference/qdrant serving pattern: quantized coarse search, then
-    # rescore the R survivors with the original f32 vectors. The rows are
-    # re-materialized from ids (see gen_rows) — device-side cost is real,
-    # the production host->device fetch (~126MB at R=160) is modeled as
-    # non-bottleneck. The code arrays are ARGUMENTS of the jitted step:
-    # a closure would bake the 7.7GB codes in as jit constants and hang
-    # the AOT compiler (measured: >50 min, never finished).
-    from quantization_tpu.ops.pallas.sq_kernel import (
-        sq_search_pallas as _sq_search,
-    )
-
-    def sq_f32_two_stage(rr):
-        @partial(jax.jit, static_argnames=("rr",))
-        def run(qc, qo, codes, voffs, rr):
-            _, ids = _sq_search(
-                qc, qo, codes, voffs, sq._mult_dev,
-                distance_type=qt.DistanceType.DOT, n_valid=sq.count,
-                k=rr, mode="approx",
-            )
-            rows = gen_rows(ids.reshape(-1)).reshape(Q, rr, D)
-            fs = jnp.einsum("qd,qrd->qr", queries_dev, rows)
-            ts, tp = jax.lax.top_k(fs, K)
-            return ts, jnp.take_along_axis(ids, tp, axis=1)
-
-        return lambda: run(
-            jnp.asarray(eq_sq.codes), jnp.asarray(eq_sq.offsets),
-            sq.codes, sq.voffsets, rr,
+        # --- two-stage: SQ-approx coarse -> ORIGINAL-VECTOR (f32) rescore ---
+        # The reference/qdrant serving pattern: quantized coarse search, then
+        # rescore the R survivors with the original f32 vectors. The rows are
+        # re-materialized from ids (see gen_rows) — device-side cost is real,
+        # the production host->device fetch (~126MB at R=160) is modeled as
+        # non-bottleneck. The code arrays are ARGUMENTS of the jitted step:
+        # a closure would bake the 7.7GB codes in as jit constants and hang
+        # the AOT compiler (measured: >50 min, never finished).
+        from quantization_tpu.ops.pallas.sq_kernel import (
+            sq_search_pallas as _sq_search,
         )
 
-    for ov in (4, 8, 16):
-        report(f"2s SQ->f32 ov={ov:g}", sq_f32_two_stage(ov * K), gt)
-
-    # Oversampling sweep: on noise-dominated clustered data the BQ coarse
-    # stage needs a wide candidate pool before rescoring recovers recall
-    # (each cluster holds ~N/clusters points the sign bits cannot rank).
-    # ov=512 (R=5120) would gather 1.3M rows and score a [Q, R, D] f32
-    # intermediate (~4GB) next to the resident codes — out of budget.
-    if want_bq:
-        for ov in (8.0, 32.0, 128.0):
-            two = qt.TwoStageIndex(bq, sq, oversampling=ov)
-            eq2 = (eq_bq, eq_sq)
-            report(f"two-stage ov={ov:g}", lambda: two.top_k_device(eq2, K), gt)
-        # BQ coarse -> f32 rescore: same rescorer, weaker coarse signal.
-        from quantization_tpu.ops.pallas.bq_kernel import (
-            bq_search_mxu as _bq_search,
-        )
-
-        def bq_f32_two_stage(rr):
-            # Planes passed as jit ARGUMENTS (not closure constants) for
-            # the same reason as the SQ two-stage above.
+        def sq_f32_two_stage(rr):
             @partial(jax.jit, static_argnames=("rr",))
-            def run(qplanes, planes, rr):
-                _, ids = _bq_search(
-                    qplanes, planes,
-                    distance_type=qt.DistanceType.DOT, invert=False,
-                    dim=D, n_valid=bq.count, k=rr, mode="approx",
+            def run(qc, qo, codes, voffs, rr):
+                _, ids = _sq_search(
+                    qc, qo, codes, voffs, sq._mult_dev,
+                    distance_type=qt.DistanceType.DOT, n_valid=sq.count,
+                    k=rr, mode="approx",
                 )
                 rows = gen_rows(ids.reshape(-1)).reshape(Q, rr, D)
                 fs = jnp.einsum("qd,qrd->qr", queries_dev, rows)
                 ts, tp = jax.lax.top_k(fs, K)
                 return ts, jnp.take_along_axis(ids, tp, axis=1)
 
-            return lambda: run(jnp.asarray(eq_bq.planes), bq.planes, rr)
+            return lambda: run(
+                jnp.asarray(eq_sq.codes), jnp.asarray(eq_sq.offsets),
+                sq.codes, sq.voffsets, rr,
+            )
 
-        for ov in (16, 64):
-            report(f"2s BQ->f32 ov={ov:g}", bq_f32_two_stage(ov * K), gt)
+        for ov in (4, 8, 16):
+            report(f"2s SQ->f32 ov={ov:g}", sq_f32_two_stage(ov * K), gt)
+
+        # Oversampling sweep: on noise-dominated clustered data the BQ coarse
+        # stage needs a wide candidate pool before rescoring recovers recall
+        # (each cluster holds ~N/clusters points the sign bits cannot rank).
+        # ov=512 (R=5120) would gather 1.3M rows and score a [Q, R, D] f32
+        # intermediate (~4GB) next to the resident codes — out of budget.
+        if want_bq:
+            for ov in (8.0, 32.0, 128.0):
+                two = qt.TwoStageIndex(bq, sq, oversampling=ov)
+                eq2 = (eq_bq, eq_sq)
+                report(f"two-stage ov={ov:g}", lambda: two.top_k_device(eq2, K), gt)
+            # BQ coarse -> f32 rescore: same rescorer, weaker coarse signal.
+            from quantization_tpu.ops.pallas.bq_kernel import (
+                bq_search_mxu as _bq_search,
+            )
+
+            def bq_f32_two_stage(rr):
+                # Planes passed as jit ARGUMENTS (not closure constants) for
+                # the same reason as the SQ two-stage above.
+                @partial(jax.jit, static_argnames=("rr",))
+                def run(qplanes, planes, rr):
+                    _, ids = _bq_search(
+                        qplanes, planes,
+                        distance_type=qt.DistanceType.DOT, invert=False,
+                        dim=D, n_valid=bq.count, k=rr, mode="approx",
+                    )
+                    rows = gen_rows(ids.reshape(-1)).reshape(Q, rr, D)
+                    fs = jnp.einsum("qd,qrd->qr", queries_dev, rows)
+                    ts, tp = jax.lax.top_k(fs, K)
+                    return ts, jnp.take_along_axis(ids, tp, axis=1)
+
+                return lambda: run(jnp.asarray(eq_bq.planes), bq.planes, rr)
+
+            for ov in (16, 64):
+                report(f"2s BQ->f32 ov={ov:g}", bq_f32_two_stage(ov * K), gt)
 
     if not args.ivf:
         return
@@ -536,7 +567,8 @@ def main():
     from quantization_tpu.models.ivf import IVFIndex, IVFMetadata
     from quantization_tpu.ops import ivf as ivf_ops
 
-    del sq, eq_sq  # rebuilt permuted below; keep HBM headroom
+    if want_sq:
+        del sq, eq_sq  # rebuilt permuted below; keep HBM headroom
 
     S = args.ivf_bucket
     t0 = time.perf_counter()
@@ -616,39 +648,7 @@ def main():
             for app, o in zip(appenders, outs):
                 app.append(o[: min(B, left)])
 
-    # ---- IVF-SQ ----
     npad_i = total_rows + (-total_rows) % SQ_TILE
-    t0 = time.perf_counter()
-    isq_codes = DeviceAppender((npad_i, lane), jnp.int8)
-    isq_voff = DeviceAppender((npad_i,), jnp.float32)
-    encode_permuted(
-        (isq_codes, isq_voff),
-        jax.jit(lambda pids, _s0: quantize_sq(gen_rows(pids))),
-    )
-    sq_inner = qt.ScalarQuantizerU8(
-        isq_codes.finish(), isq_voff.finish(),
-        SQMetadata(actual, alpha, offset, mult, params_inner),
-    )
-    print(f"IVF-SQ permuted encode: {time.perf_counter()-t0:.0f}s",
-          flush=True)
-    ivf_sq = IVFIndex(
-        sq_inner, bucket_ids, means,
-        IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
-                    kind="sq", nbuckets=nbk,
-                    vector_parameters=params_dot),
-    )
-    eq_ivf = ivf_sq.encode_query(queries)
-    # Q=256 queries spread over the clusters touch ~Q distinct ones, and
-    # each cluster spans ~10k/S buckets — high recall at this batch size
-    # needs a union of a few thousand buckets (the latency regime Q<=32
-    # probes far narrower; tests cover it).
-    for p, u in ((64, 256), (64, 1024), (64, 2560), (64, 5120)):
-        report(
-            f"IVF-SQ p={p} nscan={u}",
-            lambda p=p, u=u: ivf_sq.top_k_device(
-                eq_ivf, K, method="approx", nprobe=p, nscan=u
-            ), gt,
-        )
 
     # IVF coarse -> f32 rescore: probe-limited coarse at the family's
     # full-scan recall quality (the coarse errors are quantization noise,
@@ -674,96 +674,157 @@ def main():
 
         return run
 
-    for rr, p, u in (
-        (40, 64, 1024), (40, 64, 2560), (80, 64, 2560), (40, 64, 5120),
-        (80, 64, 5120),
-    ):
-        report(
-            f"2s IVF-SQ->f32 R={rr} p={p} nscan={u}",
-            ivf_f32(ivf_sq, eq_ivf, rr, p, u), gt,
+    def ladder(fracs):
+        """nscan values at the given scanned-bucket FRACTIONS of nbk,
+        rounded to 256-bucket multiples so the 10M anchor geometry
+        (nbk=21,587, S=512) reproduces the round-3 absolute ladder
+        (256 / 1024 / 2560 / 5120) exactly while the same fractions
+        scale to any corpus size (the capacity runs)."""
+        return sorted({
+            max(64, 256 * max(1, round(f * nbk / 256))) for f in fracs
+        })
+
+    if Q <= 32:
+        # Latency regime: the batch union narrows with the query mix —
+        # thousand-bucket scans are the Q=256 regime's cost, not this
+        # one's (BASELINE "Latency regime").
+        sq_coarse_ladder = [(64, u) for u in (64, 256, 1024)]
+        sq_rescore_ladder = [(40, 64, 256), (40, 64, 1024)]
+    else:
+        sq_coarse_ladder = [
+            (64, u) for u in ladder((0.0119, 0.0475, 0.1186, 0.2372))
+        ]
+        _fr = ladder((0.0475, 0.1186, 0.2372))
+        sq_rescore_ladder = [
+            (rr, 64, u) for u in _fr
+            for rr in ((40,) if u == _fr[0] else (40, 80))
+        ]
+
+    if args.ivf_base in ("all", "sq"):
+        # ---- IVF-SQ ----
+        t0 = time.perf_counter()
+        isq_codes = DeviceAppender((npad_i, lane), jnp.int8)
+        isq_voff = DeviceAppender((npad_i,), jnp.float32)
+        encode_permuted(
+            (isq_codes, isq_voff),
+            jax.jit(lambda pids, _s0: quantize_sq(gen_rows(pids))),
         )
-    del ivf_sq, sq_inner, eq_ivf, isq_codes, isq_voff
-
-    # ---- IVF-BQ (+ f32 rescore): 1-bit probed scans. On realistic data
-    # the full-scan BQ coarse rescored reaches ~0.98 recall; the IVF scan
-    # makes the already-cheap plane stream ~probed-fraction cheap, so
-    # this is the candidate ceiling of the qps-at-high-recall frontier.
-    t0 = time.perf_counter()
-    ibq_planes = DeviceAppender((npad_i, w8), jnp.uint32)
-    encode_permuted(
-        (ibq_planes,), jax.jit(lambda pids, _s0: pack_bq(gen_rows(pids)))
-    )
-    bq_inner = qt.BinaryQuantizer(
-        jnp.transpose(ibq_planes.finish()), BQMetadata(params_inner)
-    )
-    print(f"IVF-BQ permuted encode: {time.perf_counter()-t0:.0f}s",
-          flush=True)
-    ivf_bq = IVFIndex(
-        bq_inner, bucket_ids, means,
-        IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
-                    kind="bq", nbuckets=nbk,
-                    vector_parameters=params_dot),
-    )
-    eq_ibq = ivf_bq.encode_query(queries)
-    for p, u in ((64, 1024), (64, 2560), (64, 5120)):
-        report(
-            f"IVF-BQ p={p} nscan={u}",
-            lambda p=p, u=u: ivf_bq.top_k_device(
-                eq_ibq, K, method="approx", nprobe=p, nscan=u
-            ), gt,
+        sq_inner = qt.ScalarQuantizerU8(
+            isq_codes.finish(), isq_voff.finish(),
+            SQMetadata(actual, alpha, offset, mult, params_inner),
         )
-    for rr, p, u in (
-        (160, 64, 2560), (320, 64, 2560), (160, 64, 5120),
-        (320, 64, 5120),
-    ):
-        report(
-            f"2s IVF-BQ->f32 R={rr} p={p} nscan={u}",
-            ivf_f32(ivf_bq, eq_ibq, rr, p, u), gt,
+        print(f"IVF-SQ permuted encode: {time.perf_counter()-t0:.0f}s",
+              flush=True)
+        ivf_sq = IVFIndex(
+            sq_inner, bucket_ids, means,
+            IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
+                        kind="sq", nbuckets=nbk,
+                        vector_parameters=params_dot),
         )
-    del ivf_bq, bq_inner, eq_ibq, ibq_planes
+        eq_ivf = ivf_sq.encode_query(queries)
+        # Q=256 queries spread over the clusters touch ~Q distinct ones, and
+        # each cluster spans ~10k/S buckets — high recall at this batch size
+        # needs a union of a few thousand buckets (the latency regime Q<=32
+        # probes far narrower; tests cover it).
+        for p, u in sq_coarse_ladder:
+            report(
+                f"IVF-SQ p={p} nscan={u}",
+                lambda p=p, u=u: ivf_sq.top_k_device(
+                    eq_ivf, K, method="approx", nprobe=p, nscan=u
+                ), gt,
+            )
 
-    # ---- IVF-OPQ (+ f32 rescore: the compressed serving ladder) ----
-    from quantization_tpu.ops.opq import train_opq
+        for rr, p, u in sq_rescore_ladder:
+            report(
+                f"2s IVF-SQ->f32 R={rr} p={p} nscan={u}",
+                ivf_f32(ivf_sq, eq_ivf, rr, p, u), gt,
+            )
+        del ivf_sq, sq_inner, eq_ivf, isq_codes, isq_voff
 
-    t0 = time.perf_counter()
-    rot_i, cents_i = train_opq(sample, division, pq_ops.CENTROIDS_COUNT)
-    rot_dev = jnp.asarray(rot_i)
-    ci_dev = jnp.asarray(pq_ops.centroids_to_chunks(cents_i, division))
-
-    def enc_opq_rows(pids, _s0):
-        xr = gen_rows(pids) @ rot_dev
-        xc = jnp.transpose(xr.reshape(-1, m, args.chunk_size), (1, 0, 2))
-        return pq_ops.encode_batch(xc, ci_dev).astype(jnp.uint8)
-
-    iopq_codes = DeviceAppender((npad_i, m), jnp.uint8)
-    encode_permuted((iopq_codes,), jax.jit(enc_opq_rows))
-    opq_inner = qt.ProductQuantizer(
-        iopq_codes.finish(),
-        PQMetadata(cents_i, division, params_inner, rotation=rot_i),
-    )
-    print(f"IVF-OPQ train+permuted encode: {time.perf_counter()-t0:.0f}s",
-          flush=True)
-    ivf_opq = IVFIndex(
-        opq_inner, bucket_ids, means,
-        IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
-                    kind="pq", nbuckets=nbk,
-                    vector_parameters=params_dot),
-    )
-    eq_o = ivf_opq.encode_query(queries)
-    for p, u in ((64, 1024), (64, 2560), (64, 5120)):
-        report(
-            f"IVF-OPQ p={p} nscan={u}",
-            lambda p=p, u=u: ivf_opq.top_k_device(
-                eq_o, K, method="approx", nprobe=p, nscan=u
-            ), gt,
+    if args.ivf_base in ("all", "bq"):
+        # ---- IVF-BQ (+ f32 rescore): 1-bit probed scans. On realistic data
+        # the full-scan BQ coarse rescored reaches ~0.98 recall; the IVF scan
+        # makes the already-cheap plane stream ~probed-fraction cheap, so
+        # this is the candidate ceiling of the qps-at-high-recall frontier.
+        t0 = time.perf_counter()
+        ibq_planes = DeviceAppender((npad_i, w8), jnp.uint32)
+        encode_permuted(
+            (ibq_planes,), jax.jit(lambda pids, _s0: pack_bq(gen_rows(pids)))
         )
-
-    for rr, p, u in ((80, 64, 2560), (160, 64, 2560), (160, 64, 5120)):
-        report(
-            f"2s IVF-OPQ->f32 R={rr} p={p} nscan={u}",
-            ivf_f32(ivf_opq, eq_o, rr, p, u), gt,
+        bq_inner = qt.BinaryQuantizer(
+            jnp.transpose(ibq_planes.finish()), BQMetadata(params_inner)
         )
-    del ivf_opq, opq_inner, eq_o, iopq_codes
+        print(f"IVF-BQ permuted encode: {time.perf_counter()-t0:.0f}s",
+              flush=True)
+        ivf_bq = IVFIndex(
+            bq_inner, bucket_ids, means,
+            IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
+                        kind="bq", nbuckets=nbk,
+                        vector_parameters=params_dot),
+        )
+        eq_ibq = ivf_bq.encode_query(queries)
+        for p, u in [(64, u) for u in ladder((0.0475, 0.1186, 0.2372))]:
+            report(
+                f"IVF-BQ p={p} nscan={u}",
+                lambda p=p, u=u: ivf_bq.top_k_device(
+                    eq_ibq, K, method="approx", nprobe=p, nscan=u
+                ), gt,
+            )
+        for rr, p, u in [
+            (rr, 64, u) for u in ladder((0.1186, 0.2372))
+            for rr in (160, 320)
+        ]:
+            report(
+                f"2s IVF-BQ->f32 R={rr} p={p} nscan={u}",
+                ivf_f32(ivf_bq, eq_ibq, rr, p, u), gt,
+            )
+        del ivf_bq, bq_inner, eq_ibq, ibq_planes
+
+    if args.ivf_base == "all":
+        # ---- IVF-OPQ (+ f32 rescore: the compressed serving ladder) ----
+        from quantization_tpu.ops.opq import train_opq
+
+        t0 = time.perf_counter()
+        rot_i, cents_i = train_opq(sample, division, pq_ops.CENTROIDS_COUNT)
+        rot_dev = jnp.asarray(rot_i)
+        ci_dev = jnp.asarray(pq_ops.centroids_to_chunks(cents_i, division))
+
+        def enc_opq_rows(pids, _s0):
+            xr = gen_rows(pids) @ rot_dev
+            xc = jnp.transpose(xr.reshape(-1, m, args.chunk_size), (1, 0, 2))
+            return pq_ops.encode_batch(xc, ci_dev).astype(jnp.uint8)
+
+        iopq_codes = DeviceAppender((npad_i, m), jnp.uint8)
+        encode_permuted((iopq_codes,), jax.jit(enc_opq_rows))
+        opq_inner = qt.ProductQuantizer(
+            iopq_codes.finish(),
+            PQMetadata(cents_i, division, params_inner, rotation=rot_i),
+        )
+        print(f"IVF-OPQ train+permuted encode: {time.perf_counter()-t0:.0f}s",
+              flush=True)
+        ivf_opq = IVFIndex(
+            opq_inner, bucket_ids, means,
+            IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
+                        kind="pq", nbuckets=nbk,
+                        vector_parameters=params_dot),
+        )
+        eq_o = ivf_opq.encode_query(queries)
+        for p, u in [(64, u) for u in ladder((0.0475, 0.1186, 0.2372))]:
+            report(
+                f"IVF-OPQ p={p} nscan={u}",
+                lambda p=p, u=u: ivf_opq.top_k_device(
+                    eq_o, K, method="approx", nprobe=p, nscan=u
+                ), gt,
+            )
+
+        for rr, p, u in [(80, 64, ladder((0.1186,))[0]),
+                         (160, 64, ladder((0.1186,))[0]),
+                         (160, 64, ladder((0.2372,))[0])]:
+            report(
+                f"2s IVF-OPQ->f32 R={rr} p={p} nscan={u}",
+                ivf_f32(ivf_opq, eq_o, rr, p, u), gt,
+            )
+        del ivf_opq, opq_inner, eq_o, iopq_codes
 
     if not args.ivf_residual:
         return
@@ -841,14 +902,14 @@ def main():
                     vector_parameters=params_dot, residual=True),
     )
     eq_sqr = ivf_sqr.encode_query(queries)
-    for p, u in ((64, 1024), (64, 2560), (64, 5120)):
+    for p, u in [(64, u) for u in ladder((0.0475, 0.1186, 0.2372))]:
         report(
             f"IVF-SQr p={p} nscan={u}",
             lambda p=p, u=u: ivf_sqr.top_k_device(
                 eq_sqr, K, method="approx", nprobe=p, nscan=u
             ), gt,
         )
-    for rr, p, u in ((40, 64, 2560), (40, 64, 5120)):
+    for rr, p, u in [(40, 64, u) for u in ladder((0.1186, 0.2372))]:
         report(
             f"2s IVF-SQr->f32 R={rr} p={p} nscan={u}",
             ivf_f32(ivf_sqr, eq_sqr, rr, p, u), gt,
@@ -856,6 +917,8 @@ def main():
     del ivf_sqr, sqr_inner, eq_sqr, isqr_codes, isqr_voff
 
     # ---- residual IVF-OPQ (rotation + codebooks trained on residuals) --
+    from quantization_tpu.ops.opq import train_opq
+
     t0 = time.perf_counter()
     rot_r, cents_r = train_opq(
         r_smp[:20_000], division, pq_ops.CENTROIDS_COUNT
@@ -885,14 +948,16 @@ def main():
                     vector_parameters=params_dot, residual=True),
     )
     eq_or = ivf_opqr.encode_query(queries)
-    for p, u in ((64, 1024), (64, 2560), (64, 5120)):
+    for p, u in [(64, u) for u in ladder((0.0475, 0.1186, 0.2372))]:
         report(
             f"IVF-OPQr p={p} nscan={u}",
             lambda p=p, u=u: ivf_opqr.top_k_device(
                 eq_or, K, method="approx", nprobe=p, nscan=u
             ), gt,
         )
-    for rr, p, u in ((40, 64, 2560), (40, 64, 5120), (160, 64, 5120)):
+    for rr, p, u in [(40, 64, ladder((0.1186,))[0]),
+                     (40, 64, ladder((0.2372,))[0]),
+                     (160, 64, ladder((0.2372,))[0])]:
         report(
             f"2s IVF-OPQr->f32 R={rr} p={p} nscan={u}",
             ivf_f32(ivf_opqr, eq_or, rr, p, u), gt,
