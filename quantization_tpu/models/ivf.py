@@ -392,8 +392,8 @@ def _ivf_search(
     ``resid`` (residual indexes, metadata.residual): ``(corr_scale,)``
     for SQ or ``(corr_scale, rowadd)`` for PQ — the inner codes score
     q . (v - c_b), and the bucket term corr_scale * (q . c_b) is computed
-    here (one [Q, B] matmul against the probe means) and added in-kernel
-    before extraction."""
+    here UNION-FIRST (one [U, D] x [D, Q] matmul against the scanned
+    buckets' means only) and added in-kernel before extraction."""
     nq = q.shape[0]
     nb = means.shape[0]
     prio = _bucket_priority(q, means, dt, invert, p)
@@ -401,47 +401,52 @@ def _ivf_search(
     if kk2 is None:  # dedupe margin: pad slots duplicate rows
         kk2 = min(2 * k, u * s)
 
-    qc = rowadd = None
+    qc_u = rowadd = None
     if resid is not None:
+        # UNION-FIRST: only the u scanned buckets' additive columns are
+        # ever read, so gather their means and do one [U, D] x [D, Q]
+        # matmul — O(U) instead of the former all-buckets [Q, B] matmul
+        # + global repeat/pad/transpose, which scaled with nbuckets and
+        # measured ~2x the whole probed scan at 10M (nb=21.6k, u=1k).
+        # Built directly TRANSPOSED (queries on lanes) — the kernels'
+        # corr operand layout — so no minor-dim transpose remains.
         # HIGHEST: the bucket term is data-scale (|q||c_b| ~ hundreds)
         # while residual ranking is residual-scale; TPU's default f32 dot
         # (one bf16 pass, ~2^-9) injects ~0.1-1 score noise here.
-        qc = jnp.matmul(
-            q, means.T, precision=jax.lax.Precision.HIGHEST
-        ) * resid[0]  # [Q, B]
+        qc_u = jnp.matmul(
+            jnp.take(means, union, axis=0), q.T,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * resid[0]  # [U, Q]
         if kind == "pq":
             # PQ carries rc*|q|^2 here (f32, exact) rather than on LUT
             # chunk 0 — see _residual_query_pq. SQ folds it into qoff.
             _, rc = _residual_coeffs(dt, invert)
             if rc != 0.0:
-                qc = qc + rc * jnp.sum(q * q, axis=1)[:, None]
+                qc_u = qc_u + rc * jnp.sum(q * q, axis=1)[None, :]
         if len(resid) > 1:
             rowadd = resid[1]
 
     if indexed:
-        corr_g = None
-        if qc is not None:
+        corr_t = None
+        if qc_u is not None:
             from ..ops.pallas.sq_kernel import CORR_BLK
 
-            # GLOBAL per-512-row-block layout (the indexed kernels walk
-            # global tiles); pad columns for any kernel-pad rows past
-            # nb*s (their scores are masked by rowadd/voff = NEG).
-            corr_g = jnp.repeat(qc, s // CORR_BLK, axis=1)
-            nrows = inner[0].shape[1] if kind == "pq" else inner[0].shape[0]
-            corr_g = jnp.pad(
-                corr_g,
-                ((0, 0), (0, nrows // CORR_BLK - corr_g.shape[1])),
-            )
-            if rowadd is not None and rowadd.shape[0] < nrows:
-                # Kernel-pad rows past nb*s: mask them outright.
-                rowadd = jnp.pad(
-                    rowadd, (0, nrows - rowadd.shape[0]),
-                    constant_values=NEG,
-                )
+            # SELECTION-order per-512-row-block layout [U*(s/512), Q]:
+            # block row j is the j-th selected tile's additive (buckets
+            # are CORR_BLK-aligned, tiles within a bucket consecutive).
+            corr_t = jnp.repeat(qc_u, s // CORR_BLK, axis=0)
+            if rowadd is not None:
+                nrows = inner[0].shape[1]  # pq only (transposed codes)
+                if rowadd.shape[0] < nrows:
+                    # Kernel-pad rows past nb*s: mask them outright.
+                    rowadd = jnp.pad(
+                        rowadd, (0, nrows - rowadd.shape[0]),
+                        constant_values=NEG,
+                    )
         sv, gloc = _scan_buckets_indexed(
             kind, eq, inner, union, s=s, itile=itile, dt=dt,
             invert=invert, dim=dim, kk2=kk2, method=method,
-            corr=corr_g, rowadd=rowadd, precision=precision, rt=rt,
+            corr=corr_t, rowadd=rowadd, precision=precision, rt=rt,
         )
         out_ids = jnp.take(slot_ids.reshape(-1), jnp.maximum(gloc, 0))
         out_ids = jnp.where(gloc >= 0, out_ids, -1)
@@ -451,7 +456,7 @@ def _ivf_search(
         kind, eq, inner, union, nb=nb, s=s, dt=dt, invert=invert,
         dim=dim, use_fused=use_fused, kk2=kk2, method=method,
         corr=(
-            None if qc is None else jnp.take(qc, union, axis=1)
+            None if qc_u is None else jnp.transpose(qc_u)
         ),
         rowadd=rowadd, precision=precision, rt=rt,
     )
@@ -471,8 +476,10 @@ def _scan_buckets_indexed(
     indexes buckets of the arrays in ``inner`` (full corpus single-device,
     a shard's local slice inside shard_map). Returns (sv [Q, kk2],
     gloc [Q, kk2]) with ``gloc`` a slot position in those arrays or -1.
-    ``corr`` / ``rowadd``: residual additive terms in GLOBAL layout (see
-    _ivf_search)."""
+    ``corr``: residual per-block additive in SELECTION-order transposed
+    layout [U*(s/CORR_BLK), Q] (see _ivf_search); ``rowadd``: per-row
+    additive in GLOBAL layout (indexed by the same prefetch map as the
+    codes)."""
     kernel_mode = "approx" if method == "approx" else "exact"
     tpb = s // itile
     tiles = (

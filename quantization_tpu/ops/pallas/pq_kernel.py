@@ -457,7 +457,7 @@ def pq_search_indexed(
     codes_t: jax.Array,  # int8/uint8 [Mpad, Npad]
     tile_sel: jax.Array,  # i32 [T] tile ids (tile t = cols [t*tile_n, ...))
     rowadd: jax.Array = None,  # f32 [Npad] per-row additive (residual IVF)
-    corr: jax.Array = None,  # f32 [Q, Npad/CORR_BLK] GLOBAL layout
+    corr: jax.Array = None,  # f32 [T*(tile_n/CORR_BLK), Q] SELECTION order
     *,
     k: int,
     interpret: bool = None,
@@ -538,10 +538,12 @@ def pq_search_indexed(
         from .sq_kernel import CORR_BLK
 
         cw = tile_n // CORR_BLK
-        assert corr.shape[1] == n // CORR_BLK and rowadd.shape[0] == n
-        corr_t = jnp.transpose(
-            pad_dim_to(corr.astype(jnp.float32), 0, qp)
-        )[:, :, None]  # [NC, qp, 1]
+        # corr arrives SELECTION-order [T*cw, Q] (queries on lanes, built
+        # union-first so the additive costs O(U) — see sq_search_indexed);
+        # rowadd stays GLOBAL [Npad] (per-row, indexed by the same
+        # scalar-prefetch map as the codes).
+        assert corr.shape == (nt * cw, q) and rowadd.shape[0] == n
+        corr_t = pad_dim_to(corr.astype(jnp.float32), 1, qp)[:, :, None]
         operands += [rowadd.astype(jnp.float32).reshape(1, n), corr_t]
         in_specs += [
             pl.BlockSpec(
@@ -549,7 +551,7 @@ def pq_search_indexed(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (cw, tile_q, 1), lambda i, j, l, s: (s[j], i, 0),
+                (cw, tile_q, 1), lambda i, j, l, s: (j, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ]

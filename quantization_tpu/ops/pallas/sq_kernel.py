@@ -471,7 +471,7 @@ def sq_search_indexed(
     voff: jax.Array,  # f32 [Npad]
     multiplier: jax.Array,  # f32 scalar
     tile_sel: jax.Array,  # i32 [T] tile ids (tile t = rows [t*tile_n, ...))
-    corr: jax.Array = None,  # f32 [Q, Npad/CORR_BLK] GLOBAL layout, opt.
+    corr: jax.Array = None,  # f32 [T*(tile_n/CORR_BLK), Q] SELECTION order
     *,
     distance_type: DistanceType,
     k: int,
@@ -512,16 +512,24 @@ def sq_search_indexed(
     with_corr = corr is not None
     cw = tile_n // CORR_BLK
     if with_corr:
-        assert corr.shape[1] == n // CORR_BLK, (
-            f"corr needs one column per {CORR_BLK} padded rows: "
-            f"{corr.shape[1]} != {n // CORR_BLK}"
+        # SELECTION-order layout [T*cw, Q] — block row j*cw..(j+1)*cw is
+        # the j-th SELECTED tile's additive columns, already transposed
+        # (queries on lanes). The caller builds it union-first (one small
+        # [U, D] x [D, Q] matmul), so the residual additive costs O(U),
+        # not O(nbuckets): the former GLOBAL [Q, N/512] layout paid an
+        # all-buckets HIGHEST matmul + a [Q, N/512] minor-dim transpose
+        # per dispatch — measured ~2x the whole probed scan at 10M.
+        assert corr.shape == (nt * cw, q), (
+            f"corr must be selection-order [T*{cw}, Q]: "
+            f"{corr.shape} != {(nt * cw, q)}"
         )
-        corr_p = pad_dim_to(corr.astype(jnp.float32), 0, qp)
-        corr_ops = (jnp.transpose(corr_p)[:, :, None],)  # [NC, qp, 1]
+        corr_ops = (
+            pad_dim_to(corr.astype(jnp.float32), 1, qp)[:, :, None],
+        )  # [T*cw, qp, 1]
         corr_specs = [
             pl.BlockSpec(
                 (cw, tile_q, 1),
-                lambda i, j, s: (s[j], i, 0),
+                lambda i, j, s: (j, i, 0),
                 memory_space=pltpu.VMEM,
             )
         ]
@@ -540,9 +548,8 @@ def sq_search_indexed(
             voff.reshape(n // tile_n, tile_n), sel_op, axis=0
         ).reshape(nt * tile_n)
         if with_corr:
-            gc = jnp.take(
-                corr.reshape(q, n // tile_n, cw), sel_op, axis=1
-            ).reshape(q, nt * cw)
+            # corr is already selection-order: just restore [q, nt*cw].
+            gc = jnp.transpose(corr)
 
         def score_block(b0, b1):
             acc = jax.lax.dot_general(

@@ -121,9 +121,10 @@ def _ivf_sharded_search(
 
     ``resid`` (residual indexes): ``(corr_scale,)`` for SQ or
     ``(corr_scale, rowadd)`` for PQ — the bucket term corr_scale *
-    (q . c_b) is computed per shard against the replicated (reordered)
-    means and sliced to the shard's own buckets; ``rowadd`` arrives
-    already bucket-sharded (one slice per shard inside shard_map)."""
+    (q . c_b) is computed per shard UNION-FIRST against the replicated
+    (reordered) means (only the shard's scanned buckets' columns, see
+    models/ivf.py _ivf_search); ``rowadd`` arrives already
+    bucket-sharded (one slice per shard inside shard_map)."""
     nq = q.shape[0]
 
     def local(q, eq, means, sid_loc, inner, resid):
@@ -131,38 +132,42 @@ def _ivf_sharded_search(
         sidx = jax.lax.axis_index(axis)
         my = jax.lax.dynamic_slice(prio, (sidx * b_loc,), (b_loc,))
         _, union_loc = jax.lax.top_k(my, u_loc)  # LOCAL bucket indices
-        my_qc = rowadd_loc = None
+        qc_u = rowadd_loc = None
         if resid is not None:
-            # HIGHEST: data-scale bucket term, residual-scale ranking
-            # (see models/ivf.py _ivf_search).
-            qc = jnp.matmul(
-                q, means.T, precision=jax.lax.Precision.HIGHEST
-            ) * resid[0]  # [Q, B_pad] replicated
+            # UNION-FIRST, like models/ivf.py _ivf_search: gather only
+            # this shard's scanned buckets' means (global index =
+            # shard offset + local union) and do one [U_loc, D] x [D, Q]
+            # matmul — the former replicated [Q, B_pad] HIGHEST matmul
+            # per shard scaled with the TOTAL bucket count. Built
+            # transposed (queries on lanes), the kernels' corr layout.
+            # HIGHEST: data-scale bucket term, residual-scale ranking.
+            qc_u = jnp.matmul(
+                jnp.take(means, sidx * b_loc + union_loc, axis=0), q.T,
+                precision=jax.lax.Precision.HIGHEST,
+            ) * resid[0]  # [U_loc, Q]
             if kind == "pq":
                 # rc*|q|^2 rides the f32 corr additive, not LUT chunk 0
                 # (see models/ivf.py _residual_query_pq).
                 _, rc = _residual_coeffs(dt, invert)
                 if rc != 0.0:
-                    qc = qc + rc * jnp.sum(q * q, axis=1)[:, None]
-            my_qc = jax.lax.dynamic_slice(
-                qc, (0, sidx * b_loc), (nq, b_loc)
-            )
+                    qc_u = qc_u + rc * jnp.sum(q * q, axis=1)[None, :]
             if len(resid) > 1:
                 rowadd_loc = resid[1]  # this shard's [b_loc*s] slice
         if itile:
             # In-place probed scan over this shard's slice; gloc is a
             # slot position in the LOCAL arrays -> local slot-id map.
-            corr_g = None
-            if my_qc is not None:
+            corr_t = None
+            if qc_u is not None:
                 from ..ops.pallas.sq_kernel import CORR_BLK
 
-                # Local rows are exactly b_loc*s (bucket_size % 512 == 0
-                # is enforced at residual encode, so no kernel-pad rows).
-                corr_g = jnp.repeat(my_qc, s // CORR_BLK, axis=1)
+                # SELECTION-order [U_loc*(s/512), Q] (bucket_size % 512
+                # == 0 is enforced at residual encode, so no kernel-pad
+                # rows past b_loc*s).
+                corr_t = jnp.repeat(qc_u, s // CORR_BLK, axis=0)
             sv, loc = _scan_buckets_indexed(
                 kind, eq, inner, union_loc, s=s, itile=itile, dt=dt,
                 invert=invert, dim=dim, kk2=kk2, method=method,
-                corr=corr_g, rowadd=rowadd_loc, precision=precision, rt=rt,
+                corr=corr_t, rowadd=rowadd_loc, precision=precision, rt=rt,
             )
             gids = sid_loc.reshape(-1)
         else:
@@ -171,8 +176,7 @@ def _ivf_sharded_search(
                 invert=invert, dim=dim, use_fused=use_fused, kk2=kk2,
                 method=method,
                 corr=(
-                    None if my_qc is None
-                    else jnp.take(my_qc, union_loc, axis=1)
+                    None if qc_u is None else jnp.transpose(qc_u)
                 ),
                 rowadd=rowadd_loc, precision=precision, rt=rt,
             )
