@@ -644,9 +644,9 @@ def main():
                 jnp.int32(i * B),
             )
             outs = outs if isinstance(outs, tuple) else (outs,)
-            left = total_rows - i * B
+            left = min(B, total_rows - i * B)
             for app, o in zip(appenders, outs):
-                app.append(o[: min(B, left)])
+                app.append(o[:, :left] if app._axis == 1 else o[:left])
 
     npad_i = total_rows + (-total_rows) % SQ_TILE
 
@@ -746,13 +746,19 @@ def main():
         # the full-scan BQ coarse rescored reaches ~0.98 recall; the IVF scan
         # makes the already-cheap plane stream ~probed-fraction cheap, so
         # this is the candidate ceiling of the qps-at-high-recall frontier.
+        # Planes are appended directly in the kernel's [w8, N] plane-major
+        # layout (axis=1 commits of cheap per-batch transposes): the
+        # full-array transpose this replaces double-buffers the planes —
+        # ~10GB of transient at the 100M capacity scale, the difference
+        # between fitting and OOM on one chip.
         t0 = time.perf_counter()
-        ibq_planes = DeviceAppender((npad_i, w8), jnp.uint32)
+        ibq_planes = DeviceAppender((w8, npad_i), jnp.uint32, axis=1)
         encode_permuted(
-            (ibq_planes,), jax.jit(lambda pids, _s0: pack_bq(gen_rows(pids)))
+            (ibq_planes,),
+            jax.jit(lambda pids, _s0: pack_bq(gen_rows(pids)).T),
         )
         bq_inner = qt.BinaryQuantizer(
-            jnp.transpose(ibq_planes.finish()), BQMetadata(params_inner)
+            ibq_planes.finish(), BQMetadata(params_inner)
         )
         print(f"IVF-BQ permuted encode: {time.perf_counter()-t0:.0f}s",
               flush=True)
