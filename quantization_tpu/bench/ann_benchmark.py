@@ -178,20 +178,26 @@ def bench_scoring(data: AnnBenchmarkData, index, args, label: str):
 
     if not hasattr(index, "score_batch"):
         def run():
-            out = index.top_k_device(eq, 10)
-            jax.block_until_ready(out)
+            return index.top_k_device(eq, 10)
         label = f"{label} search-top10"
     else:
         def run():
-            out = index.score_batch(eq)
-            jax.block_until_ready(out)
+            return index.score_batch(eq)
 
-    run()
-    run()
+    def drain(out):
+        # True host drain: block_until_ready is not a genuine barrier on
+        # tunneled backends (utils/profiling.timed has the methodology).
+        # Fetch ONE element, not the leaf: a [Q, N] score matrix would be
+        # a ~25MB tunnel transfer per iteration, measuring the link.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+
+    drain(run())
     iters = max(args.iters, 1)
     t0 = time.perf_counter()
     for _ in range(iters):
-        run()
+        out = run()
+    drain(out)
     dt = (time.perf_counter() - t0) / iters
     n = data.train.shape[0]
     qps = q.shape[0] / dt
@@ -218,11 +224,12 @@ def bench_f32(data: AnnBenchmarkData, args):
     def run_fn(qq):
         return pairwise_score(qq, train, data.distance_type, invert)
 
-    jax.block_until_ready(run_fn(q))
+    np.asarray(run_fn(q)[:1, :1])  # true drain (see quantized_bench)
     iters = max(args.iters, 1)
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(run_fn(q))
+        out = run_fn(q)
+    np.asarray(out[:1, :1])
     dt = (time.perf_counter() - t0) / iters
     qps = q.shape[0] / dt
     print(

@@ -23,7 +23,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+# Python float, not jnp.float32: a module-level device constant would
+# initialize the JAX backend at import time (holding the TPU client before
+# the caller set platforms/flags). Weak typing keeps f32 semantics.
+NEG_INF = float("-inf")
 
 
 @partial(jax.jit, static_argnames=("k",))

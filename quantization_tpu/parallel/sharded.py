@@ -60,7 +60,7 @@ from ..ops import pq as pq_ops
 from ..ops import sq as sq_ops
 from ..utils.device_store import DeviceAppender
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # Python float: no backend init at import (ops/topk.py)
 
 
 def make_mesh(

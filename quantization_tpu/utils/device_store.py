@@ -18,6 +18,22 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# Commits between genuine host syncs. JAX dispatch is async and — measured
+# on the axon-tunneled TPU backend — ``block_until_ready`` is NOT a true
+# barrier there (24 GiB of "ready" buffers were accepted on a 16 GiB chip;
+# the RESOURCE_EXHAUSTED surfaced later, at the next D2H). An unthrottled
+# streaming encode can therefore enqueue hundreds of batches whose output
+# buffers pile up server-side past HBM capacity even though every commit
+# donates. A 4-byte scalar fetch IS a genuine barrier (one RTT, ~30 ms),
+# so every SYNC_EVERY appends we fetch one element of the buffer, bounding
+# outstanding demand to ~SYNC_EVERY batch outputs.
+SYNC_EVERY = 16
+
+
+def _hard_sync(buf: jax.Array) -> None:
+    """Genuine barrier on ``buf``'s value: scalar gather + D2H fetch."""
+    jax.device_get(buf[(0,) * buf.ndim])
+
 
 def _commit_impl(
     buf: jax.Array, chunk: jax.Array, start: jax.Array, axis: int = 0
@@ -57,10 +73,16 @@ class DeviceAppender:
             self._commit = partial(_commit, axis=axis)
         self._pos = 0
         self._cap = shape[axis]
+        self._commits = 0
 
     @property
     def pos(self) -> int:
         return self._pos
+
+    def sync(self) -> None:
+        """Genuine barrier on the commit chain (see SYNC_EVERY)."""
+        if self._buf is not None:
+            _hard_sync(self._buf)
 
     def append(self, chunk: jax.Array) -> None:
         b = chunk.shape[self._axis]
@@ -72,9 +94,17 @@ class DeviceAppender:
             chunk = chunk.astype(self._buf.dtype)
         self._buf = self._commit(self._buf, chunk, jnp.int32(self._pos))
         self._pos += b
+        self._commits += 1
+        if self._commits % SYNC_EVERY == 0:
+            self.sync()
 
     def finish(self) -> jax.Array:
-        """The full buffer (rows past ``pos`` keep the fill value)."""
+        """The full buffer (rows past ``pos`` keep the fill value).
+
+        Syncs first: the returned array's commit chain is fully executed,
+        so a caller immediately allocating against it (e.g. IVFIndex's
+        device puts) sees real free HBM, not a deferred backlog."""
+        self.sync()
         buf = self._buf
         self._buf = None  # donated away; guard reuse
         return buf
@@ -123,11 +153,20 @@ class DeviceScatter:
         self._upd = jax.jit(upd, **jkw)
         self._upd_add = jax.jit(upd_add, **jkw)
         self._fill = jax.jit(fill_from, **jkw)
+        self._commits = 0
+
+    def sync(self) -> None:
+        """Genuine barrier on the commit chain (see SYNC_EVERY)."""
+        if self._buf is not None:
+            _hard_sync(self._buf)
 
     def _commit(self, fn, rows, idx) -> None:
         if rows.dtype != self._buf.dtype:
             rows = rows.astype(self._buf.dtype)
         self._buf = fn(self._buf, rows, jnp.asarray(idx, jnp.int32))
+        self._commits += 1
+        if self._commits % SYNC_EVERY == 0:
+            self.sync()
 
     def scatter(self, rows: jax.Array, idx) -> None:
         self._commit(self._upd, rows, idx)
@@ -145,6 +184,7 @@ class DeviceScatter:
             )
 
     def finish(self) -> jax.Array:
+        self.sync()  # see DeviceAppender.finish
         buf = self._buf
         self._buf = None  # donated away; guard reuse
         return buf

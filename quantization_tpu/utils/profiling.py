@@ -72,12 +72,18 @@ def timed(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
     import jax
     import numpy as np
 
+    def drain(r):
+        # One element, not the leaf: a large result would turn the drain
+        # into a multi-MB tunnel transfer, measuring the link instead.
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+
     r = None
     for _ in range(warmup):
         r = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(r)[0])
+    drain(r)
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(r)[0])
+    drain(r)
     return (time.perf_counter() - t0) / iters

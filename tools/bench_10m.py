@@ -115,6 +115,28 @@ def main():
 
     enable_compilation_cache()
 
+    def hbm_probe(tag):
+        """Binary-probe allocable HBM (QTPU_HBM_PROBE=1): the axon backend
+        has no memory_stats, so measure the largest free alloc directly.
+        block_until_ready is NOT a true barrier over the tunnel (deferred
+        allocation: 24 GiB of 'ready' zeros accepted on a 16 GiB chip) —
+        a scalar D2H fetch is, so probe with fill + fetch."""
+        import os
+
+        if not os.environ.get("QTPU_HBM_PROBE"):
+            return
+        lo, hi, ok = 0.05, 15.8, 0.0
+        while hi - lo > 0.2:
+            mid = (lo + hi) / 2
+            try:
+                x = jnp.full((int(mid * 2**30 // 4),), jnp.float32(1.25))
+                float(x[0])  # genuine sync; raises if the alloc failed
+                del x
+                ok, lo = mid, mid
+            except Exception:
+                hi = mid
+        print(f"[hbm] {tag}: ~{ok:.1f} GiB allocable", flush=True)
+
     N, D, B, Q, K = args.n, args.d, args.batch, args.queries, args.k
     assert N % B == 0, "--batch must divide --n (fixed-shape device gen)"
     assert D % args.chunk_size == 0
@@ -210,6 +232,7 @@ def main():
     mn, mx = float(mn_d), float(mx_d)
     sample = np.asarray(gen_dev(keys[0])[:10_000])  # train sample (one batch)
     print(f"pass0 (device calibration): {time.perf_counter()-t0:.0f}s", flush=True)
+    hbm_probe("after pass0")
 
     division = pq_ops.get_vector_division(D, args.chunk_size)
     centroids = None
@@ -304,11 +327,15 @@ def main():
         """Per-call BLOCKED latency: drain after every call, so each
         iteration pays the full dispatch + tunnel round-trip. The delta
         vs ``timeit`` (chained dispatch) is the host-side floor a Q=1
-        serving loop would see through this tunnel."""
-        jax.block_until_ready(fn())
+        serving loop would see through this tunnel. Drain = D2H fetch:
+        block_until_ready is NOT a true barrier over the tunnel."""
+        def drain():
+            np.asarray(jax.tree_util.tree_leaves(fn())[0])
+
+        drain()
         t0 = time.perf_counter()
         for _ in range(iters):
-            jax.block_until_ready(fn())
+            drain()
         return (time.perf_counter() - t0) / iters
 
     def report(name, fn, gt):
@@ -346,9 +373,9 @@ def main():
             bq_planes_t.append(bq_enc(keys[i]))
         if want_pq:
             pq_codes.append(pq_enc(keys[i]))
-    jax.block_until_ready(best_s)
+    gt = np.asarray(best_i)  # true drain (block_until_ready isn't)
     print(f"pass A (GT + BQ + PQ encode): {time.perf_counter()-t0:.0f}s", flush=True)
-    gt = np.asarray(best_i)
+    hbm_probe("after passA")
 
     bq = eq_bq = None
     if want_bq:
@@ -624,6 +651,7 @@ def main():
         for g in range(bpad // G)
     ])[:nbk]
     print(f"IVF bucket means: {time.perf_counter()-t0:.0f}s", flush=True)
+    hbm_probe("after means")
 
     params_inner = qt.VectorParameters(
         D, total_rows, qt.DistanceType.DOT, False
@@ -762,6 +790,7 @@ def main():
         )
         print(f"IVF-BQ permuted encode: {time.perf_counter()-t0:.0f}s",
               flush=True)
+        hbm_probe("after bq encode")
         ivf_bq = IVFIndex(
             bq_inner, bucket_ids, means,
             IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
