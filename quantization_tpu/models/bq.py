@@ -73,14 +73,14 @@ class BinaryQuantizer(EncodedVectors):
 
         count = metadata.vector_parameters.count
         npad = count + (-count) % TILE_N
-        wpad = planes.shape[0] + (-planes.shape[0]) % W_ALIGN
-        planes = jnp.pad(
-            planes,
-            (
-                (0, wpad - planes.shape[0]),
-                (0, npad - planes.shape[1]) if planes.shape[1] < npad else (0, 0),
-            ),
-        )
+        pad_w = (-planes.shape[0]) % W_ALIGN
+        pad_n = npad - planes.shape[1] if planes.shape[1] < npad else 0
+        if pad_w or pad_n:
+            # Guarded: an unconditional jnp.pad is a full copy even with
+            # zero-width pads — at the 100M capacity scale that is a ~9 GiB
+            # transient holding 2x the planes live (the difference between
+            # fitting and OOM on one chip). Pre-padded inputs skip it.
+            planes = jnp.pad(planes, ((0, pad_w), (0, pad_n)))
         self.planes = planes
         self.metadata = metadata
         self.params = metadata.vector_parameters

@@ -676,7 +676,10 @@ def main():
             for app, o in zip(appenders, outs):
                 app.append(o[:, :left] if app._axis == 1 else o[:left])
 
-    npad_i = total_rows + (-total_rows) % SQ_TILE
+    # Pad the permuted-corpus axis to the LCM of every family's Pallas tile
+    # (sq 512, pq 1024, bq 2048) so NO model __init__ re-pads: at capacity
+    # scale a re-pad is a full copy holding 2x the codes live (models/bq.py).
+    npad_i = total_rows + (-total_rows) % 2048
 
     # IVF coarse -> f32 rescore: probe-limited coarse at the family's
     # full-scan recall quality (the coarse errors are quantization noise,
