@@ -62,6 +62,23 @@ class _ResidualQueryU8:
     mult: jax.Array
 
 
+@dataclass
+class _ResidualQueryBQ:
+    """ASYMMETRIC residual-BQ query (see IVFIndex.encode_query): the
+    corpus keeps 1-bit residual signs, but the query side keeps its
+    quantized VALUES — int8 [Q, Dpad] in [-127, 127] — so the kernel's
+    affine hooks score q . sign(r) directly (a strictly better estimator
+    of q . r than sign(q) . sign(r), at identical MXU cost). ``mult`` =
+    2*A*beta*aq (traced — aq is the per-batch code scale) and ``qb`` =
+    -A*beta*aq*sum(q^) complete mult*(qs . bits)+qb = A*beta*(q . sign r);
+    beta = E|r_i| (metadata.residual_scale) maps sign units back to data
+    units so the f32 bucket term A*(q . c_b) adds coherently."""
+
+    codes: jax.Array
+    mult: jax.Array
+    qb: jax.Array
+
+
 def _registry():
     from .bq import BinaryQuantizer
     from .pq import ProductQuantizer
@@ -84,6 +101,7 @@ class IVFMetadata:
     vector_parameters: VectorParameters  # the ORIGINAL corpus (count = N)
     nscan: Optional[int] = None  # default batch-union width (None: 4*nprobe)
     residual: bool = False  # inner codes encode v - bucket_center
+    residual_scale: float = 0.0  # beta = E|r_i| (residual-BQ only)
 
     def to_json(self) -> dict:
         out = {
@@ -98,6 +116,8 @@ class IVFMetadata:
             out["nscan"] = self.nscan
         if self.residual:
             out["residual"] = True
+        if self.residual_scale:
+            out["residual_scale"] = float(self.residual_scale)
         return out
 
     @classmethod
@@ -115,6 +135,7 @@ class IVFMetadata:
                 int(obj["nscan"]) if obj.get("nscan") is not None else None
             ),
             residual=bool(obj.get("residual", False)),
+            residual_scale=float(obj.get("residual_scale", 0.0)),
         )
 
 
@@ -160,6 +181,21 @@ def _residual_query_sq(q, alpha, offset, dpad, a, rc) -> _ResidualQueryU8:
     qc = jnp.pad(qc, ((0, 0), (0, dpad - qc.shape[1])))
     qoff = a * offset * jnp.sum(q, axis=1) + rc * qn
     return _ResidualQueryU8(qc, qoff, jnp.float32(a * alpha) * aq)
+
+
+def _residual_query_bq(q, dp, a, beta) -> _ResidualQueryBQ:
+    """Residual-BQ asymmetric query (see _ResidualQueryBQ): quantized
+    VALUE codes with a per-batch scale aq (same batch coupling as
+    residual-SQ — one large-magnitude query coarsens the batch's codes),
+    affine completed so mult*(qs . bits) + qb = A*beta*(q . sign(r)):
+    q . sign(r) = aq * (2*(q^ . bits) - sum(q^)) on the true dims (padded
+    dims hit q^ = 0)."""
+    aq = jnp.maximum(jnp.max(jnp.abs(q)) / 127.0, 1e-30)
+    qc = jnp.clip(jnp.round(q / aq), -127, 127).astype(jnp.int8)
+    qc = jnp.pad(qc, ((0, 0), (0, dp - qc.shape[1])))
+    sq_ = jnp.sum(qc.astype(jnp.float32), axis=1, keepdims=True)
+    ab = jnp.float32(a * beta) * aq
+    return _ResidualQueryBQ(qc, (2.0 * ab).reshape(1), -ab * sq_)
 
 
 def _residual_query_pq(lut, a):
@@ -278,7 +314,11 @@ def _scan_buckets_compact(
 
                 scores = scores + jnp.repeat(corr_c, CORR_BLK, axis=1)
     elif kind == "bq":
-        (qplanes,) = eq
+        qaff = None
+        if len(eq) == 3:  # residual: asymmetric affine query
+            qaff, qplanes = tuple(eq), None
+        else:
+            (qplanes,) = eq
         (planes,) = inner
         w8 = planes.shape[0]
         g = jnp.take(
@@ -290,16 +330,27 @@ def _scan_buckets_compact(
 
             npadc = -(-width // BQ_TILE) * BQ_TILE
             g = jnp.pad(g, ((0, 0), (0, npadc - width)))
+            corr_k = None
+            if corr is not None:
+                corr_k = jnp.pad(
+                    corr_c,
+                    ((0, 0), (0, (npadc - width) // CORR_BLK)),
+                )
             sv, loc = bq_search_mxu(
-                qplanes, g,
+                qplanes, g, corr_k,
                 distance_type=dt, invert=invert, dim=dim,
                 n_valid=width, k=kk2, mode=kernel_mode,
-                recall_target=rt,
+                recall_target=rt, query_affine=qaff,
             )
         else:
-            scores = bq_ops.score_batch_xla(
-                qplanes, g, distance_type=dt, invert=invert, dim=dim
-            )
+            if qaff is not None:
+                scores = bq_ops.score_affine_xla(*qaff, g)
+            else:
+                scores = bq_ops.score_batch_xla(
+                    qplanes, g, distance_type=dt, invert=invert, dim=dim
+                )
+            if corr is not None:
+                scores = scores + jnp.repeat(corr_c, CORR_BLK, axis=1)
     else:  # pq
         (lut,) = eq
         (codes,) = inner
@@ -498,12 +549,16 @@ def _scan_buckets_indexed(
     if kind == "bq":
         from ..ops.pallas.bq_kernel import bq_search_indexed
 
-        (qplanes,) = eq
+        qaff = None
+        if len(eq) == 3:  # residual: asymmetric affine query
+            qaff, qplanes = tuple(eq), None
+        else:
+            (qplanes,) = eq
         (planes,) = inner
         return bq_search_indexed(
-            qplanes, planes, tiles,
+            qplanes, planes, tiles, corr,
             distance_type=dt, invert=invert, dim=dim, k=kk2,
-            tile_n=itile, recall_target=rt,
+            tile_n=itile, recall_target=rt, query_affine=qaff,
         )
     # pq, over the CACHED transposed codes (IVFIndex._pq_codes_t)
     from ..ops.pallas.pq_kernel import pq_search_indexed
@@ -642,6 +697,18 @@ class IVFIndex:
         nslots = self.bucket_ids.size
         s = self.metadata.bucket_size
         qz = self.quantizer
+        if self.metadata.kind == "bq":
+            # DOT only (gated at encode): no |v^|^2 rowterm, and the BQ
+            # layout has no per-slot additive carrier anyway — pad slots
+            # duplicate same-layout real rows and dedupe handles them.
+            # beta (metadata.residual_scale) rides the query affine.
+            if not self.metadata.residual_scale > 0.0:
+                raise ArgumentsError(
+                    "residual BQ index needs metadata.residual_scale > 0 "
+                    "(beta = E|r_i|, set by IVFIndex.encode)"
+                )
+            self._resid_sq = self._resid_pq = None
+            return
         if self.metadata.kind == "sq":
             # The query side does NOT reuse the inner [0,127] affine (a
             # data-scale query would clip against the residual range):
@@ -712,15 +779,27 @@ class IVFIndex:
         padded to nbuckets * bucket_size rows with duplicates of real
         rows (<= one bucket per cluster is partial), masked at search.
 
-        ``residual=True`` (SQ/PQ, DOT/L2): the inner quantizer encodes
-        r = v - bucket_center as a plain DOT scorer — residuals span a
-        far smaller ball than the data, so the same code budget spends
-        its resolution where the ranking signal lives (the IVF-PQ
+        ``residual=True`` (SQ/PQ DOT/L2; BQ DOT): the inner quantizer
+        encodes r = v - bucket_center as a plain DOT scorer — residuals
+        span a far smaller ball than the data, so the same code budget
+        spends its resolution where the ranking signal lives (the IVF-PQ
         recipe; no reference counterpart). The bucket term q . c_b is
         restored in-kernel at search (see _ivf_search). Needs
-        bucket_size to be a multiple of the kernels' CORR_BLK (512);
-        BQ is excluded (its Hamming scale can't absorb an absolute
-        additive term), as is L1 (no dot-expansion)."""
+        bucket_size to be a multiple of the kernels' CORR_BLK (512).
+        Residual BQ keeps 1-bit residual SIGNS on the corpus side but
+        scores them against the query's quantized VALUES (asymmetric;
+        _ResidualQueryBQ) with beta = E|r_i| bridging the units — DOT
+        only (the L2 expansion needs a per-slot additive the plane
+        layout can't carry). L1 is excluded (no dot-expansion).
+
+        Residual-BQ regime (measured on hardware, PERF_NOTES
+        "Residual-BQ regime"): it lifts recall when the within-bucket
+        score spread exceeds the 1-bit estimator's noise floor
+        ~beta*|q| (clustered/unnormalized corpora: 0.02 -> 0.18 at
+        200k x 768). On unit-normalized corpora with isotropic
+        residuals the spread is ~|r|^2/sqrt(d), far below beta*|q|,
+        and residual-BQ is a wash (0.143 -> 0.127 at 500k x 768) —
+        use residual SQ/PQ there."""
         registry = _registry()
         if isinstance(quantizer, str):
             if quantizer not in registry:
@@ -761,14 +840,18 @@ class IVFIndex:
         if residual:
             from ..ops.pallas.sq_kernel import CORR_BLK
 
-            if kind not in ("sq", "pq"):
-                raise ArgumentsError(
-                    "residual=True supports quantizer 'sq' or 'pq' (BQ's "
-                    "Hamming scale can't absorb the bucket term)"
-                )
             if params.distance_type == DistanceType.L1:
                 raise ArgumentsError(
                     "residual=True needs DOT or L2 (dot-expansion)"
+                )
+            if (
+                kind == "bq"
+                and params.distance_type != DistanceType.DOT
+            ):
+                raise ArgumentsError(
+                    "residual=True with quantizer 'bq' supports DOT only "
+                    "(the L2 expansion needs a per-slot |v^|^2 additive, "
+                    "which the 1-bit plane layout has no carrier for)"
                 )
             if bucket_size % CORR_BLK:
                 raise ArgumentsError(
@@ -799,8 +882,22 @@ class IVFIndex:
         means = ivf_ops.bucket_means(data, perm, bucket_ids)
         check_stop(stop_condition)
         permuted = data[perm]
+        residual_scale = 0.0
         if residual:
             ivf_ops.residualize_inplace(permuted, means, bucket_ids)
+            if kind == "bq":
+                # beta = E|r_i| over a row sample: maps the asymmetric
+                # estimator's sign units back to data units (see
+                # _ResidualQueryBQ). Sampled, not full — at capacity
+                # scale `permuted` is tens of GB of host memory.
+                ridx = rng.choice(
+                    perm.shape[0],
+                    size=min(perm.shape[0], 262_144),
+                    replace=False,
+                )
+                residual_scale = max(
+                    float(np.mean(np.abs(permuted[ridx]))), 1e-30
+                )
             inner_params = VectorParameters(
                 params.dim, perm.shape[0], DistanceType.DOT, False
             )
@@ -817,6 +914,7 @@ class IVFIndex:
             nlist=nlist, bucket_size=bucket_size, nprobe=nprobe,
             kind=kind, nbuckets=bucket_ids.shape[0],
             vector_parameters=params, nscan=nscan, residual=residual,
+            residual_scale=residual_scale,
         )
         return cls(inner, bucket_ids, means, meta)
 
@@ -847,6 +945,11 @@ class IVFIndex:
         # envelope as long as batch magnitudes are within ~100x of each
         # other; split wildly mixed-magnitude batches if recall dips.
         a, rc = self._res_a, self._res_rowcoef
+        if self.metadata.kind == "bq":
+            dp = self.quantizer.planes.shape[0] * 32
+            return q, _residual_query_bq(
+                q, dp, a, self.metadata.residual_scale
+            )
         if self.metadata.kind == "sq":
             # Zero-centered signed query codes with their OWN per-batch
             # scale (the inner [0,127] affine spans the residual range —
@@ -895,6 +998,11 @@ class IVFIndex:
                 (qz.codes, qz.voffsets, qz._mult_dev),
             )
         if kind == "bq":
+            if self.metadata.residual:
+                return (
+                    (eq_inner.codes, eq_inner.mult, eq_inner.qb),
+                    (qz.planes,),
+                )
             return (eq_inner.planes,), (qz.planes,)
         return (eq_inner.lut,), (qz.codes[:, : qz.num_chunks],)
 
@@ -1004,9 +1112,9 @@ class IVFIndex:
         resid = None
         if self.metadata.residual:
             resid = (
-                (self._corr_scale_dev,)
-                if kind == "sq"
-                else (self._corr_scale_dev, self._resid_pq)
+                (self._corr_scale_dev, self._resid_pq)
+                if kind == "pq"
+                else (self._corr_scale_dev,)
             )
         return _ivf_search(
             q, eq, self._means_dev, self._slot_ids_dev, inner, resid,

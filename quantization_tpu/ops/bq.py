@@ -124,6 +124,48 @@ def score_batch_xla(
     )
 
 
+def score_affine_xla(
+    qs: jax.Array,  # int8 [Q, Dp] quantized query values (0 on pads)
+    mult: jax.Array,  # f32 (1,) per-batch multiplier
+    qb: jax.Array,  # f32 [Q, 1] per-query bias
+    planes: jax.Array,  # uint32 [W, N]
+    *,
+    tile: int = 1 << 15,
+) -> jax.Array:
+    """[Q, N] affine bit scores ``mult * (qs . bits) + qb`` — the XLA twin
+    of the fused kernels' residual-BQ path (asymmetric quantized-VALUE
+    queries against unpacked 0/1 corpus bits; models/ivf.py
+    _ResidualQueryBQ). Tiles over N: the unpack materializes a
+    [Dp, tile] int8 transient per step."""
+    w, n = planes.shape
+    dp = w * 32
+    if w == 0 or n == 0:
+        return jnp.broadcast_to(qb.astype(jnp.float32), (qs.shape[0], n))
+    pad = (-n) % tile
+    planes_p = jnp.pad(planes, ((0, 0), (0, pad)))
+    tiles = jnp.moveaxis(planes_p.reshape(w, -1, tile), 1, 0)
+
+    def body(p_tile):
+        rep = jnp.repeat(p_tile.astype(jnp.int32), 32, axis=0)
+        shifts = (jnp.arange(dp, dtype=jnp.int32) % 32)[:, None]
+        bits = jnp.bitwise_and(
+            jax.lax.shift_right_logical(rep, shifts), 1
+        ).astype(jnp.int8)
+        return jax.lax.dot_general(
+            qs,
+            bits,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    acc = jax.lax.map(body, tiles)  # [nt, Q, tile]
+    acc = jnp.moveaxis(acc, 0, 1).reshape(qs.shape[0], -1)[:, :n]
+    return (
+        mult.reshape(()).astype(jnp.float32) * acc.astype(jnp.float32)
+        + qb.astype(jnp.float32)
+    )
+
+
 @partial(jax.jit, static_argnames=("distance_type", "invert", "dim"))
 def score_candidates_xla(
     qplanes: jax.Array,  # uint32 [Q, W]

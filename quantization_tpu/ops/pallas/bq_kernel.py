@@ -35,13 +35,17 @@ from .ktile import (
     SPAN,
     class_r,
     class_span,
+    combine_class_topr_ids,
     combine_class_topr_packed,
     combine_slots,
     extract_approx_tile,
+    extract_class_topr_ids,
     extract_class_topr_packed,
+    merge_classes_verified,
     merge_packed_verified,
     merge_tile_topk_all,
 )
+from .sq_kernel import CORR_BLK, _apply_corr, _corr_cols
 
 TILE_N = 2048
 W_ALIGN = 8  # sublane tile for 32-bit planes
@@ -115,14 +119,20 @@ def _unpack_bits(p_ref):
     ).astype(jnp.int8)
 
 
-def _make_mxu_topk_kernel(tile_n: int):
+def _make_mxu_topk_kernel(tile_n: int, with_corr: bool = False):
     """Approx kernel: queries-outer grid (i, j) — the SPAN-merged slot
     block needs consecutive corpus tiles; runs a 256-row query tile so the
     bit unpack happens once per corpus tile at Q<=256. The validity
     cutoff arrives as an SMEM scalar (``nv_ref``) so sharded callers can
-    pass a per-shard, data-dependent count (sharded.py)."""
+    pass a per-shard, data-dependent count (sharded.py). ``with_corr``:
+    the residual-IVF per-(query, CORR_BLK-block) additive is applied
+    BEFORE extraction (sq_kernel._apply_corr)."""
 
-    def kernel(nv_ref, mult_ref, qs_ref, p_ref, qb_ref, outv_ref, outi_ref):
+    def kernel(nv_ref, mult_ref, qs_ref, p_ref, qb_ref, *rest):
+        if with_corr:
+            corr_ref, outv_ref, outi_ref = rest
+        else:
+            outv_ref, outi_ref = rest
         j = pl.program_id(1)
         bits = _unpack_bits(p_ref)
         acc = jax.lax.dot_general(
@@ -132,6 +142,8 @@ def _make_mxu_topk_kernel(tile_n: int):
             preferred_element_type=jnp.int32,
         )
         scores = mult_ref[0] * acc.astype(jnp.float32) + qb_ref[:]
+        if with_corr:
+            scores = _apply_corr(scores, corr_ref)
         base = j * tile_n
         gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(gid < nv_ref[0], scores, NEG)
@@ -141,14 +153,20 @@ def _make_mxu_topk_kernel(tile_n: int):
     return kernel
 
 
-def _make_mxu_topk_kernel_indexed(tile_n: int):
-    """Approx kernel over a SELECTED tile set: the corpus block for grid
-    step j is tile ``sel_ref[j]`` (scalar-prefetch index map) — the IVF
-    probed-bucket scan streams only the selected plane columns from HBM.
-    Selected tiles hold only valid rows (IVF pads duplicate real rows),
-    so no validity cutoff is needed; ids are global corpus rows."""
+def _make_mxu_class_ids_kernel(
+    tile_n: int, span: int, r: int, with_corr: bool = False
+):
+    """Exact kernel, f32-keyed class-top-r-with-ids ladder (ktile) — the
+    residual-BQ path: the bucket additive (corr) and the asymmetric
+    query's fractional multiplier make scores non-integer, so the packed
+    int chains can't carry them (the same rule as residual-PQ,
+    pq_kernel._make_pq_class_kernel with_res)."""
 
-    def kernel(sel_ref, mult_ref, qs_ref, p_ref, qb_ref, outv_ref, outi_ref):
+    def kernel(nv_ref, mult_ref, qs_ref, p_ref, qb_ref, *rest):
+        if with_corr:
+            corr_ref, out_refs = rest[0], rest[1:]
+        else:
+            out_refs = rest
         j = pl.program_id(1)
         bits = _unpack_bits(p_ref)
         acc = jax.lax.dot_general(
@@ -158,6 +176,40 @@ def _make_mxu_topk_kernel_indexed(tile_n: int):
             preferred_element_type=jnp.int32,
         )
         scores = mult_ref[0] * acc.astype(jnp.float32) + qb_ref[:]
+        if with_corr:
+            scores = _apply_corr(scores, corr_ref)
+        base = j * tile_n
+        gid = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(gid < nv_ref[0], scores, NEG)
+        ms, is_, spill = extract_class_topr_ids(scores, base, r)
+        combine_class_topr_ids(out_refs, ms, is_, spill, r, j % span == 0)
+
+    return kernel
+
+
+def _make_mxu_topk_kernel_indexed(tile_n: int, with_corr: bool = False):
+    """Approx kernel over a SELECTED tile set: the corpus block for grid
+    step j is tile ``sel_ref[j]`` (scalar-prefetch index map) — the IVF
+    probed-bucket scan streams only the selected plane columns from HBM.
+    Selected tiles hold only valid rows (IVF pads duplicate real rows),
+    so no validity cutoff is needed; ids are global corpus rows."""
+
+    def kernel(sel_ref, mult_ref, qs_ref, p_ref, qb_ref, *rest):
+        if with_corr:
+            corr_ref, outv_ref, outi_ref = rest
+        else:
+            outv_ref, outi_ref = rest
+        j = pl.program_id(1)
+        bits = _unpack_bits(p_ref)
+        acc = jax.lax.dot_general(
+            qs_ref[:],
+            bits,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = mult_ref[0] * acc.astype(jnp.float32) + qb_ref[:]
+        if with_corr:
+            scores = _apply_corr(scores, corr_ref)
         base = sel_ref[j] * tile_n
         vals, idx = extract_approx_tile(scores, base)
         combine_slots(outv_ref, outi_ref, vals, idx, j % SPAN == 0)
@@ -179,9 +231,10 @@ def indexed_tile_n(dp: int, bucket_size: int) -> int:
     ),
 )
 def bq_search_indexed(
-    qplanes: jax.Array,  # uint32 [Q, W]
+    qplanes: jax.Array,  # uint32 [Q, W]  (None with query_affine)
     planes: jax.Array,  # uint32 [W8, Npad]
     tile_sel: jax.Array,  # i32 [T] tile ids (tile t = cols [t*tile_n, ...))
+    corr: jax.Array = None,  # f32 [T*(tile_n/CORR_BLK), Q] SELECTION order
     *,
     distance_type: DistanceType,
     invert: bool,
@@ -190,6 +243,7 @@ def bq_search_indexed(
     tile_n: int,
     interpret: bool = None,
     recall_target: float = 0.95,
+    query_affine=None,  # (qs int8 [Q, Dp], mult f32 (1,), qb f32 [Q, 1])
 ):
     """Fused BQ search over a SELECTED set of tile_n-column tiles (the IVF
     probe scan, approx selection): the corpus axis of the grid walks
@@ -197,15 +251,27 @@ def bq_search_indexed(
     buckets' plane columns stream from HBM — no compaction copy, no
     [Q, T*tile_n] matrix. Selected tiles must hold only valid rows (the
     IVF layout guarantees it). Returns (scores f32[Q, k], ids i32[Q, k])
-    with ids GLOBAL corpus rows."""
+    with ids GLOBAL corpus rows.
+
+    ``query_affine`` overrides the packed-query sign path: the kernel
+    scores ``mult * (qs . bits) + qb`` with caller-built operands — the
+    residual-BQ asymmetric query (quantized VALUES, not signs; see
+    models/ivf.py _residual_query_bq). ``corr`` is the residual bucket
+    additive in the sq_kernel selection-order transposed layout."""
     if interpret is None:
         interpret = interpret_mode()
-    q = qplanes.shape[0]
     w8, n = planes.shape
     assert n % tile_n == 0, f"N={n} must be padded to {tile_n}"
     dp = w8 * 32
-    qs, pq = _query_signs(qplanes, w8, dim)
-    mult, qb = _metric_affine(distance_type, invert, dim, pq)
+    if query_affine is None:
+        q = qplanes.shape[0]
+        qs, pq = _query_signs(qplanes, w8, dim)
+        mult, qb = _metric_affine(distance_type, invert, dim, pq)
+    else:
+        qs, mult, qb = query_affine
+        q = qs.shape[0]
+        assert qs.shape[1] == dp and qb.shape == (q, 1)
+        mult = mult.reshape(1).astype(jnp.float32)
     tq = min(256, round_up(q, 32))
     qp = round_up(q, tq)
     qs_p = pad_dim_to(qs, 0, qp)
@@ -213,6 +279,25 @@ def bq_search_indexed(
     nt = tile_sel.shape[0]
     qt = qp // tq
     nt_out = -(-nt // SPAN)
+    with_corr = corr is not None
+    cw = tile_n // CORR_BLK
+    if with_corr:
+        assert corr.shape == (nt * cw, q), (
+            f"corr must be selection-order [T*{cw}, Q]: "
+            f"{corr.shape} != {(nt * cw, q)}"
+        )
+        corr_ops = (
+            pad_dim_to(corr.astype(jnp.float32), 1, qp)[:, :, None],
+        )  # [T*cw, qp, 1]
+        corr_specs = [
+            pl.BlockSpec(
+                (cw, tq, 1),
+                lambda i, j, s: (j, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    else:
+        corr_ops, corr_specs = (), []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(qt, nt),
@@ -228,7 +313,8 @@ def bq_search_indexed(
             pl.BlockSpec(
                 (tq, 1), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM
             ),
-        ],
+        ]
+        + corr_specs,
         out_specs=[
             pl.BlockSpec(
                 (tq, SLOT), lambda i, j, s: (i, j // SPAN),
@@ -238,14 +324,14 @@ def bq_search_indexed(
         ],
     )
     vals, idxs = pl.pallas_call(
-        _make_mxu_topk_kernel_indexed(tile_n),
+        _make_mxu_topk_kernel_indexed(tile_n, with_corr),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.float32),
             jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_sel.astype(jnp.int32), mult, qs_p, planes, qb_p)
+    )(tile_sel.astype(jnp.int32), mult, qs_p, planes, qb_p, *corr_ops)
     return merge_tile_topk_all(vals[:q], idxs[:q], k, recall_target)
 
 
@@ -314,8 +400,9 @@ def _metric_affine(distance_type, invert, dim, pq):
     ),
 )
 def bq_search_mxu(
-    qplanes: jax.Array,  # uint32 [Q, W]
+    qplanes: jax.Array,  # uint32 [Q, W]  (None with query_affine)
     planes: jax.Array,  # uint32 [W8, Npad]
+    corr: jax.Array = None,  # f32 [Q, Npad/CORR_BLK] per-block additive
     *,
     distance_type: DistanceType,
     invert: bool,
@@ -326,6 +413,7 @@ def bq_search_mxu(
     interpret: bool = None,
     n_valid_dyn: jax.Array = None,
     recall_target: float = 0.95,
+    query_affine=None,  # (qs int8 [Q, Dp], mult f32 (1,), qb f32 [Q, 1])
 ):
     """Fused BQ search: on-chip bit unpack + int8 MXU scoring + in-tile
     top-k — (scores f32[Q, k], indices i32[Q, k]) without a [Q, N] matrix.
@@ -346,22 +434,42 @@ def bq_search_mxu(
     and the (r+1)-th value bounds everything dropped — a class hiding
     more than r entries above the k-th score (~C(k, r+1)/C^r per query)
     triggers the corpus-blocked fallback via lax.cond.
+
+    ``query_affine`` / ``corr`` (the residual-BQ path, models/ivf.py):
+    caller-built ``mult * (qs . bits) + qb`` operands (asymmetric
+    quantized-VALUE queries) and the per-(query, CORR_BLK-block) bucket
+    additive. Scores are then non-integer, so exact mode rides the
+    f32-keyed class-top-r-with-ids ladder instead of the packed chains
+    (the same rule as residual-PQ).
     """
     assert k <= FUSED_K_MAX or mode == "approx", (
         f"exact fused search caps k at {FUSED_K_MAX}, got {k}"
     )
     if interpret is None:
         interpret = interpret_mode()
-    q = qplanes.shape[0]
     w8, n = planes.shape
     tn = _mxu_tile_n(w8 * 32, n)
     assert n % tn == 0, f"N={n} must be padded to {tn}"
     dp = w8 * 32
 
-    qs, pq = _query_signs(qplanes, w8, dim)
-    mult, qb = _metric_affine(distance_type, invert, dim, pq)
+    if query_affine is None:
+        q = qplanes.shape[0]
+        qs, pq = _query_signs(qplanes, w8, dim)
+        mult, qb = _metric_affine(distance_type, invert, dim, pq)
+    else:
+        qs, mult, qb = query_affine
+        q = qs.shape[0]
+        assert qs.shape[1] == dp and qb.shape == (q, 1)
+        mult = mult.reshape(1).astype(jnp.float32)
     nv = n_valid if n_valid_dyn is None else n_valid_dyn
     nv_op = jnp.asarray(nv, jnp.int32).reshape(1)
+    with_corr = corr is not None
+    cw = tn // CORR_BLK
+    if with_corr:
+        assert corr.shape[1] == n // CORR_BLK, (
+            f"corr needs one column per {CORR_BLK} padded rows: "
+            f"{corr.shape[1]} != {n // CORR_BLK}"
+        )
 
     approx = mode == "approx"
     # 256-row query tiles in both modes (extraction temporaries
@@ -372,16 +480,27 @@ def bq_search_mxu(
     qb_p = pad_dim_to(qb, 0, qp)
     nt = n // tn
     qt = qp // tq
+    if with_corr:
+        corr_p = pad_dim_to(corr.astype(jnp.float32), 0, qp)
+        corr_ops = (jnp.transpose(corr_p)[:, :, None],)  # [NC, qp, 1]
+        corr_specs = [
+            pl.BlockSpec(
+                (cw, tq, 1), lambda i, j: (j, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    else:
+        corr_ops, corr_specs = (), ()
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid cutoff (1,)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # mult (1,)
         pl.BlockSpec((tq, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((w8, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((tq, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-    ]
+    ] + list(corr_specs)
     if approx:
         nt_out = -(-nt // SPAN)
-        kernel = _make_mxu_topk_kernel(tn)
+        kernel = _make_mxu_topk_kernel(tn, with_corr)
         vals, idxs = pl.pallas_call(
             kernel,
             grid=(qt, nt),
@@ -403,7 +522,7 @@ def bq_search_mxu(
                 jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
             ],
             interpret=interpret,
-        )(nv_op, mult, qs_p, planes, qb_p)
+        )(nv_op, mult, qs_p, planes, qb_p, *corr_ops)
         return merge_tile_topk_all(vals[:q], idxs[:q], k, recall_target)
 
     # ------------------------------------------------------------- exact
@@ -426,6 +545,8 @@ def bq_search_mxu(
                 preferred_element_type=jnp.int32,
             )
             sc = mult[0] * acc.astype(jnp.float32) + qb0
+            if with_corr:
+                sc = sc + _corr_cols(corr, b0, b1)
             gid = b0 + jnp.arange(sc.shape[1], dtype=jnp.int32)[None, :]
             return jnp.where(gid < nv, sc, NEG)
 
@@ -433,6 +554,38 @@ def bq_search_mxu(
         # materializes a [dp, block] int32 transient. Blocking covers the
         # STATIC n_valid; the (possibly traced) nv cutoff rides the mask.
         return blocked_topk(score_block, n_valid, k, block_rows=1 << 17)
+
+    if with_corr or query_affine is not None:
+        # f32-keyed exact: the corr additive / fractional multiplier break
+        # the packed int key order, so selection runs the class-top-r-
+        # with-ids ladder over corrected f32 scores (≙ residual-SQ/PQ).
+        r = class_r(k, n_valid)
+        span = class_span(nt, k, r)
+        nt_out = -(-nt // span)
+        width = nt_out * SLOT
+        if k > r * width:
+            return fallback()
+        kernel = _make_mxu_class_ids_kernel(tn, span, r, with_corr)
+        block = lambda i, j: (i, j // span)  # noqa: E731
+        dts = [jnp.float32, jnp.int32] * r + [jnp.float32]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(qt, nt),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((tq, SLOT), block, memory_space=pltpu.VMEM)
+                for _ in dts
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((qp, width), dt) for dt in dts
+            ],
+            interpret=interpret,
+        )(nv_op, mult, qs_p, planes, qb_p, *corr_ops)
+        return merge_classes_verified(
+            [outs[2 * j][:q] for j in range(r)],
+            [outs[2 * j + 1][:q] for j in range(r)],
+            outs[2 * r][:q], k, fallback,
+        )
 
     r = class_r(k, n_valid)
     ns = tn // SLOT

@@ -338,9 +338,9 @@ def test_residual_save_load_roundtrip(rng, tmp_path):
 def test_residual_argument_errors(rng):
     data, _ = res_corpus(rng, 1500, DIM)
     mk = lambda dt, inv: VectorParameters(DIM, 1500, dt, inv)  # noqa: E731
-    with pytest.raises(ArgumentsError):  # BQ can't absorb the additive
+    with pytest.raises(ArgumentsError):  # BQ L2: no per-slot |v|^2 carrier
         IVFIndex.encode(
-            data, mk(DistanceType.DOT, False), quantizer="bq",
+            data, mk(DistanceType.L2, False), quantizer="bq",
             nlist=2, bucket_size=512, residual=True,
         )
     with pytest.raises(ArgumentsError):  # L1 has no dot-expansion
@@ -353,6 +353,67 @@ def test_residual_argument_errors(rng):
             data, mk(DistanceType.DOT, False), quantizer="sq",
             nlist=2, bucket_size=256, residual=True,
         )
+
+
+@pytest.mark.parametrize("invert", [False, True])
+def test_residual_bq_lifts_recall(rng, invert):
+    # Residual-BQ (DOT only): 1-bit signs of v - bucket_center scored
+    # against the query's quantized VALUES (asymmetric), plus the f32
+    # bucket term. On clustered data the raw sign bits are nearly
+    # constant within a cluster (plain BQ recall collapses); residual
+    # signs carry the within-cluster ranking signal — recall must rise
+    # decisively, and the returned scores must be in DATA units
+    # (approximately the exact metric), unlike plain BQ's Hamming units.
+    data, queries, params, idx = _res_pair(
+        rng, "bq", DistanceType.DOT, invert, count=3000, nlist=6
+    )
+    gt_s = np.asarray(
+        pairwise_score(queries, data, DistanceType.DOT, invert)
+    )
+    gt = np.argsort(-gt_s, axis=1)[:, :K]
+    rec = {}
+    for residual, ivf in idx.items():
+        assert ivf.metadata.residual is residual
+        sv, ids = ivf.top_k(
+            ivf.encode_query(queries), K, method="exact",
+            nscan=ivf.metadata.nbuckets,
+        )
+        rec[residual] = recall(ids, gt)
+        if residual:
+            assert ivf.metadata.residual_scale > 0
+            # Scores approximate the exact metric at 1-bit resolution:
+            # the estimator's noise is ~beta*|q|*sqrt(d), far below the
+            # data-scale spread of this fixture's clusters.
+            err = np.mean(
+                np.abs(
+                    np.asarray(sv)
+                    - np.take_along_axis(
+                        gt_s, np.asarray(ids), axis=1
+                    )
+                )
+            )
+            spread = np.mean(np.ptp(gt_s, axis=1))
+            assert err < 0.25 * spread, (err, spread)
+    assert rec[True] >= rec[False] + 0.1, rec
+
+
+def test_residual_bq_save_load_roundtrip(rng, tmp_path):
+    # residual_scale (beta) must persist through the metadata sidecar:
+    # the asymmetric query affine is derived from it at encode_query.
+    data, queries, params, idx = _res_pair(
+        rng, "bq", DistanceType.DOT, False, count=2000, nlist=4
+    )
+    ivf = idx[True]
+    ivf.save(tmp_path / "bq.bin", tmp_path / "bq.json")
+    back = IVFIndex.load(tmp_path / "bq.bin", tmp_path / "bq.json", params)
+    assert back.metadata.residual
+    assert back.metadata.residual_scale == ivf.metadata.residual_scale > 0
+    a_s, a_i = ivf.top_k(ivf.encode_query(queries), K)
+    b_s, b_i = back.top_k(back.encode_query(queries), K)
+    np.testing.assert_allclose(
+        np.asarray(a_s), np.asarray(b_s), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
 
 
 def test_residual_as_two_stage_coarse(rng):
@@ -490,6 +551,11 @@ def test_ivf_fused_path_matches_xla(rng, force_pallas, monkeypatch, kind):
         # — must be pinned, not just the exactness-friendly bf16 paths).
         ("pq", "approx", None),  # bf16x2 default
         ("pq", "approx", "int8"),
+        # Residual-BQ: asymmetric affine query + corr through the BQ
+        # kernels (exact = f32-keyed class ladder, approx = corr'd
+        # strided extraction incl. the indexed scan under scan="auto").
+        ("bq", "exact", None),
+        ("bq", "approx", None),
     ],
 )
 def test_residual_fused_matches_xla(
@@ -504,8 +570,9 @@ def test_residual_fused_matches_xla(
         monkeypatch.setenv("QTPU_PQ_LUT", lut)
     else:
         monkeypatch.delenv("QTPU_PQ_LUT", raising=False)
+    dt = DistanceType.DOT if kind == "bq" else DistanceType.L2
     data, queries, params, idx = _res_pair(
-        rng, kind, DistanceType.L2, True, count=2500, nlist=4
+        rng, kind, dt, kind != "bq", count=2500, nlist=4
     )
     ivf = idx[True]
     eq = ivf.encode_query(queries)
