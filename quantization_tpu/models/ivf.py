@@ -54,8 +54,8 @@ NEG = np.float32(-3.0e38)  # plain scalar: no device init at import time
 class _ResidualQueryU8:
     """Signed zero-centered query codes for residual-SQ scoring (see
     IVFIndex.encode_query): int8 [Q, Dpad] in [-127, 127] + f32 [Q]
-    offset + the per-BATCH effective multiplier A*aq*ar (a traced
-    scalar — aq depends on the query batch)."""
+    offset + the PER-QUERY effective multiplier A*aq*ar (a traced [Q]
+    vector — each query carries its own code scale aq)."""
 
     codes: jax.Array
     offsets: jax.Array
@@ -69,8 +69,8 @@ class _ResidualQueryBQ:
     quantized VALUES — int8 [Q, Dpad] in [-127, 127] — so the kernel's
     affine hooks score q . sign(r) directly (a strictly better estimator
     of q . r than sign(q) . sign(r), at identical MXU cost). ``mult`` =
-    2*A*beta*aq (traced — aq is the per-batch code scale) and ``qb`` =
-    -A*beta*aq*sum(q^) complete mult*(qs . bits)+qb = A*beta*(q . sign r);
+    2*A*beta*aq (traced [Q, 1] — aq is each query's own code scale) and
+    ``qb`` = -A*beta*aq*sum(q^) complete mult*(qs.bits)+qb = A*beta*(q.sign r);
     beta = E|r_i| (metadata.residual_scale) maps sign units back to data
     units so the f32 bucket term A*(q . c_b) adds coherently."""
 
@@ -173,29 +173,35 @@ def _residual_coeffs(dt: DistanceType, invert: bool):
 
 def _residual_query_sq(q, alpha, offset, dpad, a, rc) -> _ResidualQueryU8:
     """Residual-SQ query codes (see IVFIndex.encode_query): zero-centered
-    SIGNED codes with their own per-batch scale, |q|^2 folded into the
-    offset, the effective multiplier A*aq*ar a traced scalar."""
+    SIGNED codes, each query scaled by its OWN aq = max|q_i| / 127 (no
+    batch coupling — the kernels take a per-query multiplier column),
+    |q|^2 folded into the offset, the effective multiplier A*aq*ar a
+    traced [Q] vector."""
     qn = jnp.sum(q * q, axis=1)
-    aq = jnp.maximum(jnp.max(jnp.abs(q)) / 127.0, 1e-30)
+    aq = jnp.maximum(
+        jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0, 1e-30
+    )
     qc = jnp.clip(jnp.round(q / aq), -127, 127).astype(jnp.int8)
     qc = jnp.pad(qc, ((0, 0), (0, dpad - qc.shape[1])))
     qoff = a * offset * jnp.sum(q, axis=1) + rc * qn
-    return _ResidualQueryU8(qc, qoff, jnp.float32(a * alpha) * aq)
+    return _ResidualQueryU8(qc, qoff, jnp.float32(a * alpha) * aq[:, 0])
 
 
 def _residual_query_bq(q, dp, a, beta) -> _ResidualQueryBQ:
     """Residual-BQ asymmetric query (see _ResidualQueryBQ): quantized
-    VALUE codes with a per-batch scale aq (same batch coupling as
-    residual-SQ — one large-magnitude query coarsens the batch's codes),
+    VALUE codes, each query scaled by its OWN aq = max|q_i| / 127 (no
+    batch coupling — the kernels take a per-query multiplier column),
     affine completed so mult*(qs . bits) + qb = A*beta*(q . sign(r)):
     q . sign(r) = aq * (2*(q^ . bits) - sum(q^)) on the true dims (padded
     dims hit q^ = 0)."""
-    aq = jnp.maximum(jnp.max(jnp.abs(q)) / 127.0, 1e-30)
+    aq = jnp.maximum(
+        jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0, 1e-30
+    )
     qc = jnp.clip(jnp.round(q / aq), -127, 127).astype(jnp.int8)
     qc = jnp.pad(qc, ((0, 0), (0, dp - qc.shape[1])))
     sq_ = jnp.sum(qc.astype(jnp.float32), axis=1, keepdims=True)
-    ab = jnp.float32(a * beta) * aq
-    return _ResidualQueryBQ(qc, (2.0 * ab).reshape(1), -ab * sq_)
+    ab = jnp.float32(a * beta) * aq  # [Q, 1]
+    return _ResidualQueryBQ(qc, 2.0 * ab, -ab * sq_)
 
 
 def _residual_query_pq(lut, a):
@@ -715,8 +721,8 @@ class IVFIndex:
             # encode_query builds zero-centered SIGNED codes q^ = aq * Q,
             # so q.r^ = aq*ar*(Q.C) + off_r*sum(q) — no per-row cross
             # term at all. voff carries only s*|v^|^2 and the pad mask;
-            # the per-batch multiplier A*aq*ar rides the kernel's traced
-            # scalar (_ResidualQueryU8.mult).
+            # the per-query multiplier A*aq*ar rides the kernel's traced
+            # multiplier column (_ResidualQueryU8.mult).
             meta = qz.metadata
             ve = np.zeros(np.asarray(qz.voffsets).shape[0], np.float32)
             if rowcoef != 0.0:
@@ -935,15 +941,10 @@ class IVFIndex:
             return q, self.quantizer.encode_query(np.asarray(q))
         # Residual index: fold the dot-expansion's query-side terms in
         # here (see _init_residual). A rescales, |q|^2 (L2 only) adds.
-        #
-        # NOTE (residual-SQ batch coupling): the signed query codes below
-        # share ONE scale aq = max|q| over the whole batch (the kernel
-        # takes a single scalar multiplier), so a query's quantization —
-        # and therefore its returned scores — depends on which other
-        # queries share the batch; one large-magnitude query coarsens
-        # every other query's codes. Scores stay within the SQ error
-        # envelope as long as batch magnitudes are within ~100x of each
-        # other; split wildly mixed-magnitude batches if recall dips.
+        # Each query's signed codes carry its OWN scale aq = max|q_i|/127
+        # (the kernels take a per-query multiplier column), so a query's
+        # quantization — and its returned scores — never depend on which
+        # other queries share the batch.
         a, rc = self._res_a, self._res_rowcoef
         if self.metadata.kind == "bq":
             dp = self.quantizer.planes.shape[0] * 32
@@ -951,10 +952,10 @@ class IVFIndex:
                 q, dp, a, self.metadata.residual_scale
             )
         if self.metadata.kind == "sq":
-            # Zero-centered signed query codes with their OWN per-batch
-            # scale (the inner [0,127] affine spans the residual range —
+            # Zero-centered signed query codes, each with its OWN scale
+            # (the inner [0,127] affine spans the residual range —
             # a data-scale query would clip against it): q^ = aq * Q,
-            # Q in [-127, 127], aq = max|q| / 127. Then
+            # Q in [-127, 127], aq = max|q| / 127 per query. Then
             #   q . r^ = aq*ar*(Q . C) + off_r * sum(q)
             # (exact-f32 second term; padded dims hit Q = 0).
             meta = self.quantizer.metadata

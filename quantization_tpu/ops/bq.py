@@ -126,7 +126,7 @@ def score_batch_xla(
 
 def score_affine_xla(
     qs: jax.Array,  # int8 [Q, Dp] quantized query values (0 on pads)
-    mult: jax.Array,  # f32 (1,) per-batch multiplier
+    mult: jax.Array,  # f32 scalar or per-query [Q] / [Q, 1] multiplier
     qb: jax.Array,  # f32 [Q, 1] per-query bias
     planes: jax.Array,  # uint32 [W, N]
     *,
@@ -160,10 +160,8 @@ def score_affine_xla(
 
     acc = jax.lax.map(body, tiles)  # [nt, Q, tile]
     acc = jnp.moveaxis(acc, 0, 1).reshape(qs.shape[0], -1)[:, :n]
-    return (
-        mult.reshape(()).astype(jnp.float32) * acc.astype(jnp.float32)
-        + qb.astype(jnp.float32)
-    )
+    m = jnp.asarray(mult, jnp.float32).reshape(-1, 1)
+    return m * acc.astype(jnp.float32) + qb.astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("distance_type", "invert", "dim"))

@@ -45,7 +45,7 @@ from .ktile import (
     merge_packed_verified,
     merge_tile_topk_all,
 )
-from .sq_kernel import CORR_BLK, _apply_corr, _corr_cols
+from .sq_kernel import CORR_BLK, _apply_corr, _corr_cols, _mult_col
 
 TILE_N = 2048
 W_ALIGN = 8  # sublane tile for 32-bit planes
@@ -104,7 +104,7 @@ def _mxu_kernel(mult_ref, qs_ref, p_ref, qb_ref, out_ref):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    out_ref[:] = mult_ref[0] * acc.astype(jnp.float32) + qb_ref[:]
+    out_ref[:] = mult_ref[:] * acc.astype(jnp.float32) + qb_ref[:]
 
 
 def _unpack_bits(p_ref):
@@ -141,7 +141,7 @@ def _make_mxu_topk_kernel(tile_n: int, with_corr: bool = False):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        scores = mult_ref[0] * acc.astype(jnp.float32) + qb_ref[:]
+        scores = mult_ref[:] * acc.astype(jnp.float32) + qb_ref[:]
         if with_corr:
             scores = _apply_corr(scores, corr_ref)
         base = j * tile_n
@@ -175,7 +175,7 @@ def _make_mxu_class_ids_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        scores = mult_ref[0] * acc.astype(jnp.float32) + qb_ref[:]
+        scores = mult_ref[:] * acc.astype(jnp.float32) + qb_ref[:]
         if with_corr:
             scores = _apply_corr(scores, corr_ref)
         base = j * tile_n
@@ -207,7 +207,7 @@ def _make_mxu_topk_kernel_indexed(tile_n: int, with_corr: bool = False):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        scores = mult_ref[0] * acc.astype(jnp.float32) + qb_ref[:]
+        scores = mult_ref[:] * acc.astype(jnp.float32) + qb_ref[:]
         if with_corr:
             scores = _apply_corr(scores, corr_ref)
         base = sel_ref[j] * tile_n
@@ -243,7 +243,7 @@ def bq_search_indexed(
     tile_n: int,
     interpret: bool = None,
     recall_target: float = 0.95,
-    query_affine=None,  # (qs int8 [Q, Dp], mult f32 (1,), qb f32 [Q, 1])
+    query_affine=None,  # (qs int8 [Q, Dp], mult f32 (1,) or [Q, 1], qb f32 [Q, 1])
 ):
     """Fused BQ search over a SELECTED set of tile_n-column tiles (the IVF
     probe scan, approx selection): the corpus axis of the grid walks
@@ -271,11 +271,11 @@ def bq_search_indexed(
         qs, mult, qb = query_affine
         q = qs.shape[0]
         assert qs.shape[1] == dp and qb.shape == (q, 1)
-        mult = mult.reshape(1).astype(jnp.float32)
     tq = min(256, round_up(q, 32))
     qp = round_up(q, tq)
     qs_p = pad_dim_to(qs, 0, qp)
     qb_p = pad_dim_to(qb, 0, qp)
+    mult_p = pad_dim_to(_mult_col(mult, q), 0, qp)
     nt = tile_sel.shape[0]
     qt = qp // tq
     nt_out = -(-nt // SPAN)
@@ -302,7 +302,9 @@ def bq_search_indexed(
         num_scalar_prefetch=1,
         grid=(qt, nt),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # mult (1,)
+            pl.BlockSpec(
+                (tq, 1), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM
+            ),  # per-query multiplier [qp, 1]
             pl.BlockSpec(
                 (tq, dp), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM
             ),
@@ -331,7 +333,7 @@ def bq_search_indexed(
             jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_sel.astype(jnp.int32), mult, qs_p, planes, qb_p, *corr_ops)
+    )(tile_sel.astype(jnp.int32), mult_p, qs_p, planes, qb_p, *corr_ops)
     return merge_tile_topk_all(vals[:q], idxs[:q], k, recall_target)
 
 
@@ -413,7 +415,7 @@ def bq_search_mxu(
     interpret: bool = None,
     n_valid_dyn: jax.Array = None,
     recall_target: float = 0.95,
-    query_affine=None,  # (qs int8 [Q, Dp], mult f32 (1,), qb f32 [Q, 1])
+    query_affine=None,  # (qs int8 [Q, Dp], mult f32 (1,) or [Q, 1], qb f32 [Q, 1])
 ):
     """Fused BQ search: on-chip bit unpack + int8 MXU scoring + in-tile
     top-k — (scores f32[Q, k], indices i32[Q, k]) without a [Q, N] matrix.
@@ -460,7 +462,7 @@ def bq_search_mxu(
         qs, mult, qb = query_affine
         q = qs.shape[0]
         assert qs.shape[1] == dp and qb.shape == (q, 1)
-        mult = mult.reshape(1).astype(jnp.float32)
+    mult_c = _mult_col(mult, q)
     nv = n_valid if n_valid_dyn is None else n_valid_dyn
     nv_op = jnp.asarray(nv, jnp.int32).reshape(1)
     with_corr = corr is not None
@@ -478,6 +480,7 @@ def bq_search_mxu(
     qp = round_up(q, tq)
     qs_p = pad_dim_to(qs, 0, qp)
     qb_p = pad_dim_to(qb, 0, qp)
+    mult_p = pad_dim_to(mult_c, 0, qp)
     nt = n // tn
     qt = qp // tq
     if with_corr:
@@ -493,7 +496,9 @@ def bq_search_mxu(
         corr_ops, corr_specs = (), ()
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid cutoff (1,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # mult (1,)
+        pl.BlockSpec(
+            (tq, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),  # per-query multiplier [qp, 1]
         pl.BlockSpec((tq, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((w8, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((tq, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -522,7 +527,7 @@ def bq_search_mxu(
                 jax.ShapeDtypeStruct((qp, nt_out * SLOT), jnp.int32),
             ],
             interpret=interpret,
-        )(nv_op, mult, qs_p, planes, qb_p, *corr_ops)
+        )(nv_op, mult_p, qs_p, planes, qb_p, *corr_ops)
         return merge_tile_topk_all(vals[:q], idxs[:q], k, recall_target)
 
     # ------------------------------------------------------------- exact
@@ -544,7 +549,7 @@ def bq_search_mxu(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            sc = mult[0] * acc.astype(jnp.float32) + qb0
+            sc = mult_c * acc.astype(jnp.float32) + qb0
             if with_corr:
                 sc = sc + _corr_cols(corr, b0, b1)
             gid = b0 + jnp.arange(sc.shape[1], dtype=jnp.int32)[None, :]
@@ -580,7 +585,7 @@ def bq_search_mxu(
                 jax.ShapeDtypeStruct((qp, width), dt) for dt in dts
             ],
             interpret=interpret,
-        )(nv_op, mult, qs_p, planes, qb_p, *corr_ops)
+        )(nv_op, mult_p, qs_p, planes, qb_p, *corr_ops)
         return merge_classes_verified(
             [outs[2 * j][:q] for j in range(r)],
             [outs[2 * j + 1][:q] for j in range(r)],
@@ -610,7 +615,7 @@ def bq_search_mxu(
             for _ in range(r + 1)
         ],
         interpret=interpret,
-    )(nv_op, mult, qs_p, planes, qb_p)
+    )(nv_op, mult_p, qs_p, planes, qb_p)
 
     def key_to_score(key):  # score = mult*acc + qb = 2*key + qb
         return 2.0 * key.astype(jnp.float32) + qb0
@@ -661,12 +666,15 @@ def bq_scores_mxu(
     qp = round_up(q, tq)
     qs = pad_dim_to(qs, 0, qp)
     qb = pad_dim_to(qb, 0, qp)
+    mult = pad_dim_to(_mult_col(mult, q), 0, qp)
 
     out = pl.pallas_call(
         _mxu_kernel,
         grid=(qp // tq, n // tn),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # mult (1,)
+            pl.BlockSpec(
+                (tq, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),  # per-query multiplier [qp, 1]
             pl.BlockSpec((tq, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((w8, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tq, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),

@@ -55,6 +55,19 @@ _L1_DB = 128  # D-block width per grid step (bounds the broadcast cube)
 CORR_BLK = 512
 
 
+def _mult_col(multiplier, q):
+    """Normalize a multiplier operand to a per-query f32 column [q, 1].
+
+    Plain quantizers pass their scalar metadata multiplier; the
+    residual-IVF query path quantizes EACH query with its own scale
+    (models/ivf.py _residual_query_sq/_bq), so its effective multiplier
+    is per-query — a [Q] / [Q, 1] operand. The kernels always consume
+    the column form (a [TQ, 1] VMEM block broadcast against the score
+    tile), so a scalar costs nothing extra."""
+    m = jnp.asarray(multiplier, jnp.float32).reshape(-1, 1)
+    return jnp.broadcast_to(m, (q, 1))
+
+
 def _apply_corr(scores, corr_ref):
     """scores [TQ, TN] += corr block [TN/CORR_BLK, TQ, 1] repeated
     lane-wise. The corr operand is TRANSPOSED 3-D ([N/CORR_BLK, Qpad, 1]):
@@ -92,7 +105,7 @@ def _dot_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
         preferred_element_type=jnp.int32,
     )
     out_ref[:] = (
-        mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
+        mult_ref[:] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
     )
 
 
@@ -120,7 +133,7 @@ def _l1_kernel(mult_ref, q_ref, c_ref, qoff_ref, voff_ref, out_ref):
 
     @pl.when(di == pl.num_programs(2) - 1)
     def _epilogue():
-        out_ref[:] = mult_ref[0] * out_ref[:] + qoff_ref[:] + voff_ref[:]
+        out_ref[:] = mult_ref[:] * out_ref[:] + qoff_ref[:] + voff_ref[:]
 
 
 def _make_dot_topk_kernel(n_valid: int, tile_n: int, with_corr: bool = False):
@@ -140,7 +153,7 @@ def _make_dot_topk_kernel(n_valid: int, tile_n: int, with_corr: bool = False):
             preferred_element_type=jnp.int32,
         )
         scores = (
-            mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
+            mult_ref[:] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
         )
         if with_corr:
             scores = _apply_corr(scores, corr_ref)
@@ -173,7 +186,7 @@ def _make_dot_topk_kernel_indexed(tile_n: int, with_corr: bool = False):
             preferred_element_type=jnp.int32,
         )
         scores = (
-            mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
+            mult_ref[:] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
         )
         if with_corr:
             scores = _apply_corr(scores, corr_ref)
@@ -205,7 +218,7 @@ def _make_dot_class_kernel_indexed(
             preferred_element_type=jnp.int32,
         )
         scores = (
-            mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
+            mult_ref[:] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
         )
         if with_corr:
             scores = _apply_corr(scores, corr_ref)
@@ -235,7 +248,7 @@ def _make_dot_class_kernel(
             preferred_element_type=jnp.int32,
         )
         scores = (
-            mult_ref[0] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
+            mult_ref[:] * acc.astype(jnp.float32) + qoff_ref[:] + voff_ref[:]
         )
         if with_corr:
             scores = _apply_corr(scores, corr_ref)
@@ -260,7 +273,7 @@ def sq_search_pallas(
     qoff: jax.Array,  # f32 [Q]
     codes: jax.Array,  # int8 [Npad, D] (rows >= n_valid are zero)
     voff: jax.Array,  # f32 [Npad]
-    multiplier: jax.Array,  # f32 scalar
+    multiplier: jax.Array,  # f32 scalar or per-query [Q] / [Q, 1]
     corr: jax.Array = None,  # f32 [Q, N/CORR_BLK] per-block additive, opt.
     *,
     distance_type: DistanceType,
@@ -314,7 +327,7 @@ def sq_search_pallas(
     nt = n // tile_n
     approx = mode == "approx"
     qt = qp // tile_q
-    mult_op = multiplier.reshape(1).astype(jnp.float32)
+    mult_op = pad_dim_to(_mult_col(multiplier, q), 0, qp)
     with_corr = corr is not None
     cw = tile_n // CORR_BLK
     if with_corr:
@@ -341,7 +354,9 @@ def sq_search_pallas(
             kernel,
             grid=(qt, nt),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # multiplier (1,)
+                pl.BlockSpec(
+                    (tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                ),  # per-query multiplier [qp, 1]
                 pl.BlockSpec(
                     (tile_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM
                 ),
@@ -395,7 +410,7 @@ def sq_search_pallas(
                 preferred_element_type=jnp.int32,
             )
             s = (
-                multiplier.astype(jnp.float32) * acc.astype(jnp.float32)
+                _mult_col(multiplier, q) * acc.astype(jnp.float32)
                 + qoff.reshape(-1, 1)
                 + jax.lax.slice_in_dim(voff, b0, b1, axis=0)[None, :]
             )
@@ -419,7 +434,9 @@ def sq_search_pallas(
         kernel,
         grid=(qt, nt),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # multiplier (1,)
+            pl.BlockSpec(
+                (tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),  # per-query multiplier [qp, 1]
             pl.BlockSpec(
                 (tile_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM
             ),
@@ -469,7 +486,7 @@ def sq_search_indexed(
     qoff: jax.Array,  # f32 [Q]
     codes: jax.Array,  # int8 [Npad, D], Npad % TILE_N == 0
     voff: jax.Array,  # f32 [Npad]
-    multiplier: jax.Array,  # f32 scalar
+    multiplier: jax.Array,  # f32 scalar or per-query [Q] / [Q, 1]
     tile_sel: jax.Array,  # i32 [T] tile ids (tile t = rows [t*tile_n, ...))
     corr: jax.Array = None,  # f32 [T*(tile_n/CORR_BLK), Q] SELECTION order
     *,
@@ -506,7 +523,7 @@ def sq_search_indexed(
     qoff2 = pad_dim_to(qoff.reshape(-1, 1), 0, qp).astype(jnp.float32)
     voff2 = voff.reshape(1, -1).astype(jnp.float32)
     qt = qp // tile_q
-    mult_op = multiplier.reshape(1).astype(jnp.float32)
+    mult_op = pad_dim_to(_mult_col(multiplier, q), 0, qp)
     sel_op = tile_sel.astype(jnp.int32)
     approx = mode == "approx"
     with_corr = corr is not None
@@ -559,7 +576,7 @@ def sq_search_indexed(
                 preferred_element_type=jnp.int32,
             )
             s = (
-                multiplier.astype(jnp.float32) * acc.astype(jnp.float32)
+                _mult_col(multiplier, q) * acc.astype(jnp.float32)
                 + qoff.reshape(-1, 1)
                 + jax.lax.slice_in_dim(gv, b0, b1, axis=0)[None, :]
             )
@@ -575,7 +592,9 @@ def sq_search_indexed(
         return vals, jnp.where(loc >= 0, ids, -1)
 
     common_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # multiplier (1,)
+        pl.BlockSpec(
+            (tile_q, 1), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM
+        ),  # per-query multiplier [qp, 1]
         pl.BlockSpec(
             (tile_q, d), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -664,7 +683,7 @@ def sq_scores_pallas(
     qoff: jax.Array,  # f32 [Q]
     codes: jax.Array,  # int8 [Npad, D] (rows >= n_valid are zero)
     voff: jax.Array,  # f32 [Npad]
-    multiplier: jax.Array,  # f32 scalar
+    multiplier: jax.Array,  # f32 scalar or per-query [Q] / [Q, 1]
     *,
     distance_type: DistanceType,
     n_valid: int,
@@ -692,7 +711,9 @@ def sq_scores_pallas(
         # accumulation steps.
         grid = (qp // tile_q, n // tile_n, d // _L1_DB)
         in_specs = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # multiplier (1,)
+            pl.BlockSpec(
+                (tile_q, 1), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
+            ),  # per-query multiplier [qp, 1]
             pl.BlockSpec(
                 (tile_q, _L1_DB), lambda i, j, l: (i, l), memory_space=pltpu.VMEM
             ),
@@ -712,7 +733,9 @@ def sq_scores_pallas(
     else:
         grid = (qp // tile_q, n // tile_n)
         in_specs = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # multiplier (1,)
+            pl.BlockSpec(
+                (tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),  # per-query multiplier [qp, 1]
             pl.BlockSpec((tile_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -730,7 +753,7 @@ def sq_scores_pallas(
         out_shape=jax.ShapeDtypeStruct((qp, n), jnp.float32),
         interpret=interpret,
     )(
-        multiplier.reshape(1).astype(jnp.float32),
+        pad_dim_to(_mult_col(multiplier, q), 0, qp),
         qcodes,
         codes,
         qoff2.astype(jnp.float32),

@@ -257,12 +257,15 @@ def score_batch_xla(
     distance_type: DistanceType,
 ) -> jax.Array:
     """[Q, N] scores: multiplier * kernel + qoff + voff
-    (encoded_vectors_u8.rs:145-158). DOT and L2 share the dot kernel."""
+    (encoded_vectors_u8.rs:145-158). DOT and L2 share the dot kernel.
+    ``multiplier`` is a scalar, or per-query [Q] / [Q, 1] (the residual-IVF
+    query path quantizes each query with its own scale)."""
     if distance_type == DistanceType.L1:
         raw = int_l1(qcodes, codes)
     else:
         raw = int_dot(qcodes, codes)
-    return multiplier * raw.astype(jnp.float32) + qoff[:, None] + voff[None, :]
+    m = jnp.asarray(multiplier, jnp.float32).reshape(-1, 1)
+    return m * raw.astype(jnp.float32) + qoff[:, None] + voff[None, :]
 
 
 @partial(jax.jit, static_argnames=("distance_type",))

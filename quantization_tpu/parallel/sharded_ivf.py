@@ -368,7 +368,7 @@ class ShardedIVF:
             # Residual indexes: the per-row term is the derived
             # |decoded|^2-or-NEG array, not the inner DOT voffsets
             # (models/ivf.py _init_residual); the multiplier is the
-            # per-batch traced scalar and joins the tuple at call time.
+            # per-query traced column and joins the tuple at call time.
             voff = np.asarray(
                 ivf._resid_sq if meta.residual else qz.voffsets
             )[ridx]

@@ -7,6 +7,7 @@ vector exactly once (score-value parity with the plain full-scan class),
 probe-limited recall degrades gracefully and monotonically, and the
 four-file checkpoint round-trips."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -414,6 +415,71 @@ def test_residual_bq_save_load_roundtrip(rng, tmp_path):
         np.asarray(a_s), np.asarray(b_s), rtol=1e-5, atol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+
+
+@pytest.mark.parametrize(
+    "kind,dt",
+    [
+        ("sq", DistanceType.DOT),
+        ("sq", DistanceType.L2),
+        ("bq", DistanceType.DOT),
+    ],
+)
+def test_residual_query_batch_independence(rng, kind, dt):
+    # Each residual query carries its OWN code scale aq = max|q_i|/127
+    # (the kernels take a per-query multiplier column), so a query's
+    # quantization — codes AND returned scores — must not depend on
+    # which other queries share the batch. The adversarial companion is
+    # 1000x the data scale: under the old batch-global scale it would
+    # zero out every other query's codes.
+    data, queries, params, idx = _res_pair(
+        rng, kind, dt, False, count=2000, nlist=4
+    )
+    ivf = idx[True]
+    big = (
+        1000.0 * rng.standard_normal((1, DIM)).astype(np.float32)
+    )
+    mixed = np.concatenate([queries, big], axis=0)
+
+    # 1. Query-side encoding of row i is bit-identical solo vs mixed.
+    _, eq_solo = ivf.encode_query(queries)
+    _, eq_mix = ivf.encode_query(mixed)
+    nq = queries.shape[0]
+    if kind == "sq":
+        np.testing.assert_array_equal(
+            np.asarray(eq_solo.codes), np.asarray(eq_mix.codes)[:nq]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(eq_solo.offsets), np.asarray(eq_mix.offsets)[:nq]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(eq_solo.mult), np.asarray(eq_mix.mult)[:nq]
+        )
+    else:
+        np.testing.assert_array_equal(
+            np.asarray(eq_solo.codes), np.asarray(eq_mix.codes)[:nq]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(eq_solo.mult), np.asarray(eq_mix.mult)[:nq]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(eq_solo.qb), np.asarray(eq_mix.qb)[:nq]
+        )
+
+    # 2. End-to-end: the small queries' results are unchanged by the
+    # companion (full-union scan so bucket probing can't differ).
+    sv_a, id_a = ivf.top_k(
+        (jnp.asarray(queries), eq_solo), K, method="exact",
+        nscan=ivf.metadata.nbuckets,
+    )
+    sv_b, id_b = ivf.top_k(
+        (jnp.asarray(mixed), eq_mix), K, method="exact",
+        nscan=ivf.metadata.nbuckets,
+    )
+    np.testing.assert_array_equal(np.asarray(id_a), np.asarray(id_b)[:nq])
+    np.testing.assert_allclose(
+        np.asarray(sv_a), np.asarray(sv_b)[:nq], rtol=1e-6, atol=1e-6
+    )
 
 
 def test_residual_as_two_stage_coarse(rng):
