@@ -894,6 +894,61 @@ def main():
     means_enc[:nbk] = means
     means_enc_dev = jnp.asarray(means_enc)
 
+    if args.ivf_base in ("all", "bq"):
+        # ---- residual IVF-BQ (the capacity configuration's residual
+        # form): 1-bit SIGNS of r = v - bucket_mean scored asymmetrically
+        # against the query's quantized VALUES (models/ivf.py
+        # _ResidualQueryBQ), plus the f32 bucket term. Same 96 B/row
+        # footprint as plain IVF-BQ — the candidate upgrade for the
+        # >=100M capacity leg, where plain sign bits are nearly constant
+        # within a bucket and the coarse ceiling compresses with N
+        # (BASELINE capacity leg). Runs FIRST so `--ivf-base bq
+        # --ivf-residual` measures it without building the SQ/OPQ
+        # residual codes (7.7 GB / 960 MB at 100M — they no longer fit
+        # beside the planes at capacity scale).
+        beta = max(float(np.mean(np.abs(r_smp))), 1e-30)
+        t0 = time.perf_counter()
+        ibqr_planes = DeviceAppender((w8, npad_i), jnp.uint32, axis=1)
+
+        def pack_bq_res(pids, slot0):
+            x = gen_rows(pids)
+            b = (slot0 + jnp.arange(x.shape[0], dtype=jnp.int32)) // S
+            return pack_bq(x - means_enc_dev[b]).T
+
+        encode_permuted((ibqr_planes,), jax.jit(pack_bq_res))
+        bqr_inner = qt.BinaryQuantizer(
+            ibqr_planes.finish(), BQMetadata(params_inner)
+        )
+        print(f"IVF-BQ residual encode: {time.perf_counter()-t0:.0f}s "
+              f"(beta={beta:.4f})", flush=True)
+        ivf_bqr = IVFIndex(
+            bqr_inner, bucket_ids, means,
+            IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
+                        kind="bq", nbuckets=nbk,
+                        vector_parameters=params_dot, residual=True,
+                        residual_scale=beta),
+        )
+        eq_bqr = ivf_bqr.encode_query(queries)
+        for p, u in [(64, u) for u in ladder((0.0475, 0.1186, 0.2372))]:
+            report(
+                f"IVF-BQr p={p} nscan={u}",
+                lambda p=p, u=u: ivf_bqr.top_k_device(
+                    eq_bqr, K, method="approx", nprobe=p, nscan=u
+                ), gt,
+            )
+        for rr, p, u in [
+            (rr, 64, u)
+            for u in ladder((0.1186, 0.2372)) for rr in (160, 320)
+        ]:
+            report(
+                f"2s IVF-BQr->f32 R={rr} p={p} nscan={u}",
+                ivf_f32(ivf_bqr, eq_bqr, rr, p, u), gt,
+            )
+        del ivf_bqr, bqr_inner, eq_bqr, ibqr_planes
+
+    if args.ivf_base == "bq":
+        return  # capacity-scale residual run: skip the SQ/OPQ legs
+
     # ---- residual IVF-SQ ----
     # Quantile calibration, not min/max: residuals are concentrated with
     # heavy tails (cluster outliers), so the min/max affine wastes the
@@ -1000,7 +1055,5 @@ def main():
             f"2s IVF-OPQr->f32 R={rr} p={p} nscan={u}",
             ivf_f32(ivf_opqr, eq_or, rr, p, u), gt,
         )
-
-
 if __name__ == "__main__":
     main()
