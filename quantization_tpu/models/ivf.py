@@ -619,8 +619,15 @@ def _indexed_tile(kind, s, method, scan, *, dp=None, allow_pq=True):
 
 
 def _dedupe_select(sv, out_ids, nq, k, kk2):
-    """Dedupe by id (pad slots duplicate rows at equal scores): sort ids,
-    poison repeats, reselect."""
+    """Dedupe by id, keeping each id's HIGHEST-scored copy: sort by score
+    desc, stable-sort by id (preserving score order within an id), poison
+    repeats, reselect. Duplicate slots tie exactly for plain quantizers,
+    but the sharded search gathers candidates in SHARD order (not score
+    order) and residual pad-bucket copies are estimates, not clones — so
+    first-seen-wins silently returns the wrong copy without the pre-sort."""
+    so = jnp.argsort(-sv, axis=1)
+    sv = jnp.take_along_axis(sv, so, axis=1)
+    out_ids = jnp.take_along_axis(out_ids, so, axis=1)
     order = jnp.argsort(out_ids, axis=1)
     sid = jnp.take_along_axis(out_ids, order, axis=1)
     ssv = jnp.take_along_axis(sv, order, axis=1)
@@ -666,6 +673,20 @@ class IVFIndex:
         slot_ids, self._max_dup = _derive_slot_ids(
             self.bucket_ids, self.params.count
         )
+        if metadata.residual and metadata.kind == "bq":
+            # Residual-BQ: mask within-bucket pad slots outright. The
+            # global-cursor pad fill duplicates rows ACROSS buckets, and
+            # a residual code is only a valid estimator when scored with
+            # ITS OWN bucket's q.c_b term — a cross-bucket copy scores
+            # q.r^ + q.c_OTHER, garbage that can outrank (or shadow, in
+            # gather order) the true copy. SQ/PQ poison pads through
+            # their per-slot additives (NEG row terms); the 1-bit plane
+            # layout has no such carrier, so the id map drops them
+            # instead (the search already maps id -1 -> discarded).
+            # Masking also keeps sharded-built files consistent: their
+            # pad codes are COPIES of the primary (residual-vs-primary-
+            # bucket), wrong for any other bucket by construction.
+            slot_ids = np.where(self.bucket_ids >= 0, slot_ids, -1)
         self._slot_ids_dev = jnp.asarray(slot_ids)
         self._means_dev = jnp.asarray(self.bucket_means)
         self._codes_t_cache = None  # lazy [Mpad, Npad] for indexed PQ

@@ -86,6 +86,7 @@ from ..models.ivf import (
     _derive_slot_ids,
     _indexed_tile,
     _residual_coeffs,
+    _residual_query_bq,
     _residual_query_pq,
     _residual_query_sq,
     _scan_buckets_compact,
@@ -189,14 +190,15 @@ def _ivf_sharded_search(
         ids_all = jax.lax.all_gather(out_ids, axis, axis=1, tiled=True)
         return sv_all, ids_all
 
+    # Query-side operands are replicated whatever their count (SQ: codes
+    # + offsets; BQ: packed planes, or the residual (codes, mult, qb)
+    # affine triple; PQ: LUT).
+    eq_spec = tuple(P() for _ in eq)
     if kind == "sq":
-        eq_spec = (P(), P())
         inner_spec = (P(axis, None), P(axis), P())
     elif kind == "bq":
-        eq_spec = (P(),)
         inner_spec = (P(None, axis),)
     else:  # pq
-        eq_spec = (P(),)
         inner_spec = (P(axis, None),)
     if resid is None:
         resid_spec = None
@@ -436,6 +438,15 @@ class ShardedIVF:
             self._means_dev = jax.device_put(
                 np.asarray(means_new, np.float32), NamedSharding(mesh, P())
             )
+        if metadata.residual and metadata.kind == "bq":
+            # Residual-BQ: mask within-bucket pad slots (id -> -1), same
+            # rule as IVFIndex.__init__ — cross-bucket pad duplicates are
+            # invalid residual estimators and the plane layout has no
+            # per-slot additive to poison them with.
+            slot_ids_new = np.where(
+                self.bucket_ids[self._old] >= 0,
+                np.asarray(slot_ids_new, np.int32), -1,
+            )
         if isinstance(slot_ids_new, jax.Array):
             self._slot_ids_dev = slot_ids_new
         else:
@@ -552,14 +563,18 @@ class ShardedIVF:
         if residual:
             from ..ops.pallas.sq_kernel import CORR_BLK
 
-            if kind not in ("sq", "pq"):
-                raise ArgumentsError(
-                    "residual=True supports quantizer 'sq' or 'pq' (BQ's "
-                    "Hamming scale can't absorb the bucket term)"
-                )
             if params.distance_type == DistanceType.L1:
                 raise ArgumentsError(
                     "residual=True needs DOT or L2 (dot-expansion)"
+                )
+            if (
+                kind == "bq"
+                and params.distance_type != DistanceType.DOT
+            ):
+                raise ArgumentsError(
+                    "residual=True with quantizer 'bq' supports DOT only "
+                    "(the L2 expansion needs a per-slot |v^|^2 additive, "
+                    "which the 1-bit plane layout has no carrier for)"
                 )
             if bucket_size % CORR_BLK:
                 raise ArgumentsError(
@@ -799,10 +814,20 @@ class ShardedIVF:
                 (wpad, b_pad * s), jnp.uint32,
                 sharding=NamedSharding(mesh, P(None, axis)), axis=1,
             )
+            # beta = E|r_i| over the WHOLE residual stream (the
+            # single-device build samples <=262k rows; the stream pass
+            # is already paying the host transfer here, so the full
+            # mean is free) — maps the asymmetric estimator's sign
+            # units back to data units (models/ivf.py _ResidualQueryBQ).
+            beta_acc = [0.0, 0]
 
             def enc_commit(xb, slots):
+                xn = np.asarray(xb)
+                if residual:
+                    beta_acc[0] += float(np.sum(np.abs(xn)))
+                    beta_acc[1] += xn.size
                 planes = bq_ops.rows_to_planes(
-                    bq_ops.pack_rows(np.asarray(xb), row_bytes)
+                    bq_ops.pack_rows(xn, row_bytes)
                 )
                 if planes.shape[0] < wpad:
                     planes = np.pad(
@@ -851,18 +876,24 @@ class ShardedIVF:
                 )
                 voff_inner = inner[1]
                 inner = (codes, rterm)
-            else:
+            elif kind == "pq":
                 rowadd = _pq_rowterm_sharded(
                     codes, pad_dev, means_dev, c_chunks,
                     None if rot is None else jnp.asarray(rot),
                     mesh=mesh, axis=axis, b_loc=b_loc, s=s,
                     division=tuple(division), rowcoef=rowcoef,
                 )
+            # bq: no derived row terms — beta rides the metadata.
 
+        residual_scale = 0.0
+        if residual and kind == "bq":
+            residual_scale = max(
+                beta_acc[0] / max(beta_acc[1], 1), 1e-30
+            )
         meta = IVFMetadata(
             nlist=nlist, bucket_size=s, nprobe=nprobe, kind=kind,
             nbuckets=b, vector_parameters=params, nscan=nscan,
-            residual=residual,
+            residual=residual, residual_scale=residual_scale,
         )
         obj = cls.__new__(cls)
         obj._init_from_parts(
@@ -933,6 +964,11 @@ class ShardedIVF:
         if kind == "sq":
             return q, _residual_query_sq(
                 q, im.alpha, im.offset, self._inner[0].shape[1], a, rc
+            )
+        if kind == "bq":
+            dp = self._inner[0].shape[0] * 32
+            return q, _residual_query_bq(
+                q, dp, a, self.metadata.residual_scale
             )
         lut = pq_ops.build_lut(
             self._pq_chunk_query(q),
@@ -1038,7 +1074,12 @@ class ShardedIVF:
             mult = eq_inner.mult if meta.residual else self._mult_dev
             inner = (*self._inner, mult)
         elif kind == "bq":
-            eq = (eq_inner.planes,)
+            # Residual: asymmetric affine query (codes, mult, qb) — the
+            # scan kernels key on len(eq) == 3 (models/ivf.py).
+            eq = (
+                (eq_inner.codes, eq_inner.mult, eq_inner.qb)
+                if meta.residual else (eq_inner.planes,)
+            )
             inner = self._inner
         else:
             eq = (eq_inner.lut,)
@@ -1048,9 +1089,9 @@ class ShardedIVF:
         resid = None
         if meta.residual:
             resid = (
-                (self._corr_scale_dev,)
-                if kind == "sq"
-                else (self._corr_scale_dev, self._rowadd_dev)
+                (self._corr_scale_dev, self._rowadd_dev)
+                if kind == "pq"
+                else (self._corr_scale_dev,)
             )
         return _ivf_sharded_search(
             q, eq, self._means_dev, self._slot_ids_dev, inner, resid,
@@ -1336,7 +1377,7 @@ class ShardedIVF:
                 )
                 voff_inner = inner[1]
                 inner = (inner[0], rterm)
-            else:
+            elif kind == "pq":
                 c_chunks = jnp.asarray(
                     pq_ops.centroids_to_chunks(
                         np.asarray(inner_meta.centroids),

@@ -262,11 +262,13 @@ def test_streaming_build_and_interop_with_single_device(
     np.testing.assert_allclose(sv2, sv, rtol=1e-5, atol=1e-4)
 
 
-@pytest.mark.parametrize("kind", ["sq", "pq"])
+@pytest.mark.parametrize("kind", ["sq", "pq", "bq"])
 def test_residual_streaming_build_and_load(rng, mesh, kind, tmp_path):
     # Residual sharded-native build: means/calibration/codes all from the
     # stream; the per-shard load re-derives the residual row terms on
-    # device and reproduces the builder's scores exactly.
+    # device and reproduces the builder's scores exactly. Residual-BQ is
+    # DOT-only (models/ivf.py encode gate) and carries beta = E|r_i| in
+    # the metadata sidecar instead of derived row terms.
     count = 3000
     centers = rng.standard_normal((6, DIM)).astype(np.float32) * 3
     assign = rng.integers(0, 6, count)
@@ -275,7 +277,11 @@ def test_residual_streaming_build_and_load(rng, mesh, kind, tmp_path):
         + 0.3 * rng.standard_normal((count, DIM)).astype(np.float32)
     ).astype(np.float32)
     queries = data[rng.choice(count, 8, replace=False)].astype(np.float32)
-    params = VectorParameters(DIM, count, DistanceType.L2, True)
+    params = VectorParameters(
+        DIM, count,
+        DistanceType.DOT if kind == "bq" else DistanceType.L2,
+        kind != "bq",
+    )
     kw = {"chunk_size": 2} if kind == "pq" else {}
 
     def stream():
@@ -288,15 +294,20 @@ def test_residual_streaming_build_and_load(rng, mesh, kind, tmp_path):
     )
     eq = sharded.encode_query(queries)
     sv, ids = sharded.top_k(eq, K, nscan=10**9)
-    gt = gt_topk(queries, (data - queries[:1] * 0) @ np.eye(DIM))  # DOT gt
-    # L2-invert near-duplicate queries: the query itself must rank top-1.
-    qid = np.asarray(
-        [np.flatnonzero((data == q).all(axis=1))[0] for q in queries]
-    )
-    assert np.all(ids[:, 0] == qid)
+    if kind == "bq":
+        # beta from the full encode stream, persisted in the sidecar.
+        assert sharded.metadata.residual_scale > 0
+    else:
+        # L2-invert near-duplicate queries: the query must rank top-1
+        # (1-bit residual signs tie within a bucket, so not for BQ).
+        qid = np.asarray(
+            [np.flatnonzero((data == q).all(axis=1))[0] for q in queries]
+        )
+        assert np.all(ids[:, 0] == qid)
     dp, mp = tmp_path / "rivf.data", tmp_path / "rivf.meta"
     sharded.save(dp, mp)
     back = ShardedIVF.load(dp, mp, params, mesh=mesh)
+    assert back.metadata.residual_scale == sharded.metadata.residual_scale
     sv2, ids2 = back.top_k(back.encode_query(queries), K, nscan=10**9)
     np.testing.assert_allclose(sv2, sv, rtol=1e-4, atol=1e-3)
     # ... and the single-device loader agrees on the same files.
@@ -305,7 +316,7 @@ def test_residual_streaming_build_and_load(rng, mesh, kind, tmp_path):
     np.testing.assert_allclose(sv3, sv, rtol=1e-4, atol=1e-3)
 
 
-@pytest.mark.parametrize("kind", ["sq", "pq"])
+@pytest.mark.parametrize("kind", ["sq", "pq", "bq"])
 def test_residual_full_union_matches_single_device(rng, mesh, kind):
     # Residual indexes on the mesh: the per-shard scan applies the same
     # additive corrections (corr from the shard's slice of q.c_b, rowadd
@@ -319,7 +330,11 @@ def test_residual_full_union_matches_single_device(rng, mesh, kind):
         + 0.3 * rng.standard_normal((count, DIM)).astype(np.float32)
     ).astype(np.float32)
     queries = data[rng.choice(count, 8, replace=False)].astype(np.float32)
-    params = VectorParameters(DIM, count, DistanceType.L2, True)
+    params = VectorParameters(
+        DIM, count,
+        DistanceType.DOT if kind == "bq" else DistanceType.L2,
+        kind != "bq",
+    )
     kw = {"chunk_size": 2} if kind == "pq" else {}
     ivf = IVFIndex.encode(
         data, params, quantizer=kind, nlist=6, bucket_size=512,
