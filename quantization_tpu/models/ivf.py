@@ -523,6 +523,16 @@ def _ivf_search(
     return _dedupe_select(sv, out_ids, nq, k, kk2)
 
 
+# Indexed scans chunk their tile list beyond this many tiles: the fused
+# kernels' candidate buffers grow with the tile count (ceil(T/SPAN) *
+# SLOT columns x Q x 8 B), so an unchunked 23.7%-of-100M scan (46.8k
+# tiles) materializes ~3 GB of candidates next to ~10.7 GB of resident
+# planes and the allocator thrashes (BASELINE capacity leg, round 4).
+# 4096 tiles cap the per-chunk buffers at ~268 MB (Q=256); each chunk's
+# top-kk2 is exact w.r.t. its tiles, so the chunk merge loses nothing.
+_INDEXED_CHUNK_TILES = 4096
+
+
 def _scan_buckets_indexed(
     kind, eq, inner, union, *, s, itile, dt, invert, dim, kk2, method,
     corr=None, rowadd=None, precision=None, rt=0.95,
@@ -536,12 +546,59 @@ def _scan_buckets_indexed(
     ``corr``: residual per-block additive in SELECTION-order transposed
     layout [U*(s/CORR_BLK), Q] (see _ivf_search); ``rowadd``: per-row
     additive in GLOBAL layout (indexed by the same prefetch map as the
-    codes)."""
+    codes). Tile lists beyond ``_INDEXED_CHUNK_TILES`` are scanned in
+    chunks (one compiled kernel, reused) and exact-merged."""
     kernel_mode = "approx" if method == "approx" else "exact"
     tpb = s // itile
     tiles = (
         union[:, None] * tpb + jnp.arange(tpb, dtype=jnp.int32)
     ).reshape(-1)
+    nt = tiles.shape[0]
+    if nt > _INDEXED_CHUNK_TILES:
+        from ..ops.pallas.sq_kernel import CORR_BLK
+
+        nc = -(-nt // _INDEXED_CHUNK_TILES)
+        c = -(-nt // nc)
+        pad = nc * c - nt
+        # Pad by repeating the last tile: duplicate candidates carry the
+        # same (score, loc) and the value merge keeps one of them.
+        tiles_p = jnp.pad(tiles, (0, pad), mode="edge")
+        cb = itile // CORR_BLK  # corr rows per tile (selection order)
+        corr_p = (
+            None if corr is None
+            else jnp.pad(corr, ((0, pad * cb), (0, 0)), mode="edge")
+        )
+        svs, locs = [], []
+        for j in range(nc):
+            sv_j, loc_j = _scan_tiles_indexed(
+                kind, eq, inner, tiles_p[j * c : (j + 1) * c],
+                itile=itile, dt=dt, invert=invert, dim=dim, kk2=kk2,
+                kernel_mode=kernel_mode,
+                corr=(
+                    None if corr_p is None
+                    else corr_p[j * c * cb : (j + 1) * c * cb]
+                ),
+                rowadd=rowadd, precision=precision, rt=rt,
+            )
+            svs.append(sv_j)
+            locs.append(loc_j)
+        sv_all = jnp.concatenate(svs, axis=1)
+        loc_all = jnp.concatenate(locs, axis=1)
+        sv_all = jnp.where(loc_all >= 0, sv_all, NEG)
+        sv, pos = jax.lax.top_k(sv_all, kk2)
+        loc = jnp.take_along_axis(loc_all, pos, axis=1)
+        return sv, jnp.where(sv > NEG, loc, -1)
+    return _scan_tiles_indexed(
+        kind, eq, inner, tiles, itile=itile, dt=dt, invert=invert,
+        dim=dim, kk2=kk2, kernel_mode=kernel_mode, corr=corr,
+        rowadd=rowadd, precision=precision, rt=rt,
+    )
+
+
+def _scan_tiles_indexed(
+    kind, eq, inner, tiles, *, itile, dt, invert, dim, kk2, kernel_mode,
+    corr=None, rowadd=None, precision=None, rt=0.95,
+):
     if kind == "sq":
         from ..ops.pallas.sq_kernel import sq_search_indexed
 

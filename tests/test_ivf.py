@@ -505,6 +505,45 @@ def force_pallas(monkeypatch):
     monkeypatch.delenv("QTPU_FORCE_PALLAS", raising=False)
 
 
+@pytest.mark.parametrize("kind", ["sq", "bq"])
+def test_indexed_scan_chunking_matches_unchunked(
+    rng, force_pallas, kind, monkeypatch
+):
+    # Huge-union indexed scans split the tile list into bounded chunks
+    # (capacity-leg fix: unchunked candidate buffers grow with the tile
+    # count and thrash HBM at 100M). Each chunk's top-kk2 is exact
+    # w.r.t. its tiles, so chunked == unchunked bitwise at equal tile
+    # geometry. Force tiny chunks so CPU-scale fixtures exercise it.
+    import quantization_tpu.models.ivf as ivfmod
+
+    count = 3000
+    data = clustered(rng, count, DIM, clusters=8, sigma=0.08)
+    queries = clustered(rng, 8, DIM, clusters=8, sigma=0.08)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    ivf = IVFIndex.encode(
+        data, params, quantizer=kind, nlist=8, bucket_size=512, nprobe=8,
+    )
+    eq = ivf.encode_query(queries)
+    u_s, u_i = ivf.top_k(
+        eq, K, method="approx", scan="indexed", nscan=ivf.metadata.nbuckets
+    )
+    monkeypatch.setattr(ivfmod, "_INDEXED_CHUNK_TILES", 2)
+    import jax
+
+    jax.clear_caches()  # the jitted search baked the unchunked scan
+    c_s, c_i = ivf.top_k(
+        eq, K, method="approx", scan="indexed", nscan=ivf.metadata.nbuckets
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_s), np.asarray(u_s), rtol=1e-6, atol=1e-5
+    )
+    if kind == "sq":
+        np.testing.assert_array_equal(np.asarray(c_i), np.asarray(u_i))
+    # bq: 1-bit scores tie in droves on clustered data; equal score
+    # vectors (asserted above) are the chunking invariant, ids may swap
+    # within a tie class.
+
+
 @pytest.mark.parametrize(
     "kind,method,bucket,same_tile",
     [
