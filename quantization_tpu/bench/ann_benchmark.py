@@ -272,8 +272,8 @@ def main(argv=None):
                    "(default 4 * nprobe)")
     p.add_argument("--residual", action="store_true",
                    help="IVF inner codes over v - bucket_center (the "
-                   "IVF-PQ/IVFADC recipe; ivf-sq / ivf-pq, DOT/L2, "
-                   "bucket-size multiple of 512)")
+                   "IVF-PQ/IVFADC recipe; ivf-sq / ivf-pq DOT/L2, "
+                   "ivf-bq DOT only, bucket-size multiple of 512)")
     p.add_argument("--oversampling", type=float, default=4.0)
     p.add_argument("--test-acc", action="store_true")
     p.add_argument("--bench", action="store_true")

@@ -91,6 +91,17 @@ def test_cli_ivf_residual():
     assert res[0]["same_10"] > 0.4
 
 
+def test_cli_ivf_residual_bq():
+    """Residual-BQ (asymmetric 1-bit residual signs) through the CLI —
+    DOT datasets only (lastfm-64-dot in the registry)."""
+    res = _run([
+        "--dataset", "lastfm-64-dot", "--method", "ivf-bq", "--residual",
+        "--test-acc", "--synthetic-count", "3000", "--query-batch", "64",
+        "--nlist", "4", "--bucket-size", "512", "--nprobe", "4",
+    ])
+    assert res[0]["same_10"] >= 0.0  # wires + runs; quality is data-bound
+
+
 def test_cli_sharded_bench_search_path():
     """--bench on a sharded index (no dense score_batch) measures the
     search path instead of silently skipping."""
