@@ -505,9 +505,12 @@ def force_pallas(monkeypatch):
     monkeypatch.delenv("QTPU_FORCE_PALLAS", raising=False)
 
 
-@pytest.mark.parametrize("kind", ["sq", "bq"])
+@pytest.mark.parametrize(
+    "kind,method",
+    [("sq", "approx"), ("sq", "exact"), ("bq", "approx")],
+)
 def test_indexed_scan_chunking_matches_unchunked(
-    rng, force_pallas, kind, monkeypatch
+    rng, force_pallas, kind, method, monkeypatch
 ):
     # Huge-union indexed scans split the tile list into bounded chunks
     # (capacity-leg fix: unchunked candidate buffers grow with the tile
@@ -525,14 +528,14 @@ def test_indexed_scan_chunking_matches_unchunked(
     )
     eq = ivf.encode_query(queries)
     u_s, u_i = ivf.top_k(
-        eq, K, method="approx", scan="indexed", nscan=ivf.metadata.nbuckets
+        eq, K, method=method, scan="indexed", nscan=ivf.metadata.nbuckets
     )
     monkeypatch.setattr(ivfmod, "_INDEXED_CHUNK_TILES", 2)
     import jax
 
     jax.clear_caches()  # the jitted search baked the unchunked scan
     c_s, c_i = ivf.top_k(
-        eq, K, method="approx", scan="indexed", nscan=ivf.metadata.nbuckets
+        eq, K, method=method, scan="indexed", nscan=ivf.metadata.nbuckets
     )
     np.testing.assert_allclose(
         np.asarray(c_s), np.asarray(u_s), rtol=1e-6, atol=1e-5
