@@ -113,9 +113,12 @@ class TwoStageIndex:
             self.fine.encode_query(queries),
         )
 
-    def top_k_device(self, equery, k: int, method: str = None):
+    def top_k_device(self, equery, k: int, method: str = None,
+                     recall_target=None):
         """Both stages stay on device; no host sync between coarse and
-        fine. ``method`` overrides the constructor's coarse_method."""
+        fine. ``method`` overrides the constructor's coarse_method;
+        ``recall_target`` rides through to the coarse stage's approx
+        merge (every coarse family accepts it)."""
         eq_coarse, eq_fine = equery
         r = int(np.ceil(k * self.oversampling))
         r = min(r, self.coarse.count if self.coarse.count else r)
@@ -124,7 +127,8 @@ class TwoStageIndex:
         # stage, which scans the whole corpus) for small k, or
         # score + (approx_)top_k beyond FUSED_K_MAX.
         _, cand = self.coarse.top_k_device(
-            eq_coarse, r, method=method or self.coarse_method
+            eq_coarse, r, method=method or self.coarse_method,
+            recall_target=recall_target,
         )
         cand = jnp.asarray(cand)  # [Q, R]
         fine_scores = jnp.asarray(
@@ -140,7 +144,9 @@ class TwoStageIndex:
         return s, idx
 
     def top_k(
-        self, equery, k: int, method: str = None
+        self, equery, k: int, method: str = None, recall_target=None
     ) -> Tuple[np.ndarray, np.ndarray]:
-        s, idx = self.top_k_device(equery, k, method=method)
+        s, idx = self.top_k_device(
+            equery, k, method=method, recall_target=recall_target
+        )
         return np.asarray(s), np.asarray(idx)

@@ -115,6 +115,7 @@ def local_topk_merge(
     k: int,
     count: int,
     method: str = "exact",
+    recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
     """Shared tail of every sharded scorer: mask shard padding, local top-k,
     all-gather k rows per shard over ICI, merge. Replaces the reference
@@ -131,7 +132,7 @@ def local_topk_merge(
     scores = jnp.where(gidx < count, scores, NEG_INF)
     kk = min(k, n_local)
     if method == "approx":
-        s, i = jax.lax.approx_max_k(scores, kk)
+        s, i = jax.lax.approx_max_k(scores, kk, recall_target=recall_target)
         i = i.astype(jnp.int32)
     else:
         s, i = jax.lax.top_k(scores, kk)
@@ -193,8 +194,11 @@ class _ShardedBase:
             return self.quantizer.encode_query(queries)
         return self._encode_query_from_meta(queries)
 
-    def top_k(self, equery, k: int, method: str = "exact"):
-        s, i = self.top_k_device(equery, k, method=method)
+    def top_k(self, equery, k: int, method: str = "exact",
+              recall_target=None):
+        s, i = self.top_k_device(
+            equery, k, method=method, recall_target=recall_target
+        )
         return np.asarray(s), np.asarray(i)
 
     def score_internal(self, i: int, j: int) -> float:
@@ -373,7 +377,8 @@ class ShardedScalarQuantizer(_ShardedBase):
         return EncodedQueryU8(codes, qoff)
 
     def top_k_device(
-        self, equery: EncodedQueryU8, k: int, method: str = "exact"
+        self, equery: EncodedQueryU8, k: int, method: str = "exact",
+        recall_target: float = None,
     ) -> Tuple[jax.Array, jax.Array]:
         return _sq_sharded_topk(
             equery.codes,
@@ -387,6 +392,9 @@ class ShardedScalarQuantizer(_ShardedBase):
             count=self.count,
             distance_type=self.params.distance_type,
             method=method,
+            recall_target=(
+                0.95 if recall_target is None else float(recall_target)
+            ),
         )
 
     def score_candidates(self, equery: EncodedQueryU8, cand) -> jax.Array:
@@ -538,11 +546,14 @@ class ShardedScalarQuantizer(_ShardedBase):
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "k", "count", "distance_type", "method"),
+    static_argnames=(
+        "mesh", "axis", "k", "count", "distance_type", "method",
+        "recall_target",
+    ),
 )
 def _sq_sharded_topk(
     qcodes, qoff, codes, voff, multiplier, *, mesh, axis, k, count,
-    distance_type, method="exact",
+    distance_type, method="exact", recall_target=0.95,
 ):
     def local(qc, qo, c, vo, mult):
         from ..ops.pallas.ktile import APPROX_K_MAX, FUSED_K_MAX
@@ -576,7 +587,7 @@ def _sq_sharded_topk(
             s, li = sq_search_pallas(
                 qc, qo, c, vo_m, mult,
                 distance_type=distance_type, n_valid=n_local, k=kk,
-                mode=method,
+                mode=method, recall_target=recall_target,
             )
             gi = jnp.where(li >= 0, li + shard_idx * n_local, -1)
             valid = (gi >= 0) & (gi < count)
@@ -602,7 +613,10 @@ def _sq_sharded_topk(
             scores = (
                 mult * raw.astype(jnp.float32) + qo[:, None] + vo[None, :]
             )
-        return local_topk_merge(scores, axis, k, count, method=method)
+        return local_topk_merge(
+            scores, axis, k, count, method=method,
+            recall_target=recall_target,
+        )
 
     fn = jax.shard_map(
         local,
@@ -838,7 +852,8 @@ class ShardedBinaryQuantizer(_ShardedBase):
         return EncodedQueryBin(jnp.asarray(words))
 
     def top_k_device(
-        self, equery: EncodedQueryBin, k: int, method: str = "exact"
+        self, equery: EncodedQueryBin, k: int, method: str = "exact",
+        recall_target: float = None,
     ) -> Tuple[jax.Array, jax.Array]:
         p = self.params
         return _bq_sharded_topk(
@@ -852,6 +867,9 @@ class ShardedBinaryQuantizer(_ShardedBase):
             invert=p.invert,
             dim=p.dim,
             method=method,
+            recall_target=(
+                0.95 if recall_target is None else float(recall_target)
+            ),
         )
 
     def score_internal_batch(self, ids_a, ids_b) -> jax.Array:
@@ -964,12 +982,12 @@ class ShardedBinaryQuantizer(_ShardedBase):
     jax.jit,
     static_argnames=(
         "mesh", "axis", "k", "count", "distance_type", "invert", "dim",
-        "method",
+        "method", "recall_target",
     ),
 )
 def _bq_sharded_topk(
     qplanes, planes, *, mesh, axis, k, count, distance_type, invert, dim,
-    method="exact",
+    method="exact", recall_target=0.95,
 ):
     def local(qp, pl_shard):
         from ..ops.pallas.bq_kernel import (
@@ -997,7 +1015,7 @@ def _bq_sharded_topk(
                 qp, pl_shard,
                 distance_type=distance_type, invert=invert, dim=dim,
                 n_valid=n_local, k=kk, mode=method,
-                n_valid_dyn=shard_valid,
+                n_valid_dyn=shard_valid, recall_target=recall_target,
             )
             gi = jnp.where(li >= 0, li + shard_idx * n_local, -1)
             valid = (gi >= 0) & (gi < count)
@@ -1018,7 +1036,10 @@ def _bq_sharded_topk(
                 invert=invert,
                 dim=dim,
             )
-        return local_topk_merge(scores, axis, k, count, method=method)
+        return local_topk_merge(
+            scores, axis, k, count, method=method,
+            recall_target=recall_target,
+        )
 
     fn = jax.shard_map(
         local,
@@ -1216,7 +1237,8 @@ class ShardedProductQuantizer(_ShardedBase):
         return EncodedQueryPQ(lut)
 
     def top_k_device(
-        self, equery: EncodedQueryPQ, k: int, method: str = "exact"
+        self, equery: EncodedQueryPQ, k: int, method: str = "exact",
+        recall_target: float = None,
     ) -> Tuple[jax.Array, jax.Array]:
         from ..ops.pallas.pq_kernel import _lut_precision
 
@@ -1233,6 +1255,9 @@ class ShardedProductQuantizer(_ShardedBase):
             # is an explicit static argument — changing it after first use
             # retraces instead of being silently ignored.
             precision=_lut_precision(),
+            recall_target=(
+                0.95 if recall_target is None else float(recall_target)
+            ),
         )
 
     def score_candidates(self, equery: EncodedQueryPQ, cand) -> jax.Array:
@@ -1367,12 +1392,13 @@ class ShardedProductQuantizer(_ShardedBase):
 @partial(
     jax.jit,
     static_argnames=(
-        "mesh", "axis", "k", "count", "num_chunks", "method", "precision"
+        "mesh", "axis", "k", "count", "num_chunks", "method", "precision",
+        "recall_target",
     ),
 )
 def _pq_sharded_topk(
     lut, codes_t, *, mesh, axis, k, count, num_chunks, method="exact",
-    precision=None,
+    precision=None, recall_target=0.95,
 ):
     def local(lut_rep, codes_t_shard):
         from ..ops.pallas.ktile import APPROX_K_MAX, FUSED_K_MAX
@@ -1400,7 +1426,7 @@ def _pq_sharded_topk(
             s, li = pq_search_pallas(
                 lut_rep, codes_t_shard,
                 n_valid=n_local, k=kk, mode=method, precision=precision,
-                n_valid_dyn=shard_valid,
+                n_valid_dyn=shard_valid, recall_target=recall_target,
             )
             gi = jnp.where(li >= 0, li + shard_idx * n_local, -1)
             valid = (gi >= 0) & (gi < count)
@@ -1415,7 +1441,10 @@ def _pq_sharded_topk(
             scores = pq_ops.score_lut_xla(
                 lut_rep, codes_t_shard.T[:, :num_chunks]
             )
-        return local_topk_merge(scores, axis, k, count, method=method)
+        return local_topk_merge(
+            scores, axis, k, count, method=method,
+            recall_target=recall_target,
+        )
 
     fn = jax.shard_map(
         local,

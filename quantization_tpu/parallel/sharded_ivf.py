@@ -822,7 +822,11 @@ class ShardedIVF:
             beta_acc = [0.0, 0]
 
             def enc_commit(xb, slots):
-                xn = np.asarray(xb)
+                # ``xb`` is the SOURCE batch (host numpy for the residual
+                # stream; whatever ``batches()`` yields otherwise) — the
+                # bit pack below is host-side, so a device copy would
+                # only round-trip through the tunnel.
+                xn = np.asarray(xb, np.float32)
                 if residual:
                     beta_acc[0] += float(np.sum(np.abs(xn)))
                     beta_acc[1] += xn.size
@@ -835,13 +839,22 @@ class ShardedIVF:
                     )
                 codes_st.scatter(jnp.asarray(planes), slots)
 
-        # 5. streaming encode: each batch lands at its final slots.
+        # 5. streaming encode: each batch lands at its final slots. BQ
+        # packs bits on the HOST, so it gets the source batch as-is (no
+        # upload-then-download round trip per batch — at 100M rows that
+        # was ~1,500 needless full-batch transfers through the tunnel);
+        # SQ/PQ encode on device and take the uploaded copy, which
+        # _acc_means shares when bucket means still need accumulating.
         r0 = 0
         for batch in enc_batches():
             check_stop(stop_condition)
             bsz = batch.shape[0]
-            xb = jnp.asarray(batch, jnp.float32)
-            enc_commit(xb, slot_of_row[r0 : r0 + bsz].astype(np.int32))
+            need_dev = kind != "bq" or not residual
+            xb = jnp.asarray(batch, jnp.float32) if need_dev else None
+            enc_commit(
+                batch if kind == "bq" else xb,
+                slot_of_row[r0 : r0 + bsz].astype(np.int32),
+            )
             if not residual:
                 _acc_means(xb, r0, bsz)
             r0 += bsz

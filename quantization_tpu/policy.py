@@ -57,14 +57,15 @@ def exact_topk(queries, data, distance_type, invert, k, block_rows=1 << 18):
     q = jnp.asarray(queries, jnp.float32)
 
     def score_block(b0, b1):
+        # jnp.asarray: a device-resident corpus slices on device; a host
+        # array/memmap uploads one block. Never np.asarray(data) — that
+        # would pull the WHOLE corpus to the host just to score a block.
         return pairwise_score(
-            q, np.asarray(data[b0:b1], np.float32), distance_type, invert
+            q, jnp.asarray(data[b0:b1], jnp.float32), distance_type, invert
         )
 
-    return blocked_topk(
-        score_block, int(np.asarray(data).shape[0]), k,
-        block_rows=block_rows,
-    )
+    n = data.shape[0] if hasattr(data, "shape") else len(data)
+    return blocked_topk(score_block, int(n), k, block_rows=block_rows)
 
 
 def recall_at_k(ids, gt_ids) -> float:
@@ -99,13 +100,16 @@ class ServingPlan:
 
         ``data`` (the original f32 vectors — array or np.memmap) backs
         the f32 rescore stage when the plan has one; pass ``rescorer``
-        to reuse an existing (possibly sharded) rescorer instead."""
-        if self.nscan is not None:
-            if not hasattr(index, "metadata"):
-                raise ArgumentsError("nscan plan needs an IVF index")
-            index.metadata.nscan = int(self.nscan)
+        to reuse an existing (possibly sharded) rescorer instead.
+
+        The plan's knobs are pinned in the RETURNED object only — the
+        index itself is never mutated (so calibration trials, and plans
+        the caller discards, leave ``index.metadata`` untouched)."""
+        if self.nscan is not None and not _is_ivf(index):
+            raise ArgumentsError("nscan plan needs an IVF index")
+        pinned = _MethodPinned(index, self.method, self.scan, self.nscan)
         if self.oversampling <= 1.0:
-            return _MethodPinned(index, self.method, self.scan)
+            return pinned
         if rescorer is None:
             if data is None:
                 raise ArgumentsError(
@@ -118,26 +122,52 @@ class ServingPlan:
                 host_resident=bool(isinstance(data, np.memmap)),
             )
         return TwoStageIndex(
-            index, rescorer, oversampling=self.oversampling,
+            pinned, rescorer, oversampling=self.oversampling,
             coarse_method=self.method,
         )
 
 
-class _MethodPinned:
-    """Coarse-only searchable: pins the plan's method/scan knobs so
-    ``top_k(eq, k)`` replays the plan with no extra arguments."""
+def _is_ivf(index) -> bool:
+    """Only the IVF families take scan=/nscan= knobs; every full-scan
+    quantizer also has ``.metadata``, so test for the IVF-only field."""
+    return hasattr(getattr(index, "metadata", None), "nbuckets")
 
-    def __init__(self, index, method, scan):
+
+class _MethodPinned:
+    """Coarse-only searchable: pins the plan's method/scan/nscan knobs so
+    ``top_k(eq, k)`` replays the plan with no extra arguments. Also
+    serves as the coarse stage of a rescored plan's ``TwoStageIndex``
+    (forwarding ``count``/``top_k_device``), which is how a plan pins
+    nscan without mutating the index's metadata."""
+
+    def __init__(self, index, method, scan, nscan=None):
         self._ix, self._method, self._scan = index, method, scan
+        self._nscan = nscan
+
+    @property
+    def count(self):
+        return self._ix.count
 
     def encode_query(self, queries):
         return self._ix.encode_query(queries)
 
-    def top_k(self, eq, k, **kw):
+    def _pin(self, kw):
         kw.setdefault("method", self._method)
-        if hasattr(self._ix, "metadata"):  # IVF families take scan=
+        if _is_ivf(self._ix):  # IVF families take scan=/nscan=
             kw.setdefault("scan", self._scan)
-        return self._ix.top_k(eq, k, **kw)
+            if self._nscan is not None:
+                kw.setdefault("nscan", int(self._nscan))
+        return kw
+
+    def top_k(self, eq, k, **kw):
+        return self._ix.top_k(eq, k, **self._pin(kw))
+
+    def top_k_device(self, eq, k, **kw):
+        # TwoStageIndex passes recall_target=None through; drop the
+        # no-op so full-scan top_k_device defaults stay in charge.
+        if kw.get("recall_target", 0) is None:
+            del kw["recall_target"]
+        return self._ix.top_k_device(eq, k, **self._pin(kw))
 
 
 # Measured IVF-SQ coarse recall vs scanned fraction at Q=256 (BASELINE
@@ -190,9 +220,7 @@ def recommend(
     serving object."""
     if not (0.0 < target_recall <= 1.0):
         raise ArgumentsError("target_recall must be in (0, 1]")
-    is_ivf = hasattr(index, "metadata") and hasattr(
-        index.metadata, "nbuckets"
-    )
+    is_ivf = _is_ivf(index)
     kind = index.metadata.kind if is_ivf else _family_of(index)
     ceiling = _COARSE_CEILING.get(kind, 0.8)
 

@@ -165,3 +165,22 @@ def test_cli_ivf_default_geometry():
         "--nprobe", "8",
     ])
     assert res[0]["same_10"] > 0.3
+
+
+def test_cli_recall_target_two_stage_and_sharded():
+    """--recall-target must ride through the TwoStageIndex and sharded
+    wrappers, not just the plain quantizers (r4 review finding: every
+    two-stage / sharded method crashed with TypeError)."""
+    res = _run([
+        "--dataset", "sift", "--method", "u8-f32", "--test-acc",
+        "--synthetic-count", "3000", "--query-batch", "64",
+        "--oversampling", "4",
+        "--topk-method", "approx", "--recall-target", "0.8",
+    ])
+    assert res[0]["same_10"] > 0.6
+    res = _run([
+        "--dataset", "sift", "--method", "u8", "--sharded", "--test-acc",
+        "--synthetic-count", "3000", "--query-batch", "64",
+        "--topk-method", "approx", "--recall-target", "0.8",
+    ])
+    assert res[0]["same_10"] > 0.4

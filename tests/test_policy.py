@@ -141,3 +141,42 @@ def test_plan_requires_data_for_rescore(rng):
 
     with pytest.raises(ArgumentsError):
         plan.build(sq)
+
+
+def test_coarse_only_plan_on_full_scan_index(rng):
+    """A coarse-only plan over a full-scan quantizer must not forward
+    IVF-only knobs (scan=) to top_k — SQ/BQ/PQ also have .metadata, so
+    the pin must test for the IVF-only field (r4 review finding)."""
+    count = 2000
+    data = clustered(rng, count, DIM)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    sq = ScalarQuantizerU8.encode(data, params)
+    queries = clustered(rng, 8, DIM)
+    # Seeded coarse-only plan (target below the SQ rescore threshold).
+    plan = recommend(sq, 0.5)
+    assert plan.oversampling <= 1.0
+    obj = plan.build(sq)
+    _, ids = obj.top_k(obj.encode_query(queries), K)
+    assert np.asarray(ids).shape == (8, K)
+    # The calibration sweep's first trial is the same coarse-only shape.
+    plan = recommend(sq, 0.5, k=K, queries=queries, data=data)
+    assert plan.calibrated
+
+
+def test_recommend_does_not_mutate_index(rng):
+    """Calibration trials and discarded plans leave index.metadata.nscan
+    untouched: plans pin nscan in the returned object, not the index
+    (r4 review finding — a failed sweep used to leave nscan=nbuckets
+    behind, silently turning the default search into a full scan)."""
+    count = 4000
+    data = clustered(rng, count, DIM)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    ivf = IVFIndex.encode(data, params, quantizer="sq")
+    before = ivf.metadata.nscan
+    queries = clustered(rng, 8, DIM)
+    plan = recommend(ivf, 0.99, k=K, queries=queries, data=data)
+    assert ivf.metadata.nscan == before
+    obj = plan.build(ivf, data, k=K)
+    _, ids = obj.top_k(obj.encode_query(queries), K)
+    assert np.asarray(ids).shape == (8, K)
+    assert ivf.metadata.nscan == before
