@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -212,7 +213,7 @@ class BinaryQuantizer(EncodedVectors):
 
     def top_k_device(
         self, equery: EncodedQueryBin, k: int, method: str = "exact",
-        recall_target: float = None,
+        recall_target: Optional[float] = None,
     ):
         """Fused MXU search on TPU: bit unpack + int8 matmul + in-tile
         top-k, no [Q, N] score matrix (the coarse stage of two-stage

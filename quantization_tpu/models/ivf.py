@@ -942,6 +942,37 @@ class IVFIndex:
                     f"residual=True needs bucket_size to be a multiple "
                     f"of {CORR_BLK}, got {bucket_size}"
                 )
+            if kind == "bq":
+                # Measured regime rule (PERF_NOTES "Residual-BQ regime",
+                # BASELINE "Residual-BQ at 10M"): on unit-NORMALIZED
+                # corpora the within-bucket score spread (~|r|^2/sqrt(d))
+                # sits below the asymmetric 1-bit estimator's noise floor
+                # (~beta*|q|), so residual-BQ LOSES recall vs plain signs
+                # (10M x 768 normalized: coarse 0.330 -> 0.277, rescored
+                # 0.935 -> 0.918 at equal scan cost). Warn before the
+                # build spends the work.
+                rng_norms = np.random.default_rng(seed ^ 0x5EED)
+                nidx = rng_norms.choice(
+                    params.count, size=min(params.count, 4096),
+                    replace=False,
+                )
+                norms = np.linalg.norm(
+                    np.asarray(data[nidx], np.float32), axis=1
+                )
+                if norms.size and float(np.mean(np.abs(norms - 1.0))) < 0.02:
+                    import warnings
+
+                    warnings.warn(
+                        "residual=True with quantizer='bq' on a "
+                        "unit-normalized corpus: measured on this regime "
+                        "residual-BQ REDUCES recall vs plain IVF-BQ "
+                        "(10M x 768 normalized: coarse 0.330 -> 0.277, "
+                        "rescored 0.935 -> 0.918 at equal scan cost — "
+                        "PERF_NOTES 'Residual-BQ regime'). Keep "
+                        "residual=False for BQ here and spend the win on "
+                        "rescore depth R, or use residual SQ/PQ.",
+                        stacklevel=2,
+                    )
         check_stop(stop_condition)
 
         n = params.count

@@ -336,7 +336,7 @@ class ProductQuantizer(EncodedVectors):
 
     def top_k_device(
         self, equery: EncodedQueryPQ, k: int, method: str = "exact",
-        recall_target: float = None,
+        recall_target: Optional[float] = None,
     ):
         """Fused PQ search on TPU: one-hot MXU accumulation in VMEM scratch
         + in-tile top-k — no [Q, N] score matrix.

@@ -349,7 +349,7 @@ class ScalarQuantizerU8(EncodedVectors):
 
     def top_k_device(
         self, equery: EncodedQueryU8, k: int, method: str = "exact",
-        recall_target: float = None,
+        recall_target: Optional[float] = None,
     ):
         """Fused Pallas search on TPU for DOT/L2: int8 MXU scoring with
         in-tile top-k extraction — the [Q, N] score matrix never touches

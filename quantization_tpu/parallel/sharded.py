@@ -378,7 +378,7 @@ class ShardedScalarQuantizer(_ShardedBase):
 
     def top_k_device(
         self, equery: EncodedQueryU8, k: int, method: str = "exact",
-        recall_target: float = None,
+        recall_target: Optional[float] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         return _sq_sharded_topk(
             equery.codes,
@@ -853,7 +853,7 @@ class ShardedBinaryQuantizer(_ShardedBase):
 
     def top_k_device(
         self, equery: EncodedQueryBin, k: int, method: str = "exact",
-        recall_target: float = None,
+        recall_target: Optional[float] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         p = self.params
         return _bq_sharded_topk(
@@ -1238,7 +1238,7 @@ class ShardedProductQuantizer(_ShardedBase):
 
     def top_k_device(
         self, equery: EncodedQueryPQ, k: int, method: str = "exact",
-        recall_target: float = None,
+        recall_target: Optional[float] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         from ..ops.pallas.pq_kernel import _lut_precision
 

@@ -530,6 +530,12 @@ class ShardedIVF:
         Kwargs pass through to the inner family: ``quantile`` (SQ),
         ``chunk_size``/``bits``/``rotation`` (PQ), ``store_type`` (BQ).
         Constraint set matches ``IVFIndex.encode`` (models/ivf.py).
+
+        Build-host memory requirement: the bucket-layout step (step 3)
+        is host-sided and needs ~24 B/row at peak (argsort transient;
+        2.4 GB at 100M rows, 24 GB at 1B), ~16 B/row steady through the
+        encode pass. This is a BUILD-time cost on the build host only —
+        per-shard ``load`` reconstructs serving state without any of it.
         """
         mesh = mesh if mesh is not None else make_mesh()
         ns = int(mesh.shape[axis])
@@ -640,29 +646,47 @@ class ShardedIVF:
             )
 
         # 3. bucket layout + slot mapping in the final sharded order.
+        #
+        # Build-host memory: this is the one deliberately host-sided step
+        # (the layout is a permutation problem, not a compute one). Peak
+        # is ~24 B/row inside build_buckets' argsort (2.4 GB at 100M,
+        # 24 GB at 1B rows on the BUILD host only — serving loads need
+        # none of it); steady state below is ~16 B/row (slot_of_row i32 +
+        # bucket_new_of_row i32 + bucket_ids/slot_ids i32 per slot).
+        # README's capacity claim states this requirement.
         perm, bucket_ids = ivf_ops.build_buckets(assignments, s)
-        del assignments
+        del assignments, perm  # perm is the materialized-array path's tool
         b = bucket_ids.shape[0]
         old, is_primary, b_loc, b_pad = _round_robin_layout(b, ns)
         slot_ids_orig, max_dup = _derive_slot_ids(bucket_ids, n)
         slot_ids_new = slot_ids_orig[old]
+        del slot_ids_orig
         flat_ids = bucket_ids[old].reshape(-1)
-        sid_flat = slot_ids_new.reshape(-1)
         prim_mask = np.repeat(is_primary, s) & (flat_ids >= 0)
-        slot_of_row = np.empty((n,), np.int64)
+        # i32 slots are exact below 2^31 slots (~2.1B rows + pads); the
+        # dtype flips itself for anything bigger.
+        slot_dt = (
+            np.int64 if int(b_pad) * s > np.iinfo(np.int32).max
+            else np.int32
+        )
+        slot_of_row = np.empty((n,), slot_dt)
         slot_of_row[flat_ids[prim_mask]] = np.flatnonzero(prim_mask)
         # Duplicate slots (pads within real buckets + whole pad buckets):
         # filled after the scatter pass by copying each duplicated row's
         # code from its primary slot.
         fill_dst = np.flatnonzero(~prim_mask)
-        fill_src = slot_of_row[sid_flat[fill_dst]]
-        # Original-order bucket of each row (residualization + means).
-        oflat = bucket_ids.reshape(-1)
-        omask = oflat >= 0
-        bucket_of_row = np.empty((n,), np.int32)
-        bucket_of_row[oflat[omask]] = (
-            np.flatnonzero(omask) // s
-        ).astype(np.int32)
+        fill_src = slot_of_row[slot_ids_new.reshape(-1)[fill_dst]]
+        if residual:
+            # Original-order bucket of each row (residualization pass).
+            oflat = bucket_ids.reshape(-1)
+            omask = oflat >= 0
+            bucket_of_row = np.empty((n,), np.int32)
+            bucket_of_row[oflat[omask]] = (
+                np.flatnonzero(omask) // s
+            ).astype(np.int32)
+            del oflat, omask
+        pad_mask = flat_ids < 0  # residual row-term masking (1 B/slot)
+        del prim_mask, flat_ids
         bucket_new_of_row = (slot_of_row // s).astype(np.int32)
         if b_pad > b:
             max_dup += 1
@@ -876,7 +900,7 @@ class ShardedIVF:
 
         if residual:
             pad_dev = jax.device_put(
-                flat_ids < 0, NamedSharding(mesh, P(axis))
+                pad_mask, NamedSharding(mesh, P(axis))
             )
             a, rowcoef = _residual_coeffs(
                 params.distance_type, params.invert

@@ -13,8 +13,9 @@ but choosing one required reading three tables and two prose rules
   within +-0.02 of a target on YOUR data, so calibration is the primary
   path and the tables are its starting point.
 * ``ServingPlan.build(index, data)`` — turn the plan into a searchable
-  object (the index itself, or a ``TwoStageIndex`` over an
-  ``ExactRescorer``), applying nscan to IVF metadata.
+  object: a ``_MethodPinned`` wrapper (or a ``TwoStageIndex`` over one)
+  that pins method/scan/nscan in the returned object only — the index
+  and its metadata are never mutated.
 * ``exact_topk(queries, data, ...)`` — the blocked f32 oracle
   (device-resident, O(Q x block) memory — the reference's bounded-heap
   GT pattern, ann_benchmark_data.rs:151-166).
@@ -117,14 +118,46 @@ class ServingPlan:
                     "an explicit `rescorer`"
                 )
             p = index.params if hasattr(index, "params") else index.metadata.vector_parameters
-            rescorer = ExactRescorer(
-                data, p.distance_type, p.invert,
-                host_resident=bool(isinstance(data, np.memmap)),
-            )
+            rescorer = _make_rescorer(index, data, p.distance_type, p.invert)
         return TwoStageIndex(
             pinned, rescorer, oversampling=self.oversampling,
             coarse_method=self.method,
         )
+
+    def serve(
+        self, index, data=None, *, rescorer=None, k: int = 10,
+        depth: int = 8,
+    ):
+        """``build`` wrapped in a :class:`~quantization_tpu.serving.
+        PipelinedSearcher` — the deployment-shaped serving loop (keeps
+        ``depth`` searches in flight; see serving.py for the measured
+        blocking-wrapper trap it avoids)."""
+        from .serving import PipelinedSearcher
+
+        return PipelinedSearcher(
+            self.build(index, data, rescorer=rescorer, k=k),
+            k=k, depth=depth,
+        )
+
+
+def _make_rescorer(index, data, dt, invert):
+    """f32 rescorer matched to the index's engine: an index that carries
+    a device mesh (ShardedIVF, the sharded quantizers) gets a
+    ``ShardedExactRescorer`` over the SAME mesh/axis — a rescored plan
+    must never funnel the whole f32 corpus through one chip's HBM when
+    the coarse stage is already sharded. Single-device indexes get the
+    plain ``ExactRescorer`` (host-resident for memmap corpora)."""
+    mesh = getattr(index, "mesh", None)
+    if mesh is not None:
+        from .parallel.sharded import ShardedExactRescorer
+
+        return ShardedExactRescorer(
+            data, dt, invert,
+            mesh=mesh, axis=getattr(index, "axis", "shard"),
+        )
+    return ExactRescorer(
+        data, dt, invert, host_resident=bool(isinstance(data, np.memmap))
+    )
 
 
 def _is_ivf(index) -> bool:
@@ -181,17 +214,37 @@ _IVF_FRACTION_CURVE = [
 _COARSE_CEILING = {"sq": 0.86, "bq": 0.33, "pq": 0.18}
 
 
+# Batch-diversity exponent: the union fraction scales SUBlinearly in Q
+# (query probe sets overlap). Two measured anchors (BASELINE "IVF
+# probe-limited serving" + latency leg): Q=32 needed ~1/5 the fraction
+# of Q=256 at equal recall, so f ~ Q^a with a = ln(5)/ln(8) ~ 0.774
+# (linear-in-Q would predict 1/8 — it over-shrinks small batches and
+# the calibration sweep then climbs several rungs; r4 weak #6).
+_Q_DIVERSITY_EXP = 0.774
+# Uncalibrated floor: Q=1 measured full coarse recall at nscan=64 of
+# 21.6k buckets (~0.3%); never seed below 1%.
+_SEED_FRACTION_FLOOR = 0.01
+
+
 def _seed_fraction(target: float, q_batch: int) -> float:
     """Scanned fraction whose MEASURED Q=256 coarse recall first meets
     ``target``, scaled by batch diversity (the union must cover every
-    query's clusters: measured Q=32 needed ~1/5 the fraction of Q=256 at
-    equal recall — approximately linear in Q)."""
+    query's clusters; see ``_Q_DIVERSITY_EXP``).
+
+    Uncalibrated-error bound (pinned by test_policy): between the
+    measured anchors (Q in [1, 1024], targets within the table's recall
+    span) the seed lands within TWO calibration rungs (nscan doublings)
+    of the calibrated plan — the curve picks the regime, calibration
+    owns the final word. Outside the span (targets above the coarse
+    ceiling) the seed intentionally saturates at the table's last row
+    and the rescore stage, not more scanning, closes the gap."""
     f = _IVF_FRACTION_CURVE[-1][0]
     for fi, r in _IVF_FRACTION_CURVE:
         if r >= target:
             f = fi
             break
-    return min(1.0, f * max(q_batch, 1) / 256.0 + 0.01)
+    scale = (max(q_batch, 1) / 256.0) ** _Q_DIVERSITY_EXP
+    return min(1.0, f * scale + _SEED_FRACTION_FLOOR)
 
 
 def recommend(
@@ -228,7 +281,18 @@ def recommend(
     if is_ivf:
         nb = index.metadata.nbuckets
         f = _seed_fraction(min(target_recall, ceiling), q_batch)
-        plan.nscan = max(1, min(nb, int(round(f * nb))))
+        # Per-query floor: each query's top-k lives in its nearest
+        # k-means cell(s), whose rows span ~nb/nlist buckets — a union
+        # below q_batch * that depth starves some query of its own cell
+        # (the batch-union is rank-fair but width-limited). The fraction
+        # curve owns large-Q geometries (unions overlap); this floor
+        # owns small Q and small bucket counts. Both are seeds —
+        # calibration owns the final word (bound: <= 2 rungs, pinned by
+        # test_policy).
+        depth = max(1, -(-nb // max(index.metadata.nlist, 1)))
+        plan.nscan = max(
+            1, min(nb, max(int(round(f * nb)), min(nb, q_batch * depth)))
+        )
         if target_recall > ceiling - 0.05:
             plan.oversampling = 4.0
         plan.notes = (
@@ -254,9 +318,7 @@ def recommend(
     _, gt = exact_topk(queries, data, dt, invert, k)
     gt = np.asarray(gt)
     eq = index.encode_query(queries)
-    rescorer = ExactRescorer(
-        data, dt, invert, host_resident=bool(isinstance(data, np.memmap))
-    )
+    rescorer = _make_rescorer(index, data, dt, invert)
 
     def measure(nscan, ov):
         trial = ServingPlan(

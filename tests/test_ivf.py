@@ -398,6 +398,35 @@ def test_residual_bq_lifts_recall(rng, invert):
     assert rec[True] >= rec[False] + 0.1, rec
 
 
+def test_residual_bq_normalized_corpus_warns(rng):
+    # Measured serving knowledge as a runtime guard (VERDICT r4 #8): on a
+    # unit-normalized corpus residual-BQ loses recall vs plain signs
+    # (BASELINE "Residual-BQ at 10M"), so the build must warn. The
+    # unnormalized regime (where residual-BQ measurably wins) must NOT.
+    import warnings
+
+    data, _ = res_corpus(rng, 1500, DIM)
+    params = VectorParameters(DIM, 1500, DistanceType.DOT, False)
+    with pytest.warns(UserWarning, match="unit-normalized"):
+        IVFIndex.encode(
+            data / np.linalg.norm(data, axis=1, keepdims=True),
+            params, quantizer="bq", nlist=2, bucket_size=512,
+            residual=True,
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        IVFIndex.encode(
+            data, params, quantizer="bq", nlist=2, bucket_size=512,
+            residual=True,
+        )
+        # Normalized but residual=False: plain IVF-BQ is the documented
+        # capacity configuration — no warning either.
+        IVFIndex.encode(
+            data / np.linalg.norm(data, axis=1, keepdims=True),
+            params, quantizer="bq", nlist=2, bucket_size=512,
+        )
+
+
 def test_residual_bq_save_load_roundtrip(rng, tmp_path):
     # residual_scale (beta) must persist through the metadata sidecar:
     # the asymmetric query affine is derived from it at encode_query.

@@ -163,6 +163,120 @@ def test_coarse_only_plan_on_full_scan_index(rng):
     assert plan.calibrated
 
 
+def test_seed_fraction_curve():
+    """Pin the uncalibrated seed curve at Q in {1, 32, 256, 1024}
+    (VERDICT r4 #7). The batch-diversity scaling follows the measured
+    power law (Q=32 needs ~1/5 the fraction of Q=256, not the 1/8 a
+    linear model predicts), is monotone in Q and in target, floors at
+    1%, and saturates at the table's last row for targets above the
+    coarse ceiling."""
+    from quantization_tpu.policy import (
+        _IVF_FRACTION_CURVE,
+        _SEED_FRACTION_FLOOR,
+        _seed_fraction,
+    )
+
+    # Q=256 reproduces the measured table rows (+ floor).
+    for f_meas, r_meas in _IVF_FRACTION_CURVE:
+        assert _seed_fraction(r_meas, 256) == pytest.approx(
+            f_meas + _SEED_FRACTION_FLOOR
+        )
+    # Anchor ratio: Q=32 scans ~1/5 of Q=256's fraction (measured), far
+    # from the linear model's 1/8.
+    f256 = _seed_fraction(0.8, 256) - _SEED_FRACTION_FLOOR
+    f32 = _seed_fraction(0.8, 32) - _SEED_FRACTION_FLOOR
+    assert f32 / f256 == pytest.approx(1 / 5, rel=0.05)
+    assert abs(f32 / f256 - 1 / 8) > 0.05
+    # Monotone in Q, bounded, floored.
+    fr = [_seed_fraction(0.8, q) for q in (1, 32, 256, 1024)]
+    assert fr == sorted(fr)
+    assert all(_SEED_FRACTION_FLOOR <= f <= 1.0 for f in fr)
+    assert _seed_fraction(0.8, 1) < 0.02  # Q=1: the measured ~1% regime
+    # Target above the table's span saturates at the last measured row.
+    assert _seed_fraction(0.99, 256) == _seed_fraction(
+        _IVF_FRACTION_CURVE[-1][1], 256
+    )
+    # Monotone in target at fixed Q.
+    ft = [_seed_fraction(t, 256) for t in (0.1, 0.5, 0.8, 0.87)]
+    assert ft == sorted(ft)
+
+
+@pytest.mark.parametrize("q_batch", [8, 32])
+def test_seed_lands_within_two_rungs_of_calibration(rng, q_batch):
+    """The uncalibrated seed must land in the right REGIME: calibration
+    moves at most two ladder rungs (nscan doublings) from the seeded
+    nscan (VERDICT r4 #7's bound). Exercised at two batch sizes so the
+    Q-diversity scaling, not just the Q=256 anchor, is covered."""
+    import math
+
+    count = 12_000
+    data = clustered(rng, count, DIM)
+    queries = clustered(rng, q_batch, DIM)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    # bucket_size=64: enough buckets (~65) that the fraction curve is
+    # meaningful at CPU-test scale AND nlist exceeds the fixture's 24
+    # true clusters (probe geometry resolves them — the regime the
+    # measured curve describes; at nlist below the cluster count probe
+    # loss is a k-means artifact no seed can predict).
+    ivf = IVFIndex.encode(data, params, quantizer="sq", bucket_size=64)
+    target = 0.85
+    seeded = recommend(ivf, target, q_batch=q_batch)
+    plan = recommend(
+        ivf, target, k=K, queries=queries, data=data, q_batch=q_batch
+    )
+    assert plan.calibrated and seeded.nscan >= 1
+    rungs = abs(math.log2(max(plan.nscan, 1) / seeded.nscan))
+    assert rungs <= 2.0, (seeded.nscan, plan.nscan, plan.history)
+
+
+@pytest.mark.parametrize("family", ["ivf-sq", "sq"])
+def test_recommend_composes_with_sharded_engines(rng, family):
+    """policy x sharded (VERDICT r4 #5): recommend() calibrates against a
+    sharded index end-to-end on the 8-device mesh, and a rescored plan's
+    build() selects ShardedExactRescorer over the INDEX'S OWN mesh — no
+    full-corpus f32 funnel through one device."""
+    from quantization_tpu.models.pipeline import TwoStageIndex
+    from quantization_tpu.parallel.sharded import (
+        ShardedExactRescorer,
+        ShardedScalarQuantizer,
+        make_mesh,
+    )
+    from quantization_tpu.parallel.sharded_ivf import ShardedIVF
+
+    count = 12_000
+    data = clustered(rng, count, DIM)
+    queries = clustered(rng, 24, DIM)
+    params = VectorParameters(DIM, count, DistanceType.DOT, False)
+    mesh = make_mesh()
+    assert mesh.shape["shard"] == 8  # conftest's virtual mesh
+    if family == "ivf-sq":
+        index = ShardedIVF(
+            IVFIndex.encode(data, params, quantizer="sq"), mesh
+        )
+        target = 0.9
+    else:
+        index = ShardedScalarQuantizer(
+            ScalarQuantizerU8.encode(data, params), mesh
+        )
+        target = 0.95
+    plan = recommend(
+        index, target, k=K, queries=queries, data=data, q_batch=24
+    )
+    assert plan.calibrated
+    assert plan.expected_recall >= target - 0.02
+    obj = plan.build(index, data, k=K)
+    if plan.oversampling > 1.0:
+        assert isinstance(obj, TwoStageIndex)
+        assert isinstance(obj.fine, ShardedExactRescorer)
+        assert obj.fine.mesh is index.mesh
+    # Replay through the built object reproduces the measured recall.
+    _, gt = exact_topk(
+        queries, data, params.distance_type, params.invert, K
+    )
+    _, ids = obj.top_k(obj.encode_query(queries), K)
+    assert abs(recall_at_k(ids, np.asarray(gt)) - plan.expected_recall) < 1e-9
+
+
 def test_recommend_does_not_mutate_index(rng):
     """Calibration trials and discarded plans leave index.metadata.nscan
     untouched: plans pin nscan in the returned object, not the index
