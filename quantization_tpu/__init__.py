@@ -25,6 +25,7 @@ from .models.pipeline import ExactRescorer, TwoStageIndex
 from .models.pq import EncodedQueryPQ, EncodedVectorsPQ, ProductQuantizer
 from .models.sq import EncodedQueryU8, EncodedVectorsU8, ScalarQuantizerU8
 from .policy import ServingPlan, exact_topk, recall_at_k, recommend
+from .serving import PipelinedSearcher
 
 __all__ = [
     "ArgumentsError",
@@ -42,6 +43,7 @@ __all__ = [
     "EncodingError",
     "ExactRescorer",
     "IVFIndex",
+    "PipelinedSearcher",
     "ProductQuantizer",
     "QuantizationError",
     "ScalarQuantizerU8",

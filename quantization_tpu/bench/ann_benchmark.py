@@ -175,30 +175,49 @@ def bench_scoring(data: AnnBenchmarkData, index, args, label: str):
 
     q = data.test[: args.query_batch]
     eq = index.encode_query(q)
+    iters = max(args.iters, 1)
 
     if not hasattr(index, "score_batch"):
-        def run():
-            return index.top_k_device(eq, 10)
+        # Serving path: measure THROUGH the public PipelinedSearcher
+        # (the packaged chained-dispatch loop, serving.py) — each
+        # steady-state submit drains the oldest in-flight result.
+        from ..serving import PipelinedSearcher
+
+        # materialize=False + one-leaf drain per timing block: through a
+        # remote tunnel every per-result fetch costs a full round trip
+        # (serving.py docstring); on-prem the default costs microseconds.
+        s = PipelinedSearcher(index, k=10, depth=8, materialize=False)
+        s.warmup(eq, encoded=True)
+        for _ in range(8):
+            s.submit(eq, encoded=True)
+        s.sync()  # fill completes outside the timed window
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s.submit(eq, encoded=True)
+        s.sync()  # window = exactly `iters` searches + one RTT
+        dt = (time.perf_counter() - t0) / iters
+        for _ in s.flush():
+            pass
         label = f"{label} search-top10"
     else:
         def run():
             return index.score_batch(eq)
 
-    def drain(out):
-        # True host drain: block_until_ready is not a genuine barrier on
-        # tunneled backends (utils/profiling.timed has the methodology).
-        # Fetch ONE element, not the leaf: a [Q, N] score matrix would be
-        # a ~25MB tunnel transfer per iteration, measuring the link.
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+        def drain(out):
+            # True host drain: block_until_ready is not a genuine barrier
+            # on tunneled backends (utils/profiling.timed has the
+            # methodology). Fetch ONE element, not the leaf: a [Q, N]
+            # score matrix would be a ~25MB tunnel transfer per
+            # iteration, measuring the link.
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
 
-    drain(run())
-    iters = max(args.iters, 1)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-    drain(out)
-    dt = (time.perf_counter() - t0) / iters
+        drain(run())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run()
+        drain(out)
+        dt = (time.perf_counter() - t0) / iters
     n = data.train.shape[0]
     qps = q.shape[0] / dt
     pairs_ps = q.shape[0] * n / dt

@@ -9,6 +9,7 @@ device; only the final (scores, indices) land on host.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -84,6 +85,19 @@ class ExactRescorer:
         return _score(equery[:, None, :], g, self._dt, self._invert)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _mask_select(cand, fine_scores, k):
+    """Masked final selection in ONE dispatch (a serving loop pays per-
+    dispatch host cost — see serving.py). Coarse stages can pad
+    underfilled rows with id -1 (IVF dedupe, approx extraction);
+    rescorers CLIP ids before gathering, which would hand a pad slot
+    row 0's real score — mask them out so a -1 can never outrank a true
+    candidate."""
+    fine_scores = jnp.where(cand >= 0, fine_scores, -jnp.inf)
+    s, pos = jax.lax.top_k(fine_scores, k)
+    return s, jnp.take_along_axis(cand, pos, axis=1)
+
+
 class TwoStageIndex:
     """Coarse quantized top-R + fine rescoring top-k."""
 
@@ -134,14 +148,7 @@ class TwoStageIndex:
         fine_scores = jnp.asarray(
             self.fine.score_candidates(eq_fine, cand)
         )  # [Q, R]
-        # Coarse stages can pad underfilled rows with id -1 (IVF dedupe,
-        # approx extraction); rescorers CLIP ids before gathering, which
-        # would hand a pad slot row 0's real score — mask them out so a
-        # -1 can never outrank a true candidate.
-        fine_scores = jnp.where(cand >= 0, fine_scores, -jnp.inf)
-        s, pos = jax.lax.top_k(fine_scores, min(k, r))
-        idx = jnp.take_along_axis(cand, pos, axis=1)
-        return s, idx
+        return _mask_select(cand, fine_scores, min(k, r))
 
     def top_k(
         self, equery, k: int, method: str = None, recall_target=None

@@ -355,6 +355,92 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"{name:18s}: FAILED {type(e).__name__}: {e}", flush=True)
 
+    # ---- public serving API (VERDICT r4 #3): the SQ/IVF serving legs
+    # below are measured THROUGH PipelinedSearcher — the packaged
+    # enqueue-depth/drain-one loop — not a harness-local idiom. Queries
+    # are submitted pre-encoded (encoded=True): the tunnel charges ~1 ms
+    # of serialized host time per extra dispatch, which would bill the
+    # microseconds-cheap encode_query at Q=1 scale.
+    from quantization_tpu.serving import PipelinedSearcher
+
+    class GenRescorer:
+        """f32 rescoring stage whose "original vectors" are re-
+        materialized on device from row ids (``gen_rows``) — the
+        harness twin of models.pipeline.ExactRescorer (production
+        fetches the rows over PCIe; BASELINE models that fetch as
+        non-bottleneck)."""
+
+        def __init__(self):
+            @jax.jit
+            def _score(eqf, cand):
+                rr = cand.shape[1]
+                rows = gen_rows(
+                    jnp.maximum(cand, 0).reshape(-1)
+                ).reshape(Q, rr, D)
+                return jnp.einsum("qd,qrd->qr", eqf, rows)
+
+            self._score = _score
+
+        def encode_query(self, q):
+            return jnp.asarray(q, jnp.float32)
+
+        def score_candidates(self, eqf, cand):
+            return self._score(eqf, cand)
+
+    gen_rescorer = GenRescorer()
+
+    def report_serve(name, index, eq, gt, iters=10, **knobs):
+        """`report`, but measured through the public PipelinedSearcher:
+        steady-state chained throughput at depth 8 (each submit drains
+        the oldest in-flight result), plus the blocking per-call column
+        under --sync-latency (searcher.search = the documented
+        blocking-wrapper regime)."""
+        try:
+            # materialize=False: through this tunnel EVERY per-result
+            # D2H fetch costs a ~25 ms round trip (measured on a ready
+            # 40-byte result — PERF_NOTES "Measurement methodology"),
+            # so the loop consumes device-resident results and drains
+            # ONE leaf per timing block, like every other leg. On-prem
+            # the default materialize=True costs microseconds.
+            s = PipelinedSearcher(
+                index, k=K, depth=8, materialize=False, **knobs
+            )
+            s.warmup(eq, encoded=True)
+            for _ in range(8):
+                s.submit(eq, encoded=True)
+            s.sync()  # fill batches complete OUTSIDE the timed window
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                s.submit(eq, encoded=True)
+            s.sync()  # window = exactly `iters` searches + one RTT
+            t = (time.perf_counter() - t0) / iters
+            ids = None
+            for _, ids in s.flush():
+                pass
+            ids = np.asarray(ids)
+            extra = ""
+            if args.sync_latency:
+                # Blocked per-call column: materialize=False hands back
+                # lazy device arrays, so force the drain each call.
+                def sync_once():
+                    np.asarray(s.search(eq, encoded=True)[0][:1])
+
+                sync_once()
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    sync_once()
+                ts = (time.perf_counter() - t0) / iters
+                extra = (f"  [sync {ts*1e6/Q:,.0f} us/q, "
+                         f"chained {t*1e6/Q:,.0f} us/q]")
+            print(
+                f"{name:18s}: {Q/t:10.0f} qps  ({t*1e3:7.2f} ms/batch)  "
+                f"recall@{K} vs exact = {recall(ids, gt):.3f}{extra}"
+                "  [serve-api]",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:18s}: FAILED {type(e).__name__}: {e}", flush=True)
+
     mult = sq_ops.multiplier_for(qt.DistanceType.DOT, False, alpha)
     want_bq = args.only in ("all", "bq")
     want_pq = args.only in ("all", "pq")
@@ -505,8 +591,13 @@ def main():
             SQMetadata(actual, alpha, offset, mult, params_dot),
         )
         eq_sq = sq.encode_query(queries)
-        report("SQ fused exact", lambda: sq.top_k_device(eq_sq, K), gt)
-        report("SQ fused approx", lambda: sq.top_k_device(eq_sq, K, method="approx"), gt)
+        report_serve("SQ fused exact", sq, eq_sq, gt)
+        report_serve("SQ fused approx", sq, eq_sq, gt, method="approx")
+        import os as _os
+        if _os.environ.get("QTPU_BENCH_COMPARE"):
+            report("SQ exact [old]", lambda: sq.top_k_device(eq_sq, K), gt)
+            report("SQ approx [old]",
+                   lambda: sq.top_k_device(eq_sq, K, method="approx"), gt)
         if args.k_sweep:
             # k-scaling of the streaming exact selection (extraction cost is
             # k-independent; only the final merge width grows).
@@ -518,36 +609,19 @@ def main():
 
         # --- two-stage: SQ-approx coarse -> ORIGINAL-VECTOR (f32) rescore ---
         # The reference/qdrant serving pattern: quantized coarse search, then
-        # rescore the R survivors with the original f32 vectors. The rows are
-        # re-materialized from ids (see gen_rows) — device-side cost is real,
-        # the production host->device fetch (~126MB at R=160) is modeled as
-        # non-bottleneck. The code arrays are ARGUMENTS of the jitted step:
-        # a closure would bake the 7.7GB codes in as jit constants and hang
-        # the AOT compiler (measured: >50 min, never finished).
-        from quantization_tpu.ops.pallas.sq_kernel import (
-            sq_search_pallas as _sq_search,
-        )
-
-        def sq_f32_two_stage(rr):
-            @partial(jax.jit, static_argnames=("rr",))
-            def run(qc, qo, codes, voffs, rr):
-                _, ids = _sq_search(
-                    qc, qo, codes, voffs, sq._mult_dev,
-                    distance_type=qt.DistanceType.DOT, n_valid=sq.count,
-                    k=rr, mode="approx",
-                )
-                rows = gen_rows(ids.reshape(-1)).reshape(Q, rr, D)
-                fs = jnp.einsum("qd,qrd->qr", queries_dev, rows)
-                ts, tp = jax.lax.top_k(fs, K)
-                return ts, jnp.take_along_axis(ids, tp, axis=1)
-
-            return lambda: run(
-                jnp.asarray(eq_sq.codes), jnp.asarray(eq_sq.offsets),
-                sq.codes, sq.voffsets, rr,
-            )
-
+        # rescore the R survivors with the original f32 vectors (GenRescorer
+        # re-materializes the rows from ids; production fetches them over
+        # PCIe). Measured through the public TwoStageIndex + PipelinedSearcher
+        # path — model methods pass the 7.7GB code arrays as jit ARGUMENTS,
+        # never as closure constants (which hang the AOT compiler).
         for ov in (4, 8, 16):
-            report(f"2s SQ->f32 ov={ov:g}", sq_f32_two_stage(ov * K), gt)
+            ts2 = qt.TwoStageIndex(
+                sq, gen_rescorer, oversampling=float(ov),
+                coarse_method="approx",
+            )
+            report_serve(
+                f"2s SQ->f32 ov={ov:g}", ts2, (eq_sq, queries_dev), gt
+            )
 
         # Oversampling sweep: on noise-dominated clustered data the BQ coarse
         # stage needs a wide candidate pool before rescoring recovers recall
@@ -705,6 +779,16 @@ def main():
 
         return run
 
+    def serve_ivf_rescored(index, rr, u):
+        """The rescored IVF ladder as the PRODUCT stack: a ServingPlan
+        (pins method/nscan without touching the index) built over the
+        gen-backed f32 rescorer, driven by report_serve's
+        PipelinedSearcher. nprobe rides the index metadata (64 here)."""
+        plan = qt.ServingPlan(
+            method="approx", nscan=int(u), oversampling=rr / K
+        )
+        return plan.build(index, rescorer=gen_rescorer, k=K)
+
     def ladder(fracs):
         """nscan values at the given scanned-bucket FRACTIONS of nbk,
         rounded to 256-bucket multiples so the 10M anchor geometry
@@ -758,17 +842,16 @@ def main():
         # needs a union of a few thousand buckets (the latency regime Q<=32
         # probes far narrower; tests cover it).
         for p, u in sq_coarse_ladder:
-            report(
-                f"IVF-SQ p={p} nscan={u}",
-                lambda p=p, u=u: ivf_sq.top_k_device(
-                    eq_ivf, K, method="approx", nprobe=p, nscan=u
-                ), gt,
+            report_serve(
+                f"IVF-SQ p={p} nscan={u}", ivf_sq, eq_ivf, gt,
+                method="approx", nprobe=p, nscan=u,
             )
 
         for rr, p, u in sq_rescore_ladder:
-            report(
+            report_serve(
                 f"2s IVF-SQ->f32 R={rr} p={p} nscan={u}",
-                ivf_f32(ivf_sq, eq_ivf, rr, p, u), gt,
+                serve_ivf_rescored(ivf_sq, rr, u),
+                (eq_ivf, queries_dev), gt,
             )
         del ivf_sq, sq_inner, eq_ivf, isq_codes, isq_voff
 
@@ -802,19 +885,18 @@ def main():
         )
         eq_ibq = ivf_bq.encode_query(queries)
         for p, u in [(64, u) for u in ladder((0.0475, 0.1186, 0.2372))]:
-            report(
-                f"IVF-BQ p={p} nscan={u}",
-                lambda p=p, u=u: ivf_bq.top_k_device(
-                    eq_ibq, K, method="approx", nprobe=p, nscan=u
-                ), gt,
+            report_serve(
+                f"IVF-BQ p={p} nscan={u}", ivf_bq, eq_ibq, gt,
+                method="approx", nprobe=p, nscan=u,
             )
         for rr, p, u in [
             (rr, 64, u) for u in ladder((0.1186, 0.2372))
             for rr in (160, 320)
         ]:
-            report(
+            report_serve(
                 f"2s IVF-BQ->f32 R={rr} p={p} nscan={u}",
-                ivf_f32(ivf_bq, eq_ibq, rr, p, u), gt,
+                serve_ivf_rescored(ivf_bq, rr, u),
+                (eq_ibq, queries_dev), gt,
             )
         del ivf_bq, bq_inner, eq_ibq, ibq_planes
 
