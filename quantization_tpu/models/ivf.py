@@ -980,7 +980,7 @@ class IVFIndex:
         sample_n = min(
             n,
             max(nlist, ivf_ops.IVF_SAMPLE_PER_CENTER * nlist),
-            ivf_ops.IVF_SAMPLE_CAP,
+            ivf_ops.sample_cap(nlist),
         )
         sample_idx = (
             rng.choice(n, size=sample_n, replace=False)

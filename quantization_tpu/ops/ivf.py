@@ -35,51 +35,201 @@ from ..core.types import check_stop
 from .kmeans import kmeans_batched
 
 IVF_SAMPLE_PER_CENTER = 64  # training rows per center (cap below)
+# Sample caps. The small cap bounds the IN-CORE trainer (kmeans_batched
+# materializes an [n, nlist] distance tensor); past it the streamed
+# blocked-Lloyd trainer takes over, whose own cap only bounds build-host
+# sample memory (4.19M x 768 f32 = 12.3 GB — within the documented
+# ~24 B/row build-host envelope at the scales that need it). Round-4
+# review finding: the old single 262k cap silently degraded large-nlist
+# geometries to <= 8 rows/center (degenerate k-means at nlist ~ 32k).
 IVF_SAMPLE_CAP = 262_144
+IVF_SAMPLE_CAP_BIG = 4_194_304
 ASSIGN_BLOCK = 65_536  # rows per device assignment call
+# Cap on any [rows, centers] f32 score transient (assignment + training).
+_SCORES_BYTES_CAP = 1 << 31
+
+
+def sample_cap(nlist: int) -> int:
+    """Training-sample row cap for ``nlist`` centers: the in-core cap
+    while it guarantees >= IVF_SAMPLE_PER_CENTER rows/center, else the
+    streamed trainer's (much higher) cap."""
+    if IVF_SAMPLE_PER_CENTER * nlist <= IVF_SAMPLE_CAP:
+        return IVF_SAMPLE_CAP
+    return IVF_SAMPLE_CAP_BIG
 
 
 def train_centers(
-    sample: np.ndarray,
+    sample,
     nlist: int,
     *,
     seed: int = 0,
     stop_condition=None,
     max_iterations: int = 25,
 ) -> np.ndarray:
-    """k-means centers f32[nlist, D] on a sample (one batched-chunk call —
-    the same Lloyd's machinery PQ training uses, m=1)."""
-    sample = np.asarray(sample, np.float32)
-    nlist = min(nlist, sample.shape[0])
-    cents = kmeans_batched(
-        sample[None], nlist, max_iterations=max_iterations,
-        seed=seed, stop_condition=stop_condition,
+    """k-means centers f32[nlist, D] on a sample.
+
+    Small problems (the [n, nlist] distance tensor fits
+    ``_SCORES_BYTES_CAP``) run the one-call batched trainer (the same
+    Lloyd's machinery PQ training uses, m=1). Big ones — the
+    capacity-scale coarse geometries, e.g. nlist ~ 32k x 2M sample rows
+    — run the STREAMED blocked-Lloyd trainer: sample resident on device,
+    one jitted scan over row blocks per iteration, running-min over
+    center blocks, segment-sum updates. ``sample`` may be a device array
+    (stays put — the capacity benches generate it on device) or host
+    numpy (uploaded once)."""
+    n = int(sample.shape[0])
+    nlist = min(nlist, n)
+    if n * nlist * 4 <= _SCORES_BYTES_CAP:
+        cents = kmeans_batched(
+            jnp.asarray(sample, jnp.float32)[None], nlist,
+            max_iterations=max_iterations,
+            seed=seed, stop_condition=stop_condition,
+        )
+        return np.asarray(cents[0])
+    return _train_centers_streamed(
+        sample, nlist, seed=seed, stop_condition=stop_condition,
+        max_iterations=max_iterations,
     )
-    return np.asarray(cents[0])
+
+
+def _center_blocks(nlist: int) -> tuple:
+    """(ncb, cb): split ``nlist`` centers into ncb blocks of cb
+    (128-lane aligned, near-even so padding stays small) whose
+    [ASSIGN_BLOCK, cb] score transient respects the cap."""
+    max_cb = max(128, _SCORES_BYTES_CAP // (4 * ASSIGN_BLOCK))
+    ncb = -(-nlist // max_cb)
+    cb = -(-nlist // ncb)
+    cb += (-cb) % 128
+    return ncb, cb
+
+
+def _assign_blocked(x, centers, cc):
+    """argmin_c ||x - c||^2 for one row block, scanning center blocks
+    [ncb, cb, D] with a running (best, argbest) — no [rows, nlist]
+    materialization. Pad centers carry +inf norms so they never win."""
+    ncb, cb = centers.shape[0], centers.shape[1]
+
+    def step(carry, cb_idx):
+        best, arg = carry
+        c = jax.lax.dynamic_index_in_dim(centers, cb_idx, keepdims=False)
+        c2 = jax.lax.dynamic_index_in_dim(cc, cb_idx, keepdims=False)
+        s = c2[None, :] - 2.0 * (x @ c.T)  # [rows, cb]
+        m = jnp.min(s, axis=1)
+        a = jnp.argmin(s, axis=1).astype(jnp.int32) + cb_idx * cb
+        take = m < best
+        return (jnp.where(take, m, best), jnp.where(take, a, arg)), None
+
+    init = (
+        jnp.full((x.shape[0],), jnp.inf, jnp.float32),
+        jnp.zeros((x.shape[0],), jnp.int32),
+    )
+    (_, arg), _ = jax.lax.scan(
+        step, init, jnp.arange(ncb, dtype=jnp.int32)
+    )
+    return arg
+
+
+def _pad_centers(centers, nlist):
+    """(centers [ncb, cb, D], cc [ncb, cb]) blocked + padded; pad rows get
+    +inf squared-norm so argmin never selects them."""
+    ncb, cb = _center_blocks(nlist)
+    cpad = ncb * cb
+    c = jnp.asarray(centers, jnp.float32)
+    c = jnp.pad(c, ((0, cpad - nlist), (0, 0)))
+    cc = jnp.sum(c * c, axis=1)
+    cc = cc.at[nlist:].set(jnp.inf)
+    d = c.shape[1]
+    return c.reshape(ncb, cb, d), cc.reshape(ncb, cb)
 
 
 def assign_clusters(
-    data: np.ndarray, centers: np.ndarray, *, stop_condition=None
+    data, centers, *, stop_condition=None
 ) -> np.ndarray:
-    """Nearest-center (L2) assignment i32[N], blocked on device. L2 argmin
-    is the right probe geometry for DOT corpora too once means are scored
+    """Nearest-center (L2) assignment i32[N], blocked on device over BOTH
+    axes (rows, and centers when [block, nlist] scores would exceed the
+    transient cap — the nlist ~ 32k capacity geometries). L2 argmin is
+    the right probe geometry for DOT corpora too once means are scored
     with the index metric at query time (the classic IVF recipe)."""
-    centers_d = jnp.asarray(centers, jnp.float32)
-    cc = jnp.sum(centers_d * centers_d, axis=1)  # [C]
-
-    @jax.jit
-    def block(x):
-        # argmin ||x - c||^2 = argmin ||c||^2 - 2 x.c  (drop ||x||^2)
-        return jnp.argmin(
-            cc[None, :] - 2.0 * (x @ centers_d.T), axis=1
-        ).astype(jnp.int32)
-
+    nlist = int(centers.shape[0])
+    cblk, ccblk = _pad_centers(centers, nlist)
     out = np.empty((data.shape[0],), np.int32)
     for b0 in range(0, data.shape[0], ASSIGN_BLOCK):
         check_stop(stop_condition)
         xb = jnp.asarray(data[b0 : b0 + ASSIGN_BLOCK], jnp.float32)
-        out[b0 : b0 + xb.shape[0]] = np.asarray(block(xb))
+        out[b0 : b0 + xb.shape[0]] = np.asarray(
+            _assign_jit(xb, cblk, ccblk)
+        )
     return out
+
+
+_assign_jit = jax.jit(_assign_blocked)
+
+
+@partial(jax.jit, donate_argnums=(1,), static_argnames=("rb", "nlist"))
+def _lloyd_streamed_iter(sample, centers, reseed, *, rb, nlist):
+    """One full Lloyd iteration over a device-resident sample: scan row
+    blocks, assign against center blocks (running min), accumulate
+    per-center sums/counts by segment-sum. Empty centers reseed from the
+    provided random sample rows. Returns (new_centers [nlist, D], diff)."""
+    n, d = sample.shape
+    nb = n // rb
+    cblk, ccblk = _pad_centers(centers, nlist)
+
+    def body(carry, bi):
+        sums, counts = carry
+        x = jax.lax.dynamic_slice_in_dim(sample, bi * rb, rb)
+        idx = _assign_blocked(x, cblk, ccblk)
+        sums = sums.at[idx].add(x)
+        counts = counts.at[idx].add(1.0)
+        return (sums, counts), None
+
+    (sums, counts), _ = jax.lax.scan(
+        body,
+        (
+            jnp.zeros((nlist, d), jnp.float32),
+            jnp.zeros((nlist,), jnp.float32),
+        ),
+        jnp.arange(nb, dtype=jnp.int32),
+    )
+    mean = sums / jnp.maximum(counts, 1.0)[:, None]
+    new_c = jnp.where(
+        (counts == 0)[:, None], jnp.take(sample, reseed, axis=0), mean
+    )
+    diff = jnp.sum(jnp.abs(new_c - centers))
+    return new_c, diff
+
+
+def _train_centers_streamed(
+    sample,
+    nlist: int,
+    *,
+    seed: int = 0,
+    stop_condition=None,
+    max_iterations: int = 25,
+    accuracy: float = 1e-3,
+) -> np.ndarray:
+    """Blocked-Lloyd k-means for capacity-scale (sample x nlist) — see
+    ``train_centers``. Reference semantics preserved at scale: first-k
+    init (kmeans.rs:25), random reseed of empty clusters
+    (kmeans.rs:111-118), L1-diff convergence (kmeans.rs:125-135),
+    cancellation between iterations (kmeans.rs:29-31)."""
+    n, d = int(sample.shape[0]), int(sample.shape[1])
+    rb = min(n, ASSIGN_BLOCK // 8)  # [rb, cb] transient ~256 MB
+    npad = n - n % rb if n >= rb else n  # trailing partial block dropped
+    sample_dev = jnp.asarray(sample, jnp.float32)[:npad]
+    centers = sample_dev[:nlist]
+    host_rng = np.random.default_rng(seed)
+    for _ in range(max_iterations):
+        check_stop(stop_condition)
+        reseed = jnp.asarray(
+            host_rng.integers(0, npad, size=(nlist,)), jnp.int32
+        )
+        centers, diff = _lloyd_streamed_iter(
+            sample_dev, centers, reseed, rb=rb, nlist=nlist
+        )
+        if float(diff) < accuracy * nlist:
+            break
+    return np.asarray(centers)
 
 
 def build_buckets(

@@ -600,7 +600,7 @@ class ShardedIVF:
         sample_n = min(
             n,
             max(nlist, ivf_ops.IVF_SAMPLE_PER_CENTER * nlist),
-            ivf_ops.IVF_SAMPLE_CAP,
+            ivf_ops.sample_cap(nlist),
         )
         sample = sample_rows(batches, n, sample_n, seed)
         if sample.shape[0] and sample.shape[1] != dim:

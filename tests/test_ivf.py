@@ -102,6 +102,60 @@ def test_assign_clusters_is_nearest(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_assign_clusters_center_blocked(rng, monkeypatch):
+    # Force the center axis to split into several blocks (the capacity-
+    # geometry path, nlist ~ 32k): the running-min scan must reproduce
+    # the single-block argmin exactly, pad centers never winning.
+    data = rng.standard_normal((300, DIM)).astype(np.float32)
+    centers = rng.standard_normal((300, DIM)).astype(np.float32)
+    want = ivf_ops.assign_clusters(data, centers)
+    monkeypatch.setattr(ivf_ops, "ASSIGN_BLOCK", 64)
+    monkeypatch.setattr(ivf_ops, "_SCORES_BYTES_CAP", 64 * 128 * 4)
+    ncb, cb = ivf_ops._center_blocks(300)
+    assert ncb > 1
+    got = ivf_ops.assign_clusters(data, centers)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sample_cap_scales_with_nlist():
+    # VERDICT r4 #1: the old flat 262k cap degraded nlist ~ 32k training
+    # to ~8 rows/center. The cap must guarantee the per-center budget up
+    # to the (much larger) streamed-trainer bound.
+    per = ivf_ops.IVF_SAMPLE_PER_CENTER
+    assert ivf_ops.sample_cap(4096) == ivf_ops.IVF_SAMPLE_CAP
+    big = ivf_ops.sample_cap(32_552)
+    assert big == ivf_ops.IVF_SAMPLE_CAP_BIG
+    assert big >= per * 32_552  # >= 64 rows/center at the 100M geometry
+
+
+def test_train_centers_streamed_matches_incore_quality(rng, monkeypatch):
+    # Route a small clustered problem through the STREAMED blocked-Lloyd
+    # trainer (capacity path) by shrinking the score cap; its centers
+    # must recover the true clusters as well as the in-core trainer:
+    # compare mean squared assignment distance (the k-means objective).
+    data = clustered(rng, 4000, DIM, clusters=12, sigma=0.1)
+
+    def objective(centers):
+        a = ivf_ops.assign_clusters(data, centers)
+        return float(np.mean(np.sum((data - centers[a]) ** 2, axis=1)))
+
+    incore = ivf_ops.train_centers(data, 12, seed=3)
+    monkeypatch.setattr(ivf_ops, "_SCORES_BYTES_CAP", 1 << 16)
+    monkeypatch.setattr(ivf_ops, "ASSIGN_BLOCK", 512)
+    streamed = ivf_ops.train_centers(data, 12, seed=3)
+    assert streamed.shape == incore.shape
+    assert objective(streamed) <= objective(incore) * 1.1
+
+
+def test_train_centers_streamed_cancellation(rng, monkeypatch):
+    from quantization_tpu.core.types import StoppedError
+
+    data = clustered(rng, 2000, DIM, clusters=8)
+    monkeypatch.setattr(ivf_ops, "_SCORES_BYTES_CAP", 1 << 16)
+    with pytest.raises(StoppedError):
+        ivf_ops.train_centers(data, 8, stop_condition=lambda: True)
+
+
 # ---------------------------------------------------------------- search
 
 

@@ -74,17 +74,23 @@ def main():
                     "index (models/ivf.py) over SQ and OPQ codes, with the "
                     "IVF-OPQ -> f32-rescore serving ladder (requires "
                     "--only all or sq: runs after the SQ section)")
-    ap.add_argument("--nlist", type=int, default=4096,
-                    help="IVF cluster count")
-    ap.add_argument("--ivf-bucket", type=int, default=512,
-                    help="IVF bucket size S (rows per probe)")
-    ap.add_argument("--ivf-base", choices=("all", "sq", "bq", "none"),
+    ap.add_argument("--nlist", type=int, default=0,
+                    help="IVF cluster count (0 = the repo's measured "
+                    "auto_geometry rule: nlist * S ~ N/3; pass e.g. "
+                    "4096 to pin the round-3/4 anchor geometry)")
+    ap.add_argument("--ivf-bucket", type=int, default=0,
+                    help="IVF bucket size S (0 = auto_geometry: the "
+                    "widest indexed-kernel tile, 1024 at >= 25k rows)")
+    ap.add_argument("--ivf-base", choices=("all", "sq", "bq", "opq", "none"),
                     default="all",
                     help="which NON-residual IVF inner-code legs to run "
                     "(sq+bq+opq = all). 'none' skips them — pair with "
-                    "--ivf-residual for a residual-only run, or 'bq' for "
-                    "the capacity configuration at --n >= 50M where the "
-                    "other families' codes no longer fit in HBM")
+                    "--ivf-residual for a residual-only run; 'bq' or "
+                    "'opq' select ONE family for the capacity runs at "
+                    "--n >= 50M, where only one family's codes fit in "
+                    "HBM at a time (both are 96 B/row at d=768: BQ is "
+                    "the throughput-first capacity code, OPQ(+residual) "
+                    "the quality-first one)")
     ap.add_argument("--sync-latency", action="store_true",
                     help="additionally report per-call BLOCKED latency "
                     "(block_until_ready every call) next to the chained-"
@@ -671,21 +677,53 @@ def main():
     if want_sq:
         del sq, eq_sq  # rebuilt permuted below; keep HBM headroom
 
-    S = args.ivf_bucket
+    from quantization_tpu.models.ivf import auto_geometry
+
+    auto_s = auto_geometry(N, args.ivf_residual)[1]
+    S = args.ivf_bucket or auto_s
+    nlist = args.nlist or max(1, N // (3 * S))
+    print(f"IVF geometry: nlist={nlist} S={S}"
+          f"{' (auto)' if not (args.nlist and args.ivf_bucket) else ''}",
+          flush=True)
     t0 = time.perf_counter()
     smp = np.asarray(gen_dev(keys[0]))[: min(B, 131_072)]
-    # NB: do not name this `centers` — that would rebind the corpus
-    # generator's closure variable (gen_rows reads it) to a numpy array.
-    ivf_centers = ivf_ops.train_centers(smp, args.nlist)
+    # Coarse-center training sample: >= IVF_SAMPLE_PER_CENTER rows per
+    # center (capped), assembled ON DEVICE from corpus batches — at the
+    # capacity geometries (nlist ~ 32k -> ~2M training rows) the sample
+    # must not round-trip the tunnel; train_centers' streamed blocked-
+    # Lloyd path keeps it device-resident throughout.
+    # NB: do not name anything here `centers` — that would rebind the
+    # corpus generator's closure variable (gen_rows reads it).
+    sample_n = min(
+        N, max(nlist, ivf_ops.IVF_SAMPLE_PER_CENTER * nlist),
+        ivf_ops.sample_cap(nlist),
+    )
+    if sample_n <= min(B, 131_072):
+        train_smp = smp
+    else:
+        train_smp = jnp.concatenate(
+            [gen_dev(keys[i]) for i in range(-(-sample_n // B))]
+        )[:sample_n]
+    ivf_centers = ivf_ops.train_centers(train_smp, nlist)
+    del train_smp
     cents_dev = jnp.asarray(ivf_centers)
     ccn = jnp.sum(cents_dev * cents_dev, axis=1)
+    cblk_a, ccblk_a = ivf_ops._pad_centers(cents_dev, nlist)
+    rb_a = B // (-(-B // 16_384))  # row sub-block: bounded score transient
+    assert B % rb_a == 0
 
     @jax.jit
     def assign_batch(key):
         x = gen_dev(key)
-        return jnp.argmin(
-            ccn[None, :] - 2.0 * (x @ cents_dev.T), axis=1
-        ).astype(jnp.int32)
+
+        def body(_, bi):
+            xb = jax.lax.dynamic_slice_in_dim(x, bi * rb_a, rb_a)
+            return None, ivf_ops._assign_blocked(xb, cblk_a, ccblk_a)
+
+        _, parts = jax.lax.scan(
+            body, None, jnp.arange(B // rb_a, dtype=jnp.int32)
+        )
+        return parts.reshape(-1)
 
     assign = np.concatenate(
         [np.asarray(assign_batch(keys[i])) for i in range(nb)]
@@ -832,7 +870,7 @@ def main():
               flush=True)
         ivf_sq = IVFIndex(
             sq_inner, bucket_ids, means,
-            IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
+            IVFMetadata(nlist=nlist, bucket_size=S, nprobe=64,
                         kind="sq", nbuckets=nbk,
                         vector_parameters=params_dot),
         )
@@ -879,7 +917,7 @@ def main():
         hbm_probe("after bq encode")
         ivf_bq = IVFIndex(
             bq_inner, bucket_ids, means,
-            IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
+            IVFMetadata(nlist=nlist, bucket_size=S, nprobe=64,
                         kind="bq", nbuckets=nbk,
                         vector_parameters=params_dot),
         )
@@ -889,10 +927,18 @@ def main():
                 f"IVF-BQ p={p} nscan={u}", ivf_bq, eq_ibq, gt,
                 method="approx", nprobe=p, nscan=u,
             )
-        for rr, p, u in [
+        bq_rescore_rows = [
             (rr, 64, u) for u in ladder((0.1186, 0.2372))
             for rr in (160, 320)
-        ]:
+        ]
+        if N >= 50_000_000:
+            # Capacity scale: the 1-bit coarse ceiling compresses with N,
+            # so the rescore does most of the work — measure how far
+            # deeper R pushes recall (VERDICT r4 #2).
+            bq_rescore_rows += [
+                (rr, 64, ladder((0.2372,))[0]) for rr in (640, 1280)
+            ]
+        for rr, p, u in bq_rescore_rows:
             report_serve(
                 f"2s IVF-BQ->f32 R={rr} p={p} nscan={u}",
                 serve_ivf_rescored(ivf_bq, rr, u),
@@ -900,7 +946,7 @@ def main():
             )
         del ivf_bq, bq_inner, eq_ibq, ibq_planes
 
-    if args.ivf_base == "all":
+    if args.ivf_base in ("all", "opq"):
         # ---- IVF-OPQ (+ f32 rescore: the compressed serving ladder) ----
         from quantization_tpu.ops.opq import train_opq
 
@@ -924,7 +970,7 @@ def main():
               flush=True)
         ivf_opq = IVFIndex(
             opq_inner, bucket_ids, means,
-            IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
+            IVFMetadata(nlist=nlist, bucket_size=S, nprobe=64,
                         kind="pq", nbuckets=nbk,
                         vector_parameters=params_dot),
         )
@@ -1005,7 +1051,7 @@ def main():
               f"(beta={beta:.4f})", flush=True)
         ivf_bqr = IVFIndex(
             bqr_inner, bucket_ids, means,
-            IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
+            IVFMetadata(nlist=nlist, bucket_size=S, nprobe=64,
                         kind="bq", nbuckets=nbk,
                         vector_parameters=params_dot, residual=True,
                         residual_scale=beta),
@@ -1031,111 +1077,114 @@ def main():
     if args.ivf_base == "bq":
         return  # capacity-scale residual run: skip the SQ/OPQ legs
 
-    # ---- residual IVF-SQ ----
-    # Quantile calibration, not min/max: residuals are concentrated with
-    # heavy tails (cluster outliers), so the min/max affine wastes the
-    # code range on a handful of extreme elements (measured: only 1.2x
-    # finer than the data affine at 1M). A two-sided 0.99 cut clips those
-    # tails (codes saturate at 0/127) and spends the 7-bit budget on the
-    # bulk of the residual mass — the reference's --quantile option
-    # applied where it matters most.
-    from quantization_tpu.ops.quantile import find_quantile_interval
+    if args.ivf_base in ("all", "sq"):
+        # ---- residual IVF-SQ ----
+        # Quantile calibration, not min/max: residuals are concentrated with
+        # heavy tails (cluster outliers), so the min/max affine wastes the
+        # code range on a handful of extreme elements (measured: only 1.2x
+        # finer than the data affine at 1M). A two-sided 0.99 cut clips those
+        # tails (codes saturate at 0/127) and spends the 7-bit budget on the
+        # bulk of the residual mass — the reference's --quantile option
+        # applied where it matters most.
+        from quantization_tpu.ops.quantile import find_quantile_interval
 
-    qi = find_quantile_interval(r_smp, N, 0.99)
-    mn_r, mx_r = qi if qi is not None else (
-        float(r_smp.min()), float(r_smp.max())
-    )
-    alpha_r, offset_r = sq_ops.alpha_offset_from_min_max(mn_r, mx_r)
-    mult_r = sq_ops.multiplier_for(qt.DistanceType.DOT, False, alpha_r)
-    print(f"residual SQ affine (q=0.99): alpha {alpha_r:.2e} vs data "
-          f"{alpha:.2e} ({alpha/alpha_r:.1f}x finer)", flush=True)
-
-    def quantize_sq_res(pids, slot0):
-        x = gen_rows(pids)
-        b = (slot0 + jnp.arange(x.shape[0], dtype=jnp.int32)) // S
-        r = x - means_enc_dev[b]
-        return sq_ops.quantize_batch(
-            r, alpha=alpha_r, offset=offset_r,
-            distance_type=qt.DistanceType.DOT, invert=False, dpad=actual,
-            lane=lane,
+        qi = find_quantile_interval(r_smp, N, 0.99)
+        mn_r, mx_r = qi if qi is not None else (
+            float(r_smp.min()), float(r_smp.max())
         )
+        alpha_r, offset_r = sq_ops.alpha_offset_from_min_max(mn_r, mx_r)
+        mult_r = sq_ops.multiplier_for(qt.DistanceType.DOT, False, alpha_r)
+        print(f"residual SQ affine (q=0.99): alpha {alpha_r:.2e} vs data "
+              f"{alpha:.2e} ({alpha/alpha_r:.1f}x finer)", flush=True)
 
-    t0 = time.perf_counter()
-    isqr_codes = DeviceAppender((npad_i, lane), jnp.int8)
-    isqr_voff = DeviceAppender((npad_i,), jnp.float32)
-    encode_permuted((isqr_codes, isqr_voff), jax.jit(quantize_sq_res))
-    sqr_inner = qt.ScalarQuantizerU8(
-        isqr_codes.finish(), isqr_voff.finish(),
-        SQMetadata(actual, alpha_r, offset_r, mult_r, params_inner),
-    )
-    print(f"IVF-SQ residual encode: {time.perf_counter()-t0:.0f}s",
-          flush=True)
-    ivf_sqr = IVFIndex(
-        sqr_inner, bucket_ids, means,
-        IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
-                    kind="sq", nbuckets=nbk,
-                    vector_parameters=params_dot, residual=True),
-    )
-    eq_sqr = ivf_sqr.encode_query(queries)
-    for p, u in [(64, u) for u in ladder((0.0475, 0.1186, 0.2372))]:
-        report(
-            f"IVF-SQr p={p} nscan={u}",
-            lambda p=p, u=u: ivf_sqr.top_k_device(
-                eq_sqr, K, method="approx", nprobe=p, nscan=u
-            ), gt,
+        def quantize_sq_res(pids, slot0):
+            x = gen_rows(pids)
+            b = (slot0 + jnp.arange(x.shape[0], dtype=jnp.int32)) // S
+            r = x - means_enc_dev[b]
+            return sq_ops.quantize_batch(
+                r, alpha=alpha_r, offset=offset_r,
+                distance_type=qt.DistanceType.DOT, invert=False, dpad=actual,
+                lane=lane,
+            )
+
+        t0 = time.perf_counter()
+        isqr_codes = DeviceAppender((npad_i, lane), jnp.int8)
+        isqr_voff = DeviceAppender((npad_i,), jnp.float32)
+        encode_permuted((isqr_codes, isqr_voff), jax.jit(quantize_sq_res))
+        sqr_inner = qt.ScalarQuantizerU8(
+            isqr_codes.finish(), isqr_voff.finish(),
+            SQMetadata(actual, alpha_r, offset_r, mult_r, params_inner),
         )
-    for rr, p, u in [(40, 64, u) for u in ladder((0.1186, 0.2372))]:
-        report(
-            f"2s IVF-SQr->f32 R={rr} p={p} nscan={u}",
-            ivf_f32(ivf_sqr, eq_sqr, rr, p, u), gt,
+        print(f"IVF-SQ residual encode: {time.perf_counter()-t0:.0f}s",
+              flush=True)
+        ivf_sqr = IVFIndex(
+            sqr_inner, bucket_ids, means,
+            IVFMetadata(nlist=nlist, bucket_size=S, nprobe=64,
+                        kind="sq", nbuckets=nbk,
+                        vector_parameters=params_dot, residual=True),
         )
-    del ivf_sqr, sqr_inner, eq_sqr, isqr_codes, isqr_voff
+        eq_sqr = ivf_sqr.encode_query(queries)
+        for p, u in [(64, u) for u in ladder((0.0475, 0.1186, 0.2372))]:
+            report(
+                f"IVF-SQr p={p} nscan={u}",
+                lambda p=p, u=u: ivf_sqr.top_k_device(
+                    eq_sqr, K, method="approx", nprobe=p, nscan=u
+                ), gt,
+            )
+        for rr, p, u in [(40, 64, u) for u in ladder((0.1186, 0.2372))]:
+            report(
+                f"2s IVF-SQr->f32 R={rr} p={p} nscan={u}",
+                ivf_f32(ivf_sqr, eq_sqr, rr, p, u), gt,
+            )
+        del ivf_sqr, sqr_inner, eq_sqr, isqr_codes, isqr_voff
 
-    # ---- residual IVF-OPQ (rotation + codebooks trained on residuals) --
-    from quantization_tpu.ops.opq import train_opq
 
-    t0 = time.perf_counter()
-    rot_r, cents_r = train_opq(
-        r_smp[:20_000], division, pq_ops.CENTROIDS_COUNT
-    )
-    rotr_dev = jnp.asarray(rot_r)
-    cr_dev = jnp.asarray(pq_ops.centroids_to_chunks(cents_r, division))
+    if args.ivf_base in ("all", "opq"):
+        # ---- residual IVF-OPQ (rotation + codebooks trained on residuals) --
+        from quantization_tpu.ops.opq import train_opq
 
-    def enc_opqr_rows(pids, slot0):
-        x = gen_rows(pids)
-        b = (slot0 + jnp.arange(x.shape[0], dtype=jnp.int32)) // S
-        xr = (x - means_enc_dev[b]) @ rotr_dev
-        xc = jnp.transpose(xr.reshape(-1, m, args.chunk_size), (1, 0, 2))
-        return pq_ops.encode_batch(xc, cr_dev).astype(jnp.uint8)
-
-    iopqr_codes = DeviceAppender((npad_i, m), jnp.uint8)
-    encode_permuted((iopqr_codes,), jax.jit(enc_opqr_rows))
-    opqr_inner = qt.ProductQuantizer(
-        iopqr_codes.finish(),
-        PQMetadata(cents_r, division, params_inner, rotation=rot_r),
-    )
-    print(f"IVF-OPQ residual train+encode: {time.perf_counter()-t0:.0f}s",
-          flush=True)
-    ivf_opqr = IVFIndex(
-        opqr_inner, bucket_ids, means,
-        IVFMetadata(nlist=args.nlist, bucket_size=S, nprobe=64,
-                    kind="pq", nbuckets=nbk,
-                    vector_parameters=params_dot, residual=True),
-    )
-    eq_or = ivf_opqr.encode_query(queries)
-    for p, u in [(64, u) for u in ladder((0.0475, 0.1186, 0.2372))]:
-        report(
-            f"IVF-OPQr p={p} nscan={u}",
-            lambda p=p, u=u: ivf_opqr.top_k_device(
-                eq_or, K, method="approx", nprobe=p, nscan=u
-            ), gt,
+        t0 = time.perf_counter()
+        rot_r, cents_r = train_opq(
+            r_smp[:20_000], division, pq_ops.CENTROIDS_COUNT
         )
-    for rr, p, u in [(40, 64, ladder((0.1186,))[0]),
-                     (40, 64, ladder((0.2372,))[0]),
-                     (160, 64, ladder((0.2372,))[0])]:
-        report(
-            f"2s IVF-OPQr->f32 R={rr} p={p} nscan={u}",
-            ivf_f32(ivf_opqr, eq_or, rr, p, u), gt,
+        rotr_dev = jnp.asarray(rot_r)
+        cr_dev = jnp.asarray(pq_ops.centroids_to_chunks(cents_r, division))
+
+        def enc_opqr_rows(pids, slot0):
+            x = gen_rows(pids)
+            b = (slot0 + jnp.arange(x.shape[0], dtype=jnp.int32)) // S
+            xr = (x - means_enc_dev[b]) @ rotr_dev
+            xc = jnp.transpose(xr.reshape(-1, m, args.chunk_size), (1, 0, 2))
+            return pq_ops.encode_batch(xc, cr_dev).astype(jnp.uint8)
+
+        iopqr_codes = DeviceAppender((npad_i, m), jnp.uint8)
+        encode_permuted((iopqr_codes,), jax.jit(enc_opqr_rows))
+        opqr_inner = qt.ProductQuantizer(
+            iopqr_codes.finish(),
+            PQMetadata(cents_r, division, params_inner, rotation=rot_r),
         )
+        print(f"IVF-OPQ residual train+encode: {time.perf_counter()-t0:.0f}s",
+              flush=True)
+        ivf_opqr = IVFIndex(
+            opqr_inner, bucket_ids, means,
+            IVFMetadata(nlist=nlist, bucket_size=S, nprobe=64,
+                        kind="pq", nbuckets=nbk,
+                        vector_parameters=params_dot, residual=True),
+        )
+        eq_or = ivf_opqr.encode_query(queries)
+        for p, u in [(64, u) for u in ladder((0.0475, 0.1186, 0.2372))]:
+            report(
+                f"IVF-OPQr p={p} nscan={u}",
+                lambda p=p, u=u: ivf_opqr.top_k_device(
+                    eq_or, K, method="approx", nprobe=p, nscan=u
+                ), gt,
+            )
+        for rr, p, u in [(40, 64, ladder((0.1186,))[0]),
+                         (40, 64, ladder((0.2372,))[0]),
+                         (160, 64, ladder((0.2372,))[0])]:
+            report(
+                f"2s IVF-OPQr->f32 R={rr} p={p} nscan={u}",
+                ivf_f32(ivf_opqr, eq_or, rr, p, u), gt,
+            )
 if __name__ == "__main__":
     main()
