@@ -532,6 +532,11 @@ def _ivf_search(
 # top-kk2 is exact w.r.t. its tiles, so the chunk merge loses nothing.
 _INDEXED_CHUNK_TILES = 4096
 
+# "auto" scan only builds the PQ indexed path's transposed code cache
+# while it fits this budget (doubling resident code bytes OOMs one chip
+# at the 100M capacity scale); QTPU_PQ_T_CAP overrides in bytes.
+_PQ_T_BYTES_CAP = int(os.environ.get("QTPU_PQ_T_CAP", 4 << 30))
+
 
 def _scan_buckets_indexed(
     kind, eq, inner, union, *, s, itile, dt, invert, dim, kk2, method,
@@ -1208,6 +1213,15 @@ class IVFIndex:
             ),
         )
         indexed = bool(scan != "compact" and use_fused and itile)
+        if indexed and kind == "pq" and scan == "auto":
+            # The PQ indexed scan needs a SECOND, transposed code layout
+            # (_pq_codes_t) — a space-for-time trade that capacity-scale
+            # corpora can't afford (100M x 96 B doubles to 22 GB and
+            # OOMs one chip). "auto" engages it only while the cache is
+            # affordable; an explicit scan="indexed" still overrides.
+            qz = self.quantizer
+            t_bytes = qz.codes.shape[0] * qz.codes.shape[1]
+            indexed = t_bytes <= _PQ_T_BYTES_CAP
         if scan == "indexed" and not indexed:
             raise ArgumentsError(
                 "scan='indexed' needs the fused kernel path, bucket_size "

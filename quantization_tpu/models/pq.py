@@ -118,10 +118,7 @@ class ProductQuantizer(EncodedVectors):
                 ),
             )
         self.codes = codes
-        # Transposed scoring copy [Mpad, Npad]: Mosaic needs 128-multiple
-        # lane blocks, so the Pallas kernel reads chunk rows on sublanes and
-        # the corpus on lanes (codes are m bytes/vector — the copy is cheap).
-        self.codes_t = jnp.transpose(codes)
+        self._codes_t = None  # lazy — see the codes_t property
         self.metadata = metadata
         self.params = metadata.vector_parameters
         self.count = count
@@ -137,6 +134,19 @@ class ProductQuantizer(EncodedVectors):
             else jnp.asarray(metadata.rotation, jnp.float32)
         )
         self._cdist: Optional[jax.Array] = None
+
+    @property
+    def codes_t(self) -> jax.Array:
+        """Transposed scoring copy [Mpad, Npad], built on FIRST full-scan
+        use and cached: Mosaic needs 128-multiple lane blocks, so the
+        Pallas scan kernel reads chunk rows on sublanes and the corpus on
+        lanes. Lazy because it doubles the resident code bytes — at
+        capacity scale (100M x 96 B = 11 GB) holding both layouts is the
+        difference between fitting one chip's HBM and OOM; consumers that
+        never full-scan (the IVF compact path) never pay it."""
+        if self._codes_t is None:
+            self._codes_t = jnp.transpose(self.codes)
+        return self._codes_t
 
     # ------------------------------------------------------------------ train
     @classmethod

@@ -975,7 +975,16 @@ def main():
                         vector_parameters=params_dot),
         )
         eq_o = ivf_opq.encode_query(queries)
-        for p, u in [(64, u) for u in ladder((0.0475, 0.1186, 0.2372))]:
+        # Capacity scale: cap the OPQ scan at ~12% — the compact gather's
+        # [union, m] copy rides beside 11+ GB of resident codes, and the
+        # BQ leg measured coarse saturation by a 12% scan anyway.
+        opq_fracs = (
+            (0.0475, 0.1186) if N >= 50_000_000
+            else (0.0475, 0.1186, 0.2372)
+        )
+        opq_deep = ladder((0.1186,))[0] if N >= 50_000_000 else \
+            ladder((0.2372,))[0]
+        for p, u in [(64, u) for u in ladder(opq_fracs)]:
             report(
                 f"IVF-OPQ p={p} nscan={u}",
                 lambda p=p, u=u: ivf_opq.top_k_device(
@@ -985,7 +994,9 @@ def main():
 
         for rr, p, u in [(80, 64, ladder((0.1186,))[0]),
                          (160, 64, ladder((0.1186,))[0]),
-                         (160, 64, ladder((0.2372,))[0])]:
+                         (160, 64, opq_deep)] + (
+                             [(320, 64, opq_deep), (640, 64, opq_deep)]
+                             if N >= 50_000_000 else []):
             report(
                 f"2s IVF-OPQ->f32 R={rr} p={p} nscan={u}",
                 ivf_f32(ivf_opq, eq_o, rr, p, u), gt,
@@ -1172,7 +1183,13 @@ def main():
                         vector_parameters=params_dot, residual=True),
         )
         eq_or = ivf_opqr.encode_query(queries)
-        for p, u in [(64, u) for u in ladder((0.0475, 0.1186, 0.2372))]:
+        opqr_fracs = (
+            (0.0475, 0.1186) if N >= 50_000_000
+            else (0.0475, 0.1186, 0.2372)
+        )
+        opqr_deep = ladder((0.1186,))[0] if N >= 50_000_000 else \
+            ladder((0.2372,))[0]
+        for p, u in [(64, u) for u in ladder(opqr_fracs)]:
             report(
                 f"IVF-OPQr p={p} nscan={u}",
                 lambda p=p, u=u: ivf_opqr.top_k_device(
@@ -1180,8 +1197,10 @@ def main():
                 ), gt,
             )
         for rr, p, u in [(40, 64, ladder((0.1186,))[0]),
-                         (40, 64, ladder((0.2372,))[0]),
-                         (160, 64, ladder((0.2372,))[0])]:
+                         (40, 64, opqr_deep),
+                         (160, 64, opqr_deep)] + (
+                             [(320, 64, opqr_deep)]
+                             if N >= 50_000_000 else []):
             report(
                 f"2s IVF-OPQr->f32 R={rr} p={p} nscan={u}",
                 ivf_f32(ivf_opqr, eq_or, rr, p, u), gt,
