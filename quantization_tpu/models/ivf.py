@@ -360,10 +360,16 @@ def _scan_buckets_compact(
     else:  # pq
         (lut,) = eq
         (codes,) = inner
-        m = codes.shape[1]
-        g = jnp.take(
-            codes[: nb * s].reshape(nb, s * m), union, axis=0
-        ).reshape(width, m)
+        m = codes.shape[1]  # padded chunk count (zero LUT rows past m)
+        # ROW gather (bucket blocks expanded to row ids): gathering via a
+        # [nb, s*m] reshape forces a full-matrix copy at capacity scale
+        # (the round-5 100M OPQ compile OOM); a flat row gather touches
+        # only the union's bytes.
+        rows = (
+            union[:, None] * s
+            + jnp.arange(s, dtype=union.dtype)[None, :]
+        ).reshape(-1)
+        g = jnp.take(codes, rows, axis=0)  # [width, m]
         if rowadd is not None:
             ra_g = jnp.take(
                 rowadd[: nb * s].reshape(nb, s), union, axis=0
@@ -394,7 +400,9 @@ def _scan_buckets_compact(
                 precision=precision, recall_target=rt,
             )
         else:
-            scores = pq_ops.score_lut_xla(lut, g)
+            # Gathered sub-corpus is small — slicing its pad columns to
+            # the LUT's true chunk count here is cheap.
+            scores = pq_ops.score_lut_xla(lut, g[:, : lut.shape[1]])
             if corr is not None:
                 from ..ops.pallas.sq_kernel import CORR_BLK
 
@@ -821,13 +829,22 @@ class IVFIndex:
             self._resid_sq = jnp.asarray(ve)
             self._resid_pq = None
         else:  # pq
-            ra = np.zeros(qz.codes.shape[0], np.float32)
+            # Read whichever layout the quantizer actually holds — a
+            # transposed-first (capacity) quantizer must not materialize
+            # the row-major copy just to derive row terms.
+            transposed = qz._codes is None
+            nrows = (
+                qz._codes_t.shape[1] if transposed else qz._codes.shape[0]
+            )
+            ra = np.zeros(nrows, np.float32)
             if rowcoef != 0.0:
                 rt = np.asarray(
                     ivf_ops.pq_decoded_rowterm(
-                        qz.codes, qz._c_chunks, qz._rot,
+                        None if transposed else qz.codes,
+                        qz._c_chunks, qz._rot,
                         self._means_dev, s,
                         qz.metadata.vector_division,
+                        codes_t=qz._codes_t if transposed else None,
                     )
                 )
                 ra[:nslots] = rowcoef * rt
@@ -1090,6 +1107,12 @@ class IVFIndex:
             from ..ops.pallas.pq_kernel import TILE_N as PQ_TILE
 
             qz = self.quantizer
+            if getattr(qz, "_codes_t", None) is not None:
+                # Transposed-first quantizer (capacity layout): its
+                # [Mpad, Npad] storage IS the scan layout — no second
+                # copy. Pad columns score 0 (zero LUT rows).
+                self._codes_t_cache = qz._codes_t
+                return self._codes_t_cache
             codes = qz.codes[:, : qz.num_chunks]
             n, m = codes.shape
             npad = -(-n // PQ_TILE) * PQ_TILE
@@ -1119,7 +1142,11 @@ class IVFIndex:
                     (qz.planes,),
                 )
             return (eq_inner.planes,), (qz.planes,)
-        return (eq_inner.lut,), (qz.codes[:, : qz.num_chunks],)
+        # PQ inner arrays resolve in top_k_device AFTER the scan-strategy
+        # decision: indexed wants the transposed layout, compact the
+        # row-major one, and touching the wrong property on a
+        # transposed-first quantizer would materialize a full-size copy.
+        return (eq_inner.lut,), None
 
     def top_k_device(
         self,
@@ -1214,14 +1241,21 @@ class IVFIndex:
         )
         indexed = bool(scan != "compact" and use_fused and itile)
         if indexed and kind == "pq" and scan == "auto":
-            # The PQ indexed scan needs a SECOND, transposed code layout
-            # (_pq_codes_t) — a space-for-time trade that capacity-scale
-            # corpora can't afford (100M x 96 B doubles to 22 GB and
-            # OOMs one chip). "auto" engages it only while the cache is
-            # affordable; an explicit scan="indexed" still overrides.
+            # The PQ indexed scan reads the TRANSPOSED code layout. When
+            # the quantizer already stores it (from_transposed — the
+            # capacity layout) or the cache exists, indexed is free;
+            # otherwise building the second layout doubles resident code
+            # bytes, which capacity-scale corpora can't afford (100M x
+            # 96 B -> 22+ GB OOMs one chip), so "auto" only builds it
+            # within a budget. Explicit scan="indexed" still overrides.
             qz = self.quantizer
-            t_bytes = qz.codes.shape[0] * qz.codes.shape[1]
-            indexed = t_bytes <= _PQ_T_BYTES_CAP
+            have_t = (
+                self._codes_t_cache is not None
+                or getattr(qz, "_codes_t", None) is not None
+            )
+            if not have_t:
+                t_bytes = qz.codes.shape[0] * qz.codes.shape[1]
+                indexed = t_bytes <= _PQ_T_BYTES_CAP
         if scan == "indexed" and not indexed:
             raise ArgumentsError(
                 "scan='indexed' needs the fused kernel path, bucket_size "
@@ -1229,8 +1263,16 @@ class IVFIndex:
                 "method='approx'"
             )
         eq, inner = self._family_arrays(eq_inner)
-        if indexed and kind == "pq":
-            inner = (self._pq_codes_t(),)
+        if kind == "pq":
+            # Full padded code matrix, NOT a column slice: at capacity
+            # scale a [N, :m] slice materializes a second near-full-size
+            # copy per call. The kernels zero-pad the LUT to the padded
+            # chunk count, so extra columns score 0; the XLA compact
+            # path slices the (small) gathered sub-corpus instead.
+            inner = (
+                (self._pq_codes_t(),) if indexed
+                else (self.quantizer.codes,)
+            )
         if not use_fused:
             precision = None  # XLA path scores the raw f32 LUT
         resid = None

@@ -103,12 +103,7 @@ class ProductQuantizer(EncodedVectors):
         # codes uint8 [Npad, Mpad]: rows >= count are zero, chunk columns
         # >= m are zero (their LUT rows are zero in the kernel, so padded
         # chunks contribute nothing).
-        from ..ops.pallas.pq_kernel import M_BLK, TILE_N
-
-        count = metadata.vector_parameters.count
-        m = len(metadata.vector_division)
-        npad = count + (-count) % TILE_N
-        mpad = m + (-m) % M_BLK
+        npad, mpad = self._pads(metadata)
         if codes.shape[0] < npad or codes.shape[1] < mpad:
             codes = jnp.pad(
                 codes,
@@ -117,12 +112,50 @@ class ProductQuantizer(EncodedVectors):
                     (0, mpad - codes.shape[1]),
                 ),
             )
-        self.codes = codes
+        self._codes = codes
         self._codes_t = None  # lazy — see the codes_t property
+        self._init_common(metadata)
+
+    @classmethod
+    def from_transposed(
+        cls, codes_t: jax.Array, metadata: PQMetadata
+    ) -> "ProductQuantizer":
+        """Construct with the TRANSPOSED [Mpad, Npad] layout as PRIMARY
+        storage. TPU u8 tiling lane-pads a row-major [N, m] matrix to
+        128-byte rows (m=96 -> 14.9 GB resident at 100M instead of
+        11.2), while [m, N] pads nothing and IS the Pallas scan layout —
+        so capacity-scale corpora should append codes chunk-major and
+        build the quantizer here. Row-major ``codes`` materializes
+        lazily if a consumer asks (save, score_internal, the IVF
+        compact scan)."""
+        npad, mpad = cls._pads(metadata)
+        if codes_t.shape[0] < mpad or codes_t.shape[1] < npad:
+            codes_t = jnp.pad(
+                codes_t,
+                (
+                    (0, mpad - codes_t.shape[0]),
+                    (0, npad - codes_t.shape[1]),
+                ),
+            )
+        obj = cls.__new__(cls)
+        obj._codes = None
+        obj._codes_t = codes_t
+        obj._init_common(metadata)
+        return obj
+
+    @staticmethod
+    def _pads(metadata: PQMetadata) -> tuple:
+        from ..ops.pallas.pq_kernel import M_BLK, TILE_N
+
+        count = metadata.vector_parameters.count
+        m = len(metadata.vector_division)
+        return count + (-count) % TILE_N, m + (-m) % M_BLK
+
+    def _init_common(self, metadata: PQMetadata) -> None:
         self.metadata = metadata
         self.params = metadata.vector_parameters
-        self.count = count
-        self.num_chunks = m
+        self.count = metadata.vector_parameters.count
+        self.num_chunks = len(metadata.vector_division)
         self._c_chunks = jnp.asarray(
             pq_ops.centroids_to_chunks(
                 np.asarray(metadata.centroids), metadata.vector_division
@@ -136,6 +169,16 @@ class ProductQuantizer(EncodedVectors):
         self._cdist: Optional[jax.Array] = None
 
     @property
+    def codes(self) -> jax.Array:
+        """Row-major [Npad, Mpad] codes; for transposed-first quantizers
+        (``from_transposed``) this re-materializes by device transpose on
+        first use — a full-size allocation capacity-scale callers should
+        avoid (the IVF indexed scan never needs it)."""
+        if self._codes is None:
+            self._codes = jnp.transpose(self._codes_t)
+        return self._codes
+
+    @property
     def codes_t(self) -> jax.Array:
         """Transposed scoring copy [Mpad, Npad], built on FIRST full-scan
         use and cached: Mosaic needs 128-multiple lane blocks, so the
@@ -145,7 +188,7 @@ class ProductQuantizer(EncodedVectors):
         difference between fitting one chip's HBM and OOM; consumers that
         never full-scan (the IVF compact path) never pay it."""
         if self._codes_t is None:
-            self._codes_t = jnp.transpose(self.codes)
+            self._codes_t = jnp.transpose(self._codes)
         return self._codes_t
 
     # ------------------------------------------------------------------ train

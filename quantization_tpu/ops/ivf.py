@@ -374,7 +374,7 @@ def sq_decoded_rowterm(
 
 
 def pq_decoded_rowterm(
-    codes: jax.Array,  # uint8 [Npad, Mpad] (inner PQ codes over residuals)
+    codes: Optional[jax.Array],  # uint8 [Npad, Mpad] (codes of residuals)
     c_chunks: jax.Array,  # f32 [m, k, dmax] chunked codebook
     rot: Optional[jax.Array],  # OPQ rotation (decode space = x @ rot)
     means: jax.Array,  # f32 [B, dim]
@@ -382,6 +382,7 @@ def pq_decoded_rowterm(
     division,
     *,
     block_buckets: int = 64,
+    codes_t: Optional[jax.Array] = None,  # [Mpad, Npad] alternative
 ) -> jax.Array:
     """PQ twin of ``sq_decoded_rowterm``: |c_b + r^|^2 with
     r^ = concat of the rows' chunk centroids (rotated back for OPQ —
@@ -414,10 +415,17 @@ def pq_decoded_rowterm(
         g = jnp.take_along_axis(t2, ct, axis=2)  # [bb, m, s]
         return (jnp.sum(g, axis=1) + mnb[:, None]).reshape(bb * s)
 
+    def code_block(b0, b1):
+        # Transposed-first (capacity) storage: slice columns and
+        # transpose just the block — never the full matrix.
+        if codes is not None:
+            return codes[b0 * s : b1 * s]
+        return jnp.transpose(codes_t[:, b0 * s : b1 * s])
+
     parts = []
     for b0 in range(0, nb, block_buckets):
         b1 = min(b0 + block_buckets, nb)
         parts.append(
-            blk(codes[b0 * s : b1 * s], mr[b0:b1], mean_norm[b0:b1], b1 - b0)
+            blk(code_block(b0, b1), mr[b0:b1], mean_norm[b0:b1], b1 - b0)
         )
     return jnp.concatenate(parts) if parts else jnp.zeros((0,), jnp.float32)

@@ -946,3 +946,39 @@ def test_ivf_pq_lut_env_flip_takes_effect(rng, force_pallas, monkeypatch):
     monkeypatch.delenv("QTPU_PQ_LUT", raising=False)
     i_int8, _ = ivf.top_k(eq, K, method="approx", scan="indexed", nprobe=4)
     assert not np.array_equal(np.asarray(i_bf16), np.asarray(i_int8))
+
+
+def test_ivf_pq_transposed_first_quantizer(rng):
+    # An IVFIndex wrapping a transposed-first PQ quantizer (capacity
+    # layout) must search identically to the row-major one — indexed
+    # scans reuse the quantizer's own [Mpad, Npad] storage with no
+    # second copy, and residual row terms derive from it directly.
+    import jax.numpy as jnp
+
+    from quantization_tpu.models.pq import ProductQuantizer
+
+    data, queries = res_corpus(rng, 3000, DIM)
+    params = VectorParameters(DIM, 3000, DistanceType.DOT, False)
+    for residual in (False, True):
+        ivf = IVFIndex.encode(
+            data, params, quantizer="pq", nlist=4, bucket_size=512,
+            chunk_size=2, residual=residual, seed=0,
+        )
+        qz_t = ProductQuantizer.from_transposed(
+            jnp.transpose(ivf.quantizer.codes), ivf.quantizer.metadata
+        )
+        ivf_t = IVFIndex(
+            qz_t, ivf.bucket_ids, ivf.bucket_means, ivf.metadata
+        )
+        assert qz_t._codes is None  # nothing materialized the row copy
+        eq = ivf.encode_query(queries)
+        eq_t = ivf_t.encode_query(queries)
+        for scan in ("auto", "compact"):
+            s1, i1 = ivf.top_k(eq, K, method="exact", scan=scan,
+                               nscan=ivf.metadata.nbuckets)
+            s2, i2 = ivf_t.top_k(eq_t, K, method="exact", scan=scan,
+                                 nscan=ivf.metadata.nbuckets)
+            np.testing.assert_array_equal(i1, i2)
+            np.testing.assert_allclose(
+                np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5
+            )

@@ -188,3 +188,29 @@ def test_pq4_pallas_matches_xla(rng):
     )
     scale = np.abs(lut).sum(axis=(1, 2)).max()
     np.testing.assert_allclose(got, want, atol=scale * 4e-3)
+
+
+def test_pq_from_transposed_parity(rng):
+    # Transposed-first construction (the capacity layout: [m, N] u8 pads
+    # no lanes on TPU, row-major [N, 96] pads to 128 B/row) must score
+    # identically to the normal constructor, and materialize the
+    # row-major codes only on demand.
+    import jax.numpy as jnp
+
+    data = make_data(rng, count=600)
+    params = VectorParameters(DIM, 600, DistanceType.DOT, False)
+    enc = ProductQuantizer.encode(data, params, chunk_size=4)
+    enc_t = ProductQuantizer.from_transposed(
+        jnp.transpose(enc.codes), enc.metadata
+    )
+    assert enc_t._codes is None  # row-major not materialized
+    q = make_data(rng, count=8)
+    s1, i1 = enc.top_k(enc.encode_query(q), 10)
+    s2, i2 = enc_t.top_k(enc_t.encode_query(q), 10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+    # score_internal path materializes row codes lazily and agrees.
+    assert enc_t.score_internal(3, 5) == pytest.approx(
+        enc.score_internal(3, 5)
+    )
+    assert enc_t._codes is not None

@@ -958,11 +958,14 @@ def main():
         def enc_opq_rows(pids, _s0):
             xr = gen_rows(pids) @ rot_dev
             xc = jnp.transpose(xr.reshape(-1, m, args.chunk_size), (1, 0, 2))
-            return pq_ops.encode_batch(xc, ci_dev).astype(jnp.uint8)
+            # CHUNK-MAJOR commits: [m, N] u8 tiles with no lane padding
+            # (row-major [N, 96] lane-pads to 128 B/row — +3.7 GB dead
+            # HBM at 100M) and IS the indexed scan's layout.
+            return pq_ops.encode_batch(xc, ci_dev).astype(jnp.uint8).T
 
-        iopq_codes = DeviceAppender((npad_i, m), jnp.uint8)
+        iopq_codes = DeviceAppender((m, npad_i), jnp.uint8, axis=1)
         encode_permuted((iopq_codes,), jax.jit(enc_opq_rows))
-        opq_inner = qt.ProductQuantizer(
+        opq_inner = qt.ProductQuantizer.from_transposed(
             iopq_codes.finish(),
             PQMetadata(cents_i, division, params_inner, rotation=rot_i),
         )
@@ -1023,11 +1026,9 @@ def main():
     # CLUSTER center (bucket means of a cluster all sit at the cluster
     # mean, so the center is the right residual origin for range
     # estimation without materializing the permuted corpus).
-    smp_assign = np.asarray(
-        jnp.argmin(
-            ccn[None, :] - 2.0 * (jnp.asarray(smp) @ cents_dev.T), axis=1
-        )
-    )
+    # Blocked over both axes: [131k, nlist] scores at the capacity
+    # geometry (nlist ~ 32k) would be a 17 GB transient.
+    smp_assign = ivf_ops.assign_clusters(smp, ivf_centers)
     r_smp = smp - ivf_centers[smp_assign]
     means_enc = np.zeros((-(-rows_pad // S), D), np.float32)
     means_enc[:nbk] = means
@@ -1166,11 +1167,11 @@ def main():
             b = (slot0 + jnp.arange(x.shape[0], dtype=jnp.int32)) // S
             xr = (x - means_enc_dev[b]) @ rotr_dev
             xc = jnp.transpose(xr.reshape(-1, m, args.chunk_size), (1, 0, 2))
-            return pq_ops.encode_batch(xc, cr_dev).astype(jnp.uint8)
+            return pq_ops.encode_batch(xc, cr_dev).astype(jnp.uint8).T
 
-        iopqr_codes = DeviceAppender((npad_i, m), jnp.uint8)
+        iopqr_codes = DeviceAppender((m, npad_i), jnp.uint8, axis=1)
         encode_permuted((iopqr_codes,), jax.jit(enc_opqr_rows))
-        opqr_inner = qt.ProductQuantizer(
+        opqr_inner = qt.ProductQuantizer.from_transposed(
             iopqr_codes.finish(),
             PQMetadata(cents_r, division, params_inner, rotation=rot_r),
         )
