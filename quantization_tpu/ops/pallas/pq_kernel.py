@@ -71,6 +71,17 @@ from .ktile import (
 TILE_N = 1024
 TILE_Q = 128
 M_BLK = 16  # bounds the unrolled per-chunk temporaries on the VMEM stack
+
+
+def _as_i8(codes_t: jax.Array) -> jax.Array:
+    """The code matrix operand, byte dtype preserved. Historical note:
+    this used to be ``astype(jnp.int8)`` — at capacity scale that
+    convert_element_type (and even a bitcast-convert) materializes a
+    full-matrix HLO temp next to the input (2 x 10.4 GB at the 100M
+    scan: the round-5 compile OOM). Mosaic reads u8/s8 refs alike and
+    every kernel widens with ``astype(int32) & 0xFF``, so the operand
+    passes through untouched."""
+    return codes_t
 K = 256  # centroids per chunk (8-bit codes)
 K4 = 16  # centroids per chunk (4-bit codes, Quick-ADC style)
 GRP4 = 8  # 4-bit chunks fused per MXU matmul: 8 x 16 = one 128-wide one-hot
@@ -510,7 +521,7 @@ def pq_search_indexed(
     ]
     if int8_lut:
         lut_flat, scale, bias = _quantize_lut(lut, mpad, qp)
-        operands = [sel_op, codes_t.astype(jnp.int8), lut_flat, scale, bias]
+        operands = [sel_op, _as_i8(codes_t), lut_flat, scale, bias]
         in_specs += [
             pl.BlockSpec(
                 (tile_q, 1), lambda i, j, l, s: (i, 0),
@@ -528,11 +539,11 @@ def pq_search_indexed(
         )
         if lut2:
             lut_flat, lut_lo = _split_lut_bf16x2(lut_f32)
-            operands = [sel_op, codes_t.astype(jnp.int8), lut_flat, lut_lo]
+            operands = [sel_op, _as_i8(codes_t), lut_flat, lut_lo]
             in_specs += [in_specs[1]]  # lo word rides the LUT BlockSpec
         else:
             lut_flat = lut_f32.astype(jnp.bfloat16)
-            operands = [sel_op, codes_t.astype(jnp.int8), lut_flat]
+            operands = [sel_op, _as_i8(codes_t), lut_flat]
         scratch = [pltpu.VMEM((tile_q, tile_n), jnp.float32)]
     if with_res:
         from .sq_kernel import CORR_BLK
@@ -732,7 +743,7 @@ def pq_search_pallas(
     ]
     if int8_lut:
         lut_flat, scale, bias = _quantize_lut(lut, mpad, qp)
-        operands = [nv_op, codes_t.astype(jnp.int8), lut_flat, scale, bias]
+        operands = [nv_op, _as_i8(codes_t), lut_flat, scale, bias]
         in_specs += [
             pl.BlockSpec(
                 (tile_q, 1), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
@@ -748,11 +759,11 @@ def pq_search_pallas(
         )
         if lut2:
             lut_flat, lut_lo = _split_lut_bf16x2(lut_f32)
-            operands = [nv_op, codes_t.astype(jnp.int8), lut_flat, lut_lo]
+            operands = [nv_op, _as_i8(codes_t), lut_flat, lut_lo]
             in_specs += [in_specs[2]]  # lo word rides the LUT BlockSpec
         else:
             lut_flat = lut_f32.astype(jnp.bfloat16)
-            operands = [nv_op, codes_t.astype(jnp.int8), lut_flat]
+            operands = [nv_op, _as_i8(codes_t), lut_flat]
         scratch = [pltpu.VMEM((tile_q, TILE_N), jnp.float32)]
     if with_res:
         from .sq_kernel import CORR_BLK
@@ -920,7 +931,7 @@ def pq_scores_pallas(
     ]
     if int8_lut:
         lut_flat, scale, bias = _quantize_lut(lut, mpad, qp)
-        operands = (codes_t.astype(jnp.int8), lut_flat, scale, bias)
+        operands = (_as_i8(codes_t), lut_flat, scale, bias)
         in_specs += [
             pl.BlockSpec(
                 (tile_q, 1), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
@@ -957,5 +968,5 @@ def pq_scores_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((qp, n), jnp.float32),
         interpret=interpret,
-    )(codes_t.astype(jnp.int8), lut_flat)
+    )(_as_i8(codes_t), lut_flat)
     return out[:q, :n_valid]

@@ -1050,12 +1050,16 @@ def main():
         t0 = time.perf_counter()
         ibqr_planes = DeviceAppender((w8, npad_i), jnp.uint32, axis=1)
 
-        def pack_bq_res(pids, slot0):
+        @jax.jit
+        def _pack_bq_res(pids, slot0, mtab):
             x = gen_rows(pids)
             b = (slot0 + jnp.arange(x.shape[0], dtype=jnp.int32)) // S
-            return pack_bq(x - means_enc_dev[b]).T
+            return pack_bq(x - mtab[b]).T
 
-        encode_permuted((ibqr_planes,), jax.jit(pack_bq_res))
+        encode_permuted(
+            (ibqr_planes,),
+            lambda pids, s0: _pack_bq_res(pids, s0, means_enc_dev),
+        )
         bqr_inner = qt.BinaryQuantizer(
             ibqr_planes.finish(), BQMetadata(params_inner)
         )
@@ -1109,10 +1113,11 @@ def main():
         print(f"residual SQ affine (q=0.99): alpha {alpha_r:.2e} vs data "
               f"{alpha:.2e} ({alpha/alpha_r:.1f}x finer)", flush=True)
 
-        def quantize_sq_res(pids, slot0):
+        @jax.jit
+        def _quantize_sq_res(pids, slot0, mtab):
             x = gen_rows(pids)
             b = (slot0 + jnp.arange(x.shape[0], dtype=jnp.int32)) // S
-            r = x - means_enc_dev[b]
+            r = x - mtab[b]
             return sq_ops.quantize_batch(
                 r, alpha=alpha_r, offset=offset_r,
                 distance_type=qt.DistanceType.DOT, invert=False, dpad=actual,
@@ -1122,7 +1127,10 @@ def main():
         t0 = time.perf_counter()
         isqr_codes = DeviceAppender((npad_i, lane), jnp.int8)
         isqr_voff = DeviceAppender((npad_i,), jnp.float32)
-        encode_permuted((isqr_codes, isqr_voff), jax.jit(quantize_sq_res))
+        encode_permuted(
+            (isqr_codes, isqr_voff),
+            lambda pids, s0: _quantize_sq_res(pids, s0, means_enc_dev),
+        )
         sqr_inner = qt.ScalarQuantizerU8(
             isqr_codes.finish(), isqr_voff.finish(),
             SQMetadata(actual, alpha_r, offset_r, mult_r, params_inner),
@@ -1162,15 +1170,19 @@ def main():
         rotr_dev = jnp.asarray(rot_r)
         cr_dev = jnp.asarray(pq_ops.centroids_to_chunks(cents_r, division))
 
-        def enc_opqr_rows(pids, slot0):
+        @jax.jit
+        def _enc_opqr_rows(pids, slot0, mtab):
             x = gen_rows(pids)
             b = (slot0 + jnp.arange(x.shape[0], dtype=jnp.int32)) // S
-            xr = (x - means_enc_dev[b]) @ rotr_dev
+            xr = (x - mtab[b]) @ rotr_dev
             xc = jnp.transpose(xr.reshape(-1, m, args.chunk_size), (1, 0, 2))
             return pq_ops.encode_batch(xc, cr_dev).astype(jnp.uint8).T
 
         iopqr_codes = DeviceAppender((m, npad_i), jnp.uint8, axis=1)
-        encode_permuted((iopqr_codes,), jax.jit(enc_opqr_rows))
+        encode_permuted(
+            (iopqr_codes,),
+            lambda pids, s0: _enc_opqr_rows(pids, s0, means_enc_dev),
+        )
         opqr_inner = qt.ProductQuantizer.from_transposed(
             iopqr_codes.finish(),
             PQMetadata(cents_r, division, params_inner, rotation=rot_r),
