@@ -946,7 +946,10 @@ def main():
             )
         del ivf_bq, bq_inner, eq_ibq, ibq_planes
 
-    if args.ivf_base in ("all", "opq"):
+    import os as _os
+    if args.ivf_base in ("all", "opq") and not _os.environ.get(
+        "QTPU_RESIDUAL_ONLY"
+    ):
         # ---- IVF-OPQ (+ f32 rescore: the compressed serving ladder) ----
         from quantization_tpu.ops.opq import train_opq
 
@@ -1209,11 +1212,19 @@ def main():
                     eq_or, K, method="approx", nprobe=p, nscan=u
                 ), gt,
             )
-        for rr, p, u in [(40, 64, ladder((0.1186,))[0]),
-                         (40, 64, opqr_deep),
-                         (160, 64, opqr_deep)] + (
-                             [(320, 64, opqr_deep)]
-                             if N >= 50_000_000 else []):
+        opqr_rescue = [(40, 64, ladder((0.1186,))[0]),
+                       (40, 64, opqr_deep),
+                       (160, 64, opqr_deep)]
+        if N >= 50_000_000:
+            # Coarse saturates by the ~5% scan at capacity; measure the
+            # rescored rows at BOTH widths — if the candidate pool also
+            # saturates, the >=0.9 point serves at the cheap width.
+            u_lo = ladder((0.0475,))[0]
+            opqr_rescue = [
+                (40, 64, u_lo), (160, 64, u_lo), (320, 64, u_lo),
+                (160, 64, opqr_deep), (320, 64, opqr_deep),
+            ]
+        for rr, p, u in opqr_rescue:
             report(
                 f"2s IVF-OPQr->f32 R={rr} p={p} nscan={u}",
                 ivf_f32(ivf_opqr, eq_or, rr, p, u), gt,
