@@ -628,6 +628,7 @@ def main():
             report_serve(
                 f"2s SQ->f32 ov={ov:g}", ts2, (eq_sq, queries_dev), gt
             )
+        del ts2  # the loop variable pins sq's codes past `del sq` below
 
         # Oversampling sweep: on noise-dominated clustered data the BQ coarse
         # stage needs a wide candidate pool before rescoring recovers recall
