@@ -32,25 +32,36 @@ import time
 import numpy as np
 
 N, D, Q, K = 100_000, 1024, 256, 10
-ITERS = 25
+ITERS = 10  # the short leg of the two-point slope (long leg = 3x)
 CHAIN = 8  # query batches chained per dispatch
 
 
 def timeit(fn, *args, iters=ITERS, warmup=3, repeats=3):
-    """Steady-state seconds per chained batch: enqueue `iters` chained
-    calls, drain once; best of `repeats` passes — the TPU tunnel adds
-    run-to-run jitter that a single pass would fold into the measurement."""
+    """Device seconds per chained batch by TWO-POINT SLOPE: time a pass
+    of `iters` enqueues and a pass of 3x`iters` (each drained once), and
+    take (T_long - T_short) / (2 x iters x CHAIN). A single pass divides
+    the final drain's host<->device round trip across its iterations —
+    ~24 ms through the test tunnel, which at sub-ms batch times added
+    ~0.12 ms/batch (+35-55%) of pure measurement pollution to every
+    round-1..4 headline at this config (round-5 finding, PERF_NOTES).
+    The slope cancels every per-pass constant; both sides (quantized and
+    f32) are timed identically, so vs_baseline stays fair either way.
+    Best of `repeats` passes per leg — the tunnel adds run-to-run jitter
+    that a single pass would fold into the measurement."""
     for _ in range(warmup):
         r = fn(*args)
     np.asarray(jax_leaves(r)[0])  # full drain before starting the clock
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fn(*args)
-        np.asarray(jax_leaves(r)[0])  # drain: in-order device queue
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best / CHAIN
+    legs = []
+    for n_it in (iters, 3 * iters):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(n_it):
+                r = fn(*args)
+            np.asarray(jax_leaves(r)[0])  # drain: in-order device queue
+            best = min(best, time.perf_counter() - t0)
+        legs.append(best)
+    return (legs[1] - legs[0]) / (2 * iters) / CHAIN
 
 
 def jax_leaves(tree):
