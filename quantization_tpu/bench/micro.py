@@ -30,16 +30,24 @@ import numpy as np
 
 
 def _timeit(fn, iters=20, warmup=3):
+    """Two-point slope (bench.py methodology): a single enqueue-N/
+    drain-once pass folds the drain's host<->device round trip (~24 ms
+    through a remote tunnel) into the measurement — +RTT/N per call,
+    which dominates sub-ms batches. (T_3I - T_I)/2I cancels every
+    per-pass constant; see PERF_NOTES "Round-5 findings"."""
     import jax
 
     for _ in range(warmup):
         r = fn()
     np.asarray(jax.tree_util.tree_leaves(r)[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn()
-    np.asarray(jax.tree_util.tree_leaves(r)[0])
-    return (time.perf_counter() - t0) / iters
+    legs = []
+    for n_it in (iters, 3 * iters):
+        t0 = time.perf_counter()
+        for _ in range(n_it):
+            r = fn()
+        np.asarray(jax.tree_util.tree_leaves(r)[0])
+        legs.append(time.perf_counter() - t0)
+    return (legs[1] - legs[0]) / (2 * iters)
 
 
 def main(argv=None):
