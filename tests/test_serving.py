@@ -162,6 +162,25 @@ def test_materialize_false_returns_device_arrays(rng, corpus):
     np.testing.assert_array_equal(np.asarray(gi), di)
 
 
+def test_sync_keeps_results_queued(rng, corpus):
+    # sync() blocks until in-flight work completes but drains nothing —
+    # the measurement/quiesce barrier (bench harnesses bracket their
+    # timed windows with it).
+    data, params = corpus
+    sq = ScalarQuantizerU8.encode(data, params)
+    s = PipelinedSearcher(sq, k=K, depth=8)
+    batches = _batches(rng, 3)
+    for b in batches:
+        s.submit(b)
+    assert s.in_flight == 3
+    s.sync()
+    assert s.in_flight == 3  # nothing drained
+    for b, (_, gi) in zip(batches, s.flush()):
+        _, di = sq.top_k(sq.encode_query(b), K)
+        np.testing.assert_array_equal(gi, di)
+    s.sync()  # no-op on an empty pipe
+
+
 def test_argument_errors(corpus):
     data, params = corpus
     sq = ScalarQuantizerU8.encode(data, params)
