@@ -214,3 +214,30 @@ def test_pq_from_transposed_parity(rng):
         enc.score_internal(3, 5)
     )
     assert enc_t._codes is not None
+
+
+def test_pq_from_transposed_save_load(rng, tmp_path):
+    # A transposed-first quantizer persists the reference two-file
+    # format identically (save materializes the row layout lazily) and
+    # round-trips through the normal loader.
+    import jax.numpy as jnp
+
+    data = make_data(rng, count=400)
+    params = VectorParameters(DIM, 400, DistanceType.L2, True)
+    enc = ProductQuantizer.encode(data, params, chunk_size=4)
+    enc_t = ProductQuantizer.from_transposed(
+        jnp.transpose(enc.codes), enc.metadata
+    )
+    enc.save(tmp_path / "a.bin", tmp_path / "a.json")
+    enc_t.save(tmp_path / "b.bin", tmp_path / "b.json")
+    assert (tmp_path / "a.bin").read_bytes() == (
+        tmp_path / "b.bin"
+    ).read_bytes()
+    back = ProductQuantizer.load(
+        tmp_path / "b.bin", tmp_path / "b.json", params
+    )
+    q = make_data(rng, count=4)
+    np.testing.assert_array_equal(
+        enc.top_k(enc.encode_query(q), 5)[1],
+        back.top_k(back.encode_query(q), 5)[1],
+    )
